@@ -17,14 +17,12 @@ object SparkEntry {
     RefQueries.q1MinCountPerPort(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_min_count_per_port" -> RefQueries.q1MinCountPerPort _
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_min_count_per_port" -> RefQueries.q1Sql
-  )
+  def oracleSql: Map[String, String] =
+    RefQueries.oracles
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Shapes, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference engine's four query shapes (SURVEY.md §2.1), re-expressed
@@ -10,27 +11,264 @@ import org.apache.spark.sql.functions._
   * `partitionBy`, e.g. stateless/cluster/PartialKeyJoin.scala:51-82)
   * becomes a plain `groupBy` — Catalyst's HashAggregateExec plans the
   * partial/final split and the map-side combine automatically, which is
-  * also what absorbs key skew that the reference needed PKG/APK
-  * partitioners for.
+  * also what absorbs the key skew the reference needed its PKG/APK
+  * partitioners for: the shuffle after a partial aggregate carries at most
+  * |keys|×|groups| rows per input partition regardless of input skew.
+  *
+  * All window ids are integer `event_time div slot` (reference
+  * `ltw = ts / logic_time_slot`, state/cluster/naive/HashJoin.scala:50) so
+  * the DuckDB oracle agrees bit-for-bit. The heavy-hitter threshold
+  * `share > 0.2/m` with m = 12 (stream.json:6;
+  * one-group-stateless/cluster/APKGrouping.scala:94-100) is rewritten as
+  * the integer predicate `cnt * 60 > total` — no floating point in the
+  * gate.
   */
 object RefQueries {
 
-  /** Q1 — per-dataset grouped min-of-counts
-    * ("minimum count of each word in each port",
-    * stateless/src/main/scala/cluster/HashJoin.scala:11-12, 51-62).
-    *
-    * Scale: two shuffles (word,port) then (word); the first aggregation
-    * partial-aggregates map-side so the shuffle carries at most
-    * |words|×|ports| rows per input partition regardless of data size.
-    */
+  private val slot = Shapes.LogicTimeSlotMs // 86400000 (1 day)
+  private val M = 12 // reference mapper parallelism, stream.json:6
+
+  /** DuckDB-side adapters matching Shapes.portWordEvents / zxEvents. */
+  private val pwSql =
+    "SELECT epoch_ms(ts) AS event_time, user_id % 3 AS port, event_type AS word FROM events"
+  private val zxSql =
+    "SELECT epoch_ms(ts) AS event_time, event_type AS z, CAST(floor(value) AS BIGINT) AS x FROM events"
+
+  // --------------------------------------------------------------------
+  // Q1 — per-dataset grouped min-of-counts
+  // ("minimum count of each word in each port",
+  //  stateless/src/main/scala/cluster/HashJoin.scala:11-12, 51-62).
+  // --------------------------------------------------------------------
   def q1MinCountPerPort(spark: SparkSession, sfDir: String): DataFrame =
     Shapes.portWordEvents(spark, sfDir)
       .groupBy("word", "port").agg(count(lit(1)).as("cnt"))
       .groupBy("word").agg(min("cnt").as("min_cnt"))
 
   val q1Sql: String =
-    """SELECT word, min(cnt) AS min_cnt FROM (
-      |  SELECT event_type AS word, user_id % 3 AS port, count(*) AS cnt
-      |  FROM events GROUP BY 1, 2
-      |) GROUP BY word""".stripMargin
+    s"""SELECT word, min(cnt) AS min_cnt FROM (
+       |  SELECT word, port, count(*) AS cnt FROM ($pwSql) GROUP BY 1, 2
+       |) GROUP BY word""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q2 — event-time-windowed min-of-counts with port-completeness:
+  // a (word, ltw) window missing any of the 3 ports yields 0
+  // (state/src/main/scala/cluster/naive/HashJoin.scala:89-103). The
+  // reference's punctuation/watermark/trigger machinery (§2.7 C3/C4) is
+  // emission policy, not semantics — in batch the trigger is end-of-input
+  // and the CASE expression is the whole contract.
+  // --------------------------------------------------------------------
+  def q2WindowedMinComplete(spark: SparkSession, sfDir: String): DataFrame =
+    Shapes.withLtw(Shapes.portWordEvents(spark, sfDir), slot)
+      .groupBy("word", "ltw", "port").agg(count(lit(1)).as("cnt"))
+      .groupBy("word", "ltw")
+      .agg(when(count(lit(1)) === Shapes.PortsNum, min("cnt"))
+        .otherwise(lit(0L)).as("min_cnt"))
+
+  val q2Sql: String =
+    s"""SELECT word, ltw, CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS min_cnt
+       |FROM (
+       |  SELECT word, event_time // $slot AS ltw, port, count(*) AS cnt
+       |  FROM ($pwSql) GROUP BY 1, 2, 3
+       |) GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q3 — event-time-windowed scalar aggregates per key z
+  // (one-group-state/cluster/HHGrouping.scala:76-101 COUNT;
+  //  RRGrouping.scala:72-96 MAX; APKGrouping.scala:128-150 SUM).
+  // --------------------------------------------------------------------
+  private def zxLtw(spark: SparkSession, sfDir: String): DataFrame =
+    Shapes.withLtw(Shapes.zxEvents(spark, sfDir), slot)
+
+  def q3WindowedCount(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir).groupBy("z", "ltw").agg(count(lit(1)).as("cnt"))
+
+  val q3CountSql: String =
+    s"""SELECT z, event_time // $slot AS ltw, count(*) AS cnt
+       |FROM ($zxSql) GROUP BY 1, 2""".stripMargin
+
+  def q3WindowedMax(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir).groupBy("z", "ltw").agg(max("x").as("max_x"))
+
+  val q3MaxSql: String =
+    s"""SELECT z, event_time // $slot AS ltw, max(x) AS max_x
+       |FROM ($zxSql) GROUP BY 1, 2""".stripMargin
+
+  def q3WindowedSum(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir).groupBy("z", "ltw").agg(sum("x").as("sum_x"))
+
+  val q3SumSql: String =
+    s"""SELECT z, event_time // $slot AS ltw, CAST(sum(x) AS BIGINT) AS sum_x
+       |FROM ($zxSql) GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q3b — per-window heavy-hitter detection: keys whose share of the
+  // window load exceeds 0.2/m (APKGrouping.scala:94-100;
+  // one-group-state/cluster/DGrouping.scala:225-240). 0.2/12 = 1/60 →
+  // integer predicate cnt*60 > total. The per-window total is a window
+  // function (one extra shuffle on ltw, already the grouping key — AQE
+  // reuses the exchange).
+  // --------------------------------------------------------------------
+  def q3HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = zxLtw(spark, sfDir)
+      .groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum("cnt").over(Window.partitionBy("ltw")))
+      .where(col("cnt") * 60 > col("total"))
+      .select("ltw", "z", "cnt")
+  }
+
+  val q3HeavyHittersSql: String =
+    s"""SELECT ltw, z, cnt FROM (
+       |  SELECT ltw, z, cnt, sum(cnt) OVER (PARTITION BY ltw) AS total FROM (
+       |    SELECT event_time // $slot AS ltw, z, count(*) AS cnt
+       |    FROM ($zxSql) GROUP BY 1, 2)
+       |) WHERE cnt * 60 > total""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q3c — per-window skew statistics + cost-model strategy decision:
+  // M (total load), K (distinct keys), p1 (max share), head/near-singleton
+  // counts, and the HH-vs-APK decision
+  //   costHH  = (13.26·p1 + 1.02)·M/m        (DGrouping.scala:55)
+  //   costAPK = M/m + λ·(K + head·(m−2) − single)   (DGrouping.scala:64)
+  // with m = 12, λ = 0.01. The reference used these to pick a partitioner
+  // per window (§2.6 T7); here the decision is an observable column — the
+  // physical analogue in our build is AQE skew handling.
+  // All inputs to the doubles are exact longs and the expression shape is
+  // identical in the oracle, so the FP results match bit-for-bit.
+  // --------------------------------------------------------------------
+  def q3SkewStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val lambda = 0.01
+    val counts = zxLtw(spark, sfDir)
+      .groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
+    val withTotal = counts
+      .withColumn("total", sum("cnt").over(Window.partitionBy("ltw")))
+    val stats = withTotal.groupBy("ltw").agg(
+      max("total").as("m_total"),
+      count(lit(1)).as("k_keys"),
+      max("cnt").as("max_cnt"),
+      sum(when(col("cnt") * 60 > col("total"), 1L).otherwise(0L)).as("head_num"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("single_num"))
+    stats.select(
+      col("ltw"), col("m_total"), col("k_keys"), col("max_cnt"),
+      (col("max_cnt") / col("m_total")).as("p1"),
+      col("head_num"), col("single_num"),
+      when(
+        (lit(13.26) * (col("max_cnt") / col("m_total")) + lit(1.02)) * col("m_total") / lit(12.0)
+          <= col("m_total") / lit(12.0) + lit(lambda) * (col("k_keys") + col("head_num") * 10 - col("single_num")),
+        lit(0L)).otherwise(lit(1L)).as("strategy"))
+  }
+
+  val q3SkewStatsSql: String =
+    s"""WITH counts AS (
+       |  SELECT event_time // $slot AS ltw, z, count(*) AS cnt
+       |  FROM ($zxSql) GROUP BY 1, 2),
+       |wt AS (
+       |  SELECT ltw, z, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY ltw) AS BIGINT) AS total
+       |  FROM counts),
+       |s AS (
+       |  SELECT ltw, max(total) AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+       |         CAST(sum(CASE WHEN cnt * 60 > total THEN 1 ELSE 0 END) AS BIGINT) AS head_num,
+       |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_num
+       |  FROM wt GROUP BY 1)
+       |SELECT ltw, m_total, k_keys, max_cnt,
+       |       max_cnt / m_total AS p1, head_num, single_num,
+       |       CAST(CASE WHEN (13.26 * (max_cnt / m_total) + 1.02) * m_total / 12.0
+       |                  <= m_total / 12.0 + 0.01 * (k_keys + head_num * 10 - single_num)
+       |            THEN 0 ELSE 1 END AS BIGINT) AS strategy
+       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q4 — 3-way star-join cardinality per key: |R0(z)|·|R1(z)|·|R2(z)|
+  // (star-join-stateless/cluster/HHJoin.scala:59-78, product at :74).
+  // One conditional aggregation = ONE shuffle (vs the reference's
+  // count-then-multiply over a replicated worker cube, DuplicateHHJoin) —
+  // the count-product needs no pair materialization and no replication;
+  // skew is absorbed by the map-side partial aggregate.
+  // --------------------------------------------------------------------
+  def q4StarCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Shapes.portWordEvents(spark, sfDir)
+    ev.groupBy(col("word").as("z"))
+      .agg(
+        sum(when(col("port") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("port") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
+      .select(col("z"), (col("c0") * col("c1") * col("c2")).as("card"))
+  }
+
+  val q4StarCardinalitySql: String =
+    s"""SELECT z, CAST(c0 * c1 * c2 AS BIGINT) AS card FROM (
+       |  SELECT word AS z,
+       |         CAST(sum(CASE WHEN port = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |         CAST(sum(CASE WHEN port = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN port = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM ($pwSql) GROUP BY 1)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q4b — a TRUE 3-way equi-join cardinality over the star schema
+  // (lineitem ⋈ orders ⋈ customer), grouped by market segment — the same
+  // capability class as Q4 expressed over realistic keys where the join
+  // is selective. Dimension sides are broadcast (no shuffle of the fact
+  // table beyond the final aggregation). Equality of count-product and
+  // true-join cardinality is asserted by a property test
+  // (StarJoinPropertySpec).
+  // --------------------------------------------------------------------
+  def q4StarJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("li_cnt"))
+  }
+
+  val q4StarJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS li_cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Row amplification — duplicateRate semantics
+  // (one-group-stateless/cluster/RRGrouping.scala:65-76: each row emitted
+  // `duplicateRate` times before grouping). explode(array_repeat) keeps
+  // the amplification inside whole-stage codegen; the partial aggregate
+  // collapses it again before the shuffle.
+  // --------------------------------------------------------------------
+  val DuplicateRate = 3
+
+  def qAmplify(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir)
+      .withColumn("dup", explode(array_repeat(lit(1), DuplicateRate)))
+      .groupBy("z", "ltw").agg(count(lit(1)).as("cnt"))
+
+  val qAmplifySql: String =
+    s"""SELECT z, event_time // $slot AS ltw, $DuplicateRate * count(*) AS cnt
+       |FROM ($zxSql) GROUP BY 1, 2""".stripMargin
+
+  /** All parity queries + oracles, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_min_count_per_port" -> (q1MinCountPerPort _),
+    "q2_windowed_min_complete" -> (q2WindowedMinComplete _),
+    "q3_windowed_count" -> (q3WindowedCount _),
+    "q3_windowed_max" -> (q3WindowedMax _),
+    "q3_windowed_sum" -> (q3WindowedSum _),
+    "q3_heavy_hitters" -> (q3HeavyHitters _),
+    "q3_skew_stats" -> (q3SkewStats _),
+    "q4_star_cardinality" -> (q4StarCardinality _),
+    "q4_star_join" -> (q4StarJoin _),
+    "q_amplify" -> (qAmplify _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_min_count_per_port" -> q1Sql,
+    "q2_windowed_min_complete" -> q2Sql,
+    "q3_windowed_count" -> q3CountSql,
+    "q3_windowed_max" -> q3MaxSql,
+    "q3_windowed_sum" -> q3SumSql,
+    "q3_heavy_hitters" -> q3HeavyHittersSql,
+    "q3_skew_stats" -> q3SkewStatsSql,
+    "q4_star_cardinality" -> q4StarCardinalitySql,
+    "q4_star_join" -> q4StarJoinSql,
+    "q_amplify" -> qAmplifySql)
 }
