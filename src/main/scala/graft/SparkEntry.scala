@@ -16,13 +16,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RefQueries.q1MinCountPerPort(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline extensions (text analysis, dedup, ANN).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries
+    RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracles
+    RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles
 }

@@ -1,0 +1,237 @@
+package graft.functions
+
+import scala.util.Random
+
+/** Paired Spark-SQL / DuckDB-SQL expression builders for the training-data
+  * pipeline operators (dedup, fingerprinting, similarity).
+  *
+  * The driver's correctness gate hash-compares Spark output against DuckDB
+  * output, so every hashed value must be bit-identical across engines. The
+  * strategy here: all hashing / similarity math is EXACT 64-bit integer
+  * arithmetic built from primitives verified to agree between the engines:
+  *
+  *   - `split(text, ' ')` (Spark, regex-of-a-space) == `string_split(text,
+  *     ' ')` (DuckDB, literal) — including empty-token behavior.
+  *   - `split(s, '')` == `string_split(s, '')` → per-character arrays.
+  *   - `ascii(c)` (Spark) == `unicode(c)` (DuckDB) → codepoint.
+  *   - Spark `aggregate(xs, 0L, f)` == DuckDB `list_reduce(list_prepend(0,
+  *     xs), f)` (DuckDB's reduce has no init value; the prepended 0 plays
+  *     that role).
+  *   - `CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)` quantization of
+  *     float embeddings: float→double widening is exact, floor is exact.
+  *
+  * Floating point appears only where IEEE-754 guarantees identical results
+  * from identical inputs (+,-,*,/,sqrt are correctly rounded); transcendental
+  * functions (exp/ln/pow) are never used in gated expressions.
+  *
+  * Each builder returns the Spark expression string (for
+  * `org.apache.spark.sql.functions.expr`, fully codegen-compatible) and a
+  * DuckDB SQL string; both are generated from the same constants so they
+  * cannot drift.
+  */
+object Parity {
+
+  /** Mersenne prime 2^31-1: modulus for all polynomial/affine hashing.
+    * Products a*x with a,x < 2^31 stay under 2^62 — no 64-bit overflow.
+    */
+  val P: Long = 2147483647L
+
+  // ------------------------------------------------------------------
+  // Character-level polynomial rolling hash: h = Σ c_i · 31^(n-i) mod P.
+  // The base primitive for token hashes, shingle hashes, and document
+  // fingerprints.
+  // ------------------------------------------------------------------
+  def charPolyHashSpark(col: String): String =
+    s"aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"0L, (acc, x) -> (acc * 31 + x) % $P)"
+
+  def charPolyHashDuck(col: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($col, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  // ------------------------------------------------------------------
+  // Tokenization + w-shingles (word n-grams joined by a space).
+  // ------------------------------------------------------------------
+  def tokensSpark(col: String): String = s"split($col, ' ')"
+  def tokensDuck(col: String): String = s"string_split($col, ' ')"
+
+  /** Distinct word-w-gram shingle strings. Guarded for docs shorter than w
+    * (Spark's `sequence(0, negative)` would step backwards, so both sides
+    * wrap in CASE).
+    */
+  def shinglesSpark(toks: String, w: Int): String =
+    s"CASE WHEN size($toks) >= $w THEN array_distinct(transform(" +
+      s"sequence(0, size($toks) - $w), i -> concat_ws(' ', slice($toks, i + 1, $w)))) " +
+      s"ELSE array() END"
+
+  def shinglesDuck(toks: String, w: Int): String =
+    s"CASE WHEN len($toks) >= $w THEN list_distinct(list_transform(" +
+      s"range(0, len($toks) - ${w - 1}), i -> array_to_string($toks[i + 1:i + $w], ' '))) " +
+      s"ELSE [] END"
+
+  /** Hash each element of a string array with the char poly hash. */
+  def hashedArraySpark(arr: String): String =
+    s"transform($arr, s -> aggregate(transform(split(s, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 31 + x) % $P))"
+
+  def hashedArrayDuck(arr: String): String =
+    s"list_transform($arr, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P))"
+
+  // ------------------------------------------------------------------
+  // MinHash: k affine permutations h_i(x) = (a_i·x + b_i) mod P over the
+  // shingle-hash set; signature_i = min over shingles. Standard estimator:
+  // P[sig_i(A)=sig_i(B)] = J(A,B). Constants from one seeded RNG so Spark
+  // and DuckDB literals are identical by construction.
+  // ------------------------------------------------------------------
+  val NumHashes = 32
+  val NumBands = 8
+  val RowsPerBand: Int = NumHashes / NumBands // 4
+
+  /** (a_i, b_i) for i < NumHashes; a ∈ [1, P-1], b ∈ [0, P-1]. */
+  val minhashCoeffs: IndexedSeq[(Long, Long)] = {
+    val rnd = new Random(42)
+    IndexedSeq.fill(NumHashes)(
+      (1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** Array of NumHashes minhash values over a BIGINT-array column `hs`.
+    * Empty shingle set → sentinel P (greater than any real hash).
+    */
+  def minhashSigSpark(hs: String): String = {
+    val mins = minhashCoeffs.map { case (a, b) =>
+      s"array_min(transform($hs, x -> ($a * x + $b) % $P))"
+    }
+    s"CASE WHEN size($hs) = 0 THEN array_repeat(CAST($P AS BIGINT), $NumHashes) " +
+      s"ELSE array(${mins.mkString(", ")}) END"
+  }
+
+  def minhashSigDuck(hs: String): String = {
+    val mins = minhashCoeffs.map { case (a, b) =>
+      s"list_min(list_transform($hs, x -> ($a * x + $b) % $P))"
+    }
+    s"CASE WHEN len($hs) = 0 THEN list_transform(range($NumHashes), i -> CAST($P AS BIGINT)) " +
+      s"ELSE [${mins.mkString(", ")}] END"
+  }
+
+  /** LSH band key: combine the band's RowsPerBand signature entries into one
+    * BIGINT with the same poly-hash fold (sig values < P < 2^31, fold keeps
+    * mod P). `sig` is the signature array column, `band` ∈ [0, NumBands).
+    */
+  def bandKeySpark(sig: String, band: Int): String = {
+    val lo = band * RowsPerBand
+    val terms = (lo until lo + RowsPerBand)
+      .map(i => s"element_at($sig, ${i + 1})")
+    terms.foldLeft("CAST(0 AS BIGINT)")((acc, t) => s"(($acc * 31 + $t) % $P)")
+  }
+
+  def bandKeyDuck(sig: String, band: Int): String = {
+    val lo = band * RowsPerBand
+    val terms = (lo until lo + RowsPerBand).map(i => s"$sig[${i + 1}]")
+    terms.foldLeft("CAST(0 AS BIGINT)")((acc, t) => s"(($acc * 31 + $t) % $P)")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash (32-bit) over token hashes: bit b of the fingerprint is 1 iff
+  // Σ_tokens (2·bit_b(h) − 1) > 0. Hamming-distance banding (4 bytes)
+  // finds near-dup candidates.
+  // ------------------------------------------------------------------
+  val SimHashBits = 32
+
+  def simhashSpark(hs: String): String = {
+    val terms = (0 until SimHashBits).map { b =>
+      s"CASE WHEN aggregate($hs, 0L, (acc, x) -> acc + 2 * ((x div ${1L << b}) % 2) - 1) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0L END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  def simhashDuck(hs: String): String = {
+    val terms = (0 until SimHashBits).map { b =>
+      s"CASE WHEN list_sum(list_transform($hs, x -> 2 * ((x // ${1L << b}) % 2) - 1)) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Byte `i` (0..3) of a 32-bit simhash — the banding key for Hamming
+    * LSH: two hashes within distance 3 share at least one of 4 bytes.
+    */
+  def simhashByteSpark(sh: String, i: Int): String =
+    s"(($sh div ${1L << (8 * i)}) % 256)"
+  def simhashByteDuck(sh: String, i: Int): String =
+    s"(($sh // ${1L << (8 * i)}) % 256)"
+
+  /** Popcount of xor — Hamming distance between two 32-bit values. */
+  def hammingSpark(a: String, b: String): String =
+    s"aggregate(sequence(0, ${SimHashBits - 1}), 0L, " +
+      s"(acc, i) -> acc + ((($a ^ $b) div shiftleft(CAST(1 AS BIGINT), i)) % 2))"
+
+  def hammingDuck(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(0, $SimHashBits), " +
+      s"i -> ((xor($a, $b) // (CAST(1 AS BIGINT) << i)) % 2))) AS BIGINT)"
+
+  // ------------------------------------------------------------------
+  // Embedding quantization + exact-integer dot product. Quantizing each
+  // float to floor(x·10^6) makes every downstream comparison exact; with
+  // |x| ≤ ~1 and dim 64, |dot| ≤ 64·10^12 — far inside Long range.
+  // ------------------------------------------------------------------
+  val QScale = 1000000L
+
+  def quantizeSpark(vec: String): String =
+    s"transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"
+
+  def quantizeDuck(vec: String): String =
+    s"list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"
+
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  def dotDuck(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Cosine from exact integer dot/norms: identical doubles on both engines
+    * because /, *, sqrt are IEEE correctly-rounded and the inputs are the
+    * same integers.
+    */
+  def cosineSpark(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  def cosineDuck(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  // ------------------------------------------------------------------
+  // Random-hyperplane LSH for embeddings: 8 deterministic ±1 planes (seeded
+  // RNG → literal arrays in both dialects); bucket = sign-bit pattern of
+  // the 8 plane dots. Plane dot over the quantized vector is exact integer.
+  // ------------------------------------------------------------------
+  val NumPlanes = 8
+  val EmbeddingDim = 64
+
+  val planes: IndexedSeq[IndexedSeq[Int]] = {
+    val rnd = new Random(1234)
+    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(EmbeddingDim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  def planeDotSpark(qvec: String, j: Int): String = {
+    val lit = planes(j).map(v => s"${v}L").mkString("array(", ", ", ")")
+    s"aggregate(zip_with($qvec, $lit, (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
+  }
+
+  def planeDotDuck(qvec: String, j: Int): String = {
+    val lit = planes(j).map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(1, len($qvec) + 1), i -> $qvec[i] * ($lit)[i])) AS BIGINT)"
+  }
+
+  def lshBucketSpark(qvec: String): String =
+    (0 until NumPlanes).map { j =>
+      s"CASE WHEN ${planeDotSpark(qvec, j)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  def lshBucketDuck(qvec: String): String =
+    (0 until NumPlanes).map { j =>
+      s"CASE WHEN ${planeDotDuck(qvec, j)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline over `documents` /
+  * `embeddings` — exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup (SURVEY.md Phase 4 extensions).
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup groups on the 64-bit text fingerprint, never on the
+  *     text itself — the shuffle carries 8-byte keys, not documents.
+  *   - Jaccard candidate generation explodes distinct shingle hashes and
+  *     self-joins on the 8-byte hash; the `(doc, shingle)` relation is the
+  *     standard inverted-index build and shuffles linearly in corpus size.
+  *   - MinHash-LSH reduces the candidate join to 8 band-key buckets per
+  *     doc (32 hashes, 8 bands × 4 rows): the join key space is tiny and
+  *     uniform, the signature computation is a narrow codegen'd map.
+  *   - SimHash bands by fingerprint byte: near-Hamming pairs must collide
+  *     on ≥1 of 4 bytes (pigeonhole, d ≤ 3).
+  *   - All pair predicates are exact integer comparisons (10·inter > union
+  *     etc.) — no FP in the gate.
+  */
+object Dedup {
+
+  private val docsSql = "SELECT doc_id, text FROM documents"
+
+  /** Jaccard threshold as a ratio: J > JaccNum/JaccDen (= 0.1). */
+  val JaccNum = 1L
+  val JaccDen = 10L
+
+  /** SimHash near-dup Hamming radius. */
+  val MaxHamming = 3L
+
+  /** Embedding near-dup cosine threshold (synthetic corpus has no planted
+    * embedding dups; 0.4 exercises the operator non-trivially).
+    */
+  val CosThreshold = 0.4
+
+  val ShingleW = 3
+
+  // ------------------------------------------------------------------
+  // Exact dedup: keep lowest doc_id per identical text, grouped via the
+  // 64-bit fingerprint (hash-groupBy; text never shuffled).
+  // ------------------------------------------------------------------
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(charPolyHashSpark("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+
+  val exactDedupSql: String =
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+       |FROM (SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql))
+       |GROUP BY fp""".stripMargin
+
+  /** Per-source dedup accounting: rows in vs distinct texts. */
+  def exactDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), expr(charPolyHashSpark("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_distinct"))
+
+  val exactDedupStatsSql: String =
+    s"""SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct
+       |FROM (SELECT source, ${charPolyHashDuck("text")} AS fp
+       |      FROM (SELECT source, text FROM documents))
+       |GROUP BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard pairs: J(A,B) > 0.1 over distinct word-3-gram shingle
+  // hash sets, via inverted-index self-join. Exact integer output
+  // (inter, uni) — jaccard = inter/uni for the consumer.
+  // ------------------------------------------------------------------
+  private def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(hashedArraySpark(shinglesSpark(tokensSpark("text"), ShingleW))))
+          .as("sh"))
+
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * JaccDen > col("uni") * JaccNum)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  private def shingleRelSql: String =
+    s"""SELECT doc_id, unnest(${hashedArrayDuck(shinglesDuck(tokensDuck("text"), ShingleW))}) AS sh
+       |FROM ($docsSql)""".stripMargin
+
+  val jaccardPairsSql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash signatures + LSH candidate pairs. Candidates = distinct
+  // (a, b) sharing ≥ 1 of 8 band keys; sig_matches/32 estimates J.
+  // ------------------------------------------------------------------
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(minhashSigSpark(hashedArraySpark(shinglesSpark(tokensSpark("text"), ShingleW))))
+          .as("sig"))
+
+  private def signaturesWithBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), expr(bandKeySpark("sig", b)).as("bkey")))
+    minhashSignatures(spark, sfDir)
+      .withColumn("bk", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = signaturesWithBands(spark, sfDir)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
+          "0L, (acc, v) -> acc + v)").as("sig_matches"))
+      .distinct()
+  }
+
+  private val sigDuck: String =
+    minhashSigDuck(hashedArrayDuck(shinglesDuck(tokensDuck("text"), ShingleW)))
+
+  val minhashLshPairsSql: String = {
+    val bandRows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, sig, $b AS band, ${bandKeyDuck("sig", b)} AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sigs AS (SELECT doc_id, $sigDuck AS sig FROM ($docsSql)),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(list_sum(list_transform(range(1, $NumHashes + 1),
+       |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_matches
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash fingerprints + Hamming-banded near-dup pairs (d ≤ 3 over 32
+  // bits; byte-banding guarantees recall by pigeonhole).
+  // ------------------------------------------------------------------
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(simhashSpark(hashedArraySpark(tokensSpark("text")))).as("simhash"))
+
+  val simhashSql: String =
+    s"""SELECT doc_id, ${simhashDuck(hashedArrayDuck(tokensDuck("text")))} AS simhash
+       |FROM ($docsSql)""".stripMargin
+
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhash(spark, sfDir)
+    val byteCols = (0 until 4).map(i =>
+      struct(lit(i).as("band"), expr(simhashByteSpark("simhash", i)).as("byte")))
+    val banded = sh.withColumn("bb", explode(array(byteCols: _*)))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.byte").as("byte"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
+      .where(col("hamming") <= MaxHamming)
+      .distinct()
+  }
+
+  val simhashPairsSql: String = {
+    val bandRows = (0 until 4)
+      .map(i => s"SELECT doc_id, simhash, $i AS band, ${simhashByteDuck("simhash", i)} AS byte FROM sh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($simhashSql),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${hammingDuck("a.simhash", "b.simhash")} AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+       |WHERE ${hammingDuck("a.simhash", "b.simhash")} <= $MaxHamming""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs: quantized exact-integer dot/norms,
+  // cosine threshold on bit-identical doubles. Brute-force at test SF;
+  // the LSH-bucketed scale path lives in Similarity.
+  // ------------------------------------------------------------------
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
+      .withColumn("norm", expr(dotSpark("v", "v")))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr(dotSpark("a.v", "b.v")).as("dot"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .where(expr(cosineSpark("dot", "na", "nb")) > CosThreshold)
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
+       |  FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings))
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${dotDuck("a.v", "b.v")} AS dot, a.norm AS na, b.norm AS nb
+       |FROM q a JOIN q b ON a.vec_id < b.vec_id
+       |WHERE ${cosineDuck(dotDuck("a.v", "b.v"), "a.norm", "b.norm")} > $CosThreshold""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> (exactDedup _),
+    "d_exact_dedup_stats" -> (exactDedupStats _),
+    "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "d_simhash" -> (simhash _),
+    "d_simhash_pairs" -> (simhashPairs _),
+    "d_embedding_neardup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" -> exactDedupSql,
+    "d_exact_dedup_stats" -> exactDedupStatsSql,
+    "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_minhash_lsh_pairs" -> minhashLshPairsSql,
+    "d_simhash" -> simhashSql,
+    "d_simhash_pairs" -> simhashPairsSql,
+    "d_embedding_neardup" -> embeddingNearDupSql)
+}

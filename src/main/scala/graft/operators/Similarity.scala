@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding FLOAT[64], label) — SURVEY.md Phase 4 extension.
+  *
+  * Two paths:
+  *   - Brute-force cosine top-k: the exactness baseline. Query set ⨯
+  *     corpus; at cluster scale the query side is the small relation and
+  *     is broadcast, so the corpus never shuffles — the scan is
+  *     embarrassingly parallel and the per-partition top-k is collapsed by
+  *     the rank filter.
+  *   - Random-hyperplane LSH buckets: the scale path. Each vector maps to
+  *     an 8-bit sign pattern over fixed ±1 planes; candidates are
+  *     restricted to the query's bucket (expected 1/256 of the corpus per
+  *     probe — multiprobe would widen recall).
+  *
+  * All similarity math is the exact-integer quantized dot product
+  * (functions.Parity): ranking and thresholds are bit-identical between
+  * Spark and the DuckDB oracle; ranking ties break on vec_id.
+  */
+object Similarity {
+
+  /** Query workload: the first NumQueries vec_ids. */
+  val NumQueries = 20L
+  val TopK = 5L
+
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
+      .withColumn("norm", expr(dotSpark("v", "v")))
+
+  private val quantizedSql: String =
+    s"""SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
+       |FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Brute-force cosine top-k per query.
+  // ------------------------------------------------------------------
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+    val queries = corpus.where(col("vec_id") < NumQueries)
+    val scored = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        expr(dotSpark("q.v", "c.v")).as("dot"),
+        expr(cosineSpark(dotSpark("q.v", "c.v"), "q.norm", "c.norm")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH corpus AS ($quantizedSql),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} AS cos
+       |  FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q
+       |  JOIN corpus c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // LSH bucket statistics — bucket histogram over the corpus.
+  // ------------------------------------------------------------------
+  def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir)
+      .select(expr(lshBucketSpark("v")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+
+  val lshBucketStatsSql: String =
+    s"""SELECT bucket, count(*) AS n_vectors
+       |FROM (SELECT ${lshBucketDuck("v")} AS bucket FROM ($quantizedSql))
+       |GROUP BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // LSH-bucketed ANN top-k: candidates share the query's bucket.
+  // ------------------------------------------------------------------
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+      .withColumn("bucket", expr(lshBucketSpark("v")))
+    val queries = corpus.where(col("vec_id") < NumQueries)
+    val scored = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        expr(dotSpark("q.v", "c.v")).as("dot"),
+        expr(cosineSpark(dotSpark("q.v", "c.v"), "q.norm", "c.norm")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val lshTopKSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, v, norm, ${lshBucketDuck("v")} AS bucket FROM ($quantizedSql)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} AS cos
+       |  FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q
+       |  JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cosine_topk" -> (cosineTopK _),
+    "s_lsh_bucket_stats" -> (lshBucketStats _),
+    "s_lsh_topk" -> (lshTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" -> cosineTopKSql,
+    "s_lsh_bucket_stats" -> lshBucketStatsSql,
+    "s_lsh_topk" -> lshTopKSql)
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the shared `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * These extend the reference engine's surface (SURVEY.md Phase 4): the
+  * reference processes short keyed records; a 100 TB corpus pipeline needs
+  * per-document NLP-ish scoring. Everything here is a pure projection —
+  * narrow, no shuffle, whole-stage-codegen'd higher-order functions over
+  * the parquet scan — so it scales linearly with executors and is bound by
+  * scan throughput, the right shape for 100 TB.
+  *
+  * Oracle parity: all numeric outputs are exact integers, or doubles built
+  * only from +,-,*,/ on exact integers (bit-identical across engines).
+  */
+object TextAnalysis {
+
+  private val docsSql = "SELECT doc_id, text FROM documents"
+
+  // Stopword / language marker profiles (deterministic, embedded in both
+  // dialects from these single definitions).
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
+  val EsMarkers: Seq[String] = Seq("el", "la", "de", "y", "que", "los")
+  val FrMarkers: Seq[String] = Seq("le", "la", "de", "et", "les", "une")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private def countInSpark(toks: String, xs: Seq[String]): String =
+    s"size(filter($toks, t -> t IN ${inList(xs)}))"
+  private def countInDuck(toks: String, xs: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN ${inList(xs)}))"
+
+  // ------------------------------------------------------------------
+  // Token statistics: whitespace tokens, BPE-ish regex tokens (alphabetic
+  // runs), distinct tokens, average token length.
+  // ------------------------------------------------------------------
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      expr(s"size(${tokensSpark("text")})").as("n_tokens"),
+      expr("regexp_count(text, '[a-z]+')").as("n_words"),
+      expr(s"size(array_distinct(${tokensSpark("text")}))").as("n_distinct"),
+      expr(s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(${tokensSpark("text")})")
+        .as("avg_token_len"))
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(${tokensDuck("text")}) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+       |  len(list_distinct(${tokensDuck("text")})) AS n_distinct,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(${tokensDuck("text")}) AS avg_token_len
+       |FROM ($docsSql)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quality scoring: stopword ratio, lexical diversity, length band —
+  // combined into one deterministic [0,1] score using only rational
+  // arithmetic (no transcendental functions → bit-exact oracle).
+  //   score = 0.4·diversity + 0.3·(1 − |stop_ratio − 0.2|) + 0.3·len_score
+  //   len_score = least(n_tokens, 100) / 100
+  // ------------------------------------------------------------------
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokensSpark("text")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"${countInSpark(toks, Stopwords)}").as("stop_cnt"),
+        expr(s"size(array_distinct($toks))").as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        expr("CAST(stop_cnt AS DOUBLE) / n_tokens").as("stop_ratio"),
+        expr("CAST(n_distinct AS DOUBLE) / n_tokens").as("diversity"),
+        expr("0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)" +
+          " + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))" +
+          " + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)").as("quality_score"))
+  }
+
+  val qualityScoreSql: String = {
+    val toks = tokensDuck("text")
+    s"""SELECT doc_id, n_tokens, stop_cnt,
+       |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       |  0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |    + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+       |    + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    len($toks) AS n_tokens,
+       |    ${countInDuck(toks, Stopwords)} AS stop_cnt,
+       |    len(list_distinct($toks)) AS n_distinct
+       |  FROM ($docsSql))""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Language identification: marker-token voting with deterministic
+  // argmax (en > es > fr priority on ties, 'und' when no marker hits).
+  // An n-gram-profile heuristic in the classic Cavnar-Trenkle spirit,
+  // reduced to unigram marker profiles.
+  // ------------------------------------------------------------------
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokensSpark("text")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        expr(countInSpark(toks, EnMarkers)).as("en_cnt"),
+        expr(countInSpark(toks, EsMarkers)).as("es_cnt"),
+        expr(countInSpark(toks, FrMarkers)).as("fr_cnt"))
+      .select(
+        col("doc_id"), col("lang"), col("en_cnt"), col("es_cnt"), col("fr_cnt"),
+        expr("CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en' " +
+          "WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es' " +
+          "WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END").as("lang_pred"))
+  }
+
+  val langIdSql: String = {
+    val toks = tokensDuck("text")
+    s"""SELECT doc_id, lang, en_cnt, es_cnt, fr_cnt,
+       |  CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
+       |       WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es'
+       |       WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${countInDuck(toks, EnMarkers)} AS en_cnt,
+       |    ${countInDuck(toks, EsMarkers)} AS es_cnt,
+       |    ${countInDuck(toks, FrMarkers)} AS fr_cnt
+       |  FROM (SELECT doc_id, text, lang FROM documents))""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting: whole-text polynomial rolling hash, plus the
+  // minimum token-4-gram shingle hash (a winnowing-style selective
+  // fingerprint — the min-hash of the rolling window hashes).
+  // ------------------------------------------------------------------
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shinglesSpark(tokensSpark("text"), 4)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      expr(charPolyHashSpark("text")).as("fp"),
+      expr(s"CASE WHEN size($sh) = 0 THEN CAST($P AS BIGINT) " +
+        s"ELSE array_min(${hashedArraySpark(sh)}) END").as("fp_min_shingle"))
+  }
+
+  val fingerprintSql: String = {
+    val sh = shinglesDuck(tokensDuck("text"), 4)
+    s"""SELECT doc_id,
+       |  ${charPolyHashDuck("text")} AS fp,
+       |  CASE WHEN len($sh) = 0 THEN CAST($P AS BIGINT)
+       |       ELSE list_min(${hashedArrayDuck(sh)}) END AS fp_min_shingle
+       |FROM ($docsSql)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_quality_score" -> (qualityScore _),
+    "t_lang_id" -> (langId _),
+    "t_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> tokenStatsSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_lang_id" -> langIdSql,
+    "t_fingerprint" -> fingerprintSql)
+}
