@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Exact integer dot product of two ARRAY<BIGINT> columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The brute-force similarity/near-dup queries evaluate the dot product on
+  * every candidate pair (O(pairs · dim)); the equivalent higher-order
+  * `aggregate(zip_with(...))` runs interpreted per element (~25 s for
+  * 12.5M pairs × 64 dims on sf0.1) while this compiles to a tight fused
+  * loop (~1 s). Semantics match the HOF form and the DuckDB oracle
+  * exactly: Long multiply-add over pairwise elements, no FP involved.
+  *
+  * Elements are assumed non-null (they come from `transform` over non-null
+  * float vectors); arrays of unequal length dot over the common prefix.
+  */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "long_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  /** Column API for [[LongVectorDot]]. */
+  def longDot(a: Column, b: Column): Column =
+    CatalystBridge.column(LongVectorDot(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+}

@@ -116,12 +116,19 @@ object Dedup {
   // ------------------------------------------------------------------
   // MinHash signatures + LSH candidate pairs. Candidates = distinct
   // (a, b) sharing ≥ 1 of 8 band keys; sig_matches/32 estimates J.
+  //
+  // Signatures come from the exploded (doc, shingle-hash) relation via 32
+  // grouped `min` aggregates — a single codegen'd two-phase HashAggregate
+  // (the array-lambda formulation was interpreted per-row and 30× slower
+  // at sf0.1). Docs with fewer than ShingleW tokens have no shingles and
+  // drop out (they cannot be near-dup candidates).
   // ------------------------------------------------------------------
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        expr(minhashSigSpark(hashedArraySpark(shinglesSpark(tokensSpark("text"), ShingleW))))
-          .as("sig"))
+    shingleRel(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(expr(minhashAggSpark("sh").head),
+        minhashAggSpark("sh").tail.map(expr): _*)
+      .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
 
   private def signaturesWithBands(spark: SparkSession, sfDir: String): DataFrame = {
     val bandCols = (0 until NumBands).map(b =>
@@ -142,14 +149,13 @@ object Dedup {
       .distinct()
   }
 
-  private val sigDuck: String =
-    minhashSigDuck(hashedArrayDuck(shinglesDuck(tokensDuck("text"), ShingleW)))
-
   val minhashLshPairsSql: String = {
     val bandRows = (0 until NumBands)
       .map(b => s"SELECT doc_id, sig, $b AS band, ${bandKeyDuck("sig", b)} AS bkey FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH sigs AS (SELECT doc_id, $sigDuck AS sig FROM ($docsSql)),
+    s"""WITH sh AS ($shingleRelSql),
+       |mins AS (SELECT doc_id, ${minhashAggDuck("sh").mkString(", ")} FROM sh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $minhashSigFromColsDuck AS sig FROM mins),
        |bands AS (
        |  $bandRows)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -160,26 +166,34 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
-  // SimHash fingerprints + Hamming-banded near-dup pairs (d ≤ 3 over 32
-  // bits; byte-banding guarantees recall by pigeonhole).
+  // SimHash fingerprints + Hamming-banded near-dup pairs (d ≤ 3 over 60
+  // bits; 15-bit banding guarantees recall by pigeonhole). Computed from
+  // the exploded (doc, token-hash) relation via grouped per-bit SUMs —
+  // one codegen'd HashAggregate pass.
   // ------------------------------------------------------------------
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        expr(simhashSpark(hashedArraySpark(tokensSpark("text")))).as("simhash"))
+        explode(expr(hashedArraySpark(tokensSpark("text")))).as("h"))
+      .groupBy("doc_id")
+      .agg(expr(simhashAggSpark("h").head), simhashAggSpark("h").tail.map(expr): _*)
+      .select(col("doc_id"), expr(simhashFromCounts).as("simhash"))
 
   val simhashSql: String =
-    s"""SELECT doc_id, ${simhashDuck(hashedArrayDuck(tokensDuck("text")))} AS simhash
-       |FROM ($docsSql)""".stripMargin
+    s"""SELECT doc_id, $simhashFromCounts AS simhash FROM (
+       |  SELECT doc_id, ${simhashAggDuck("h").mkString(", ")}
+       |  FROM (SELECT doc_id, unnest(${hashedArrayDuck(tokensDuck("text"))}) AS h
+       |        FROM ($docsSql))
+       |  GROUP BY doc_id)""".stripMargin
 
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = simhash(spark, sfDir)
-    val byteCols = (0 until 4).map(i =>
-      struct(lit(i).as("band"), expr(simhashByteSpark("simhash", i)).as("byte")))
-    val banded = sh.withColumn("bb", explode(array(byteCols: _*)))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.byte").as("byte"))
+    val bandCols = (0 until SimHashBands).map(i =>
+      struct(lit(i).as("band"), expr(simhashBandSpark("simhash", i)).as("bkey")))
+    val banded = sh.withColumn("bb", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
@@ -188,8 +202,8 @@ object Dedup {
   }
 
   val simhashPairsSql: String = {
-    val bandRows = (0 until 4)
-      .map(i => s"SELECT doc_id, simhash, $i AS band, ${simhashByteDuck("simhash", i)} AS byte FROM sh")
+    val bandRows = (0 until SimHashBands)
+      .map(i => s"SELECT doc_id, simhash, $i AS band, ${simhashBandDuck("simhash", i)} AS bkey FROM sh")
       .mkString("\n  UNION ALL ")
     s"""WITH sh AS ($simhashSql),
        |bands AS (
@@ -197,7 +211,7 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  ${hammingDuck("a.simhash", "b.simhash")} AS hamming
        |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE ${hammingDuck("a.simhash", "b.simhash")} <= $MaxHamming""".stripMargin
   }
 
@@ -207,12 +221,13 @@ object Dedup {
   // the LSH-bucketed scale path lives in Similarity.
   // ------------------------------------------------------------------
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.longDot
     val q = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
-      .withColumn("norm", expr(dotSpark("v", "v")))
+      .withColumn("norm", longDot(col("v"), col("v")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        expr(dotSpark("a.v", "b.v")).as("dot"),
+        longDot(col("a.v"), col("b.v")).as("dot"),
         col("a.norm").as("na"), col("b.norm").as("nb"))
       .where(expr(cosineSpark("dot", "na", "nb")) > CosThreshold)
   }

@@ -30,10 +30,12 @@ object Similarity {
   val NumQueries = 20L
   val TopK = 5L
 
+  import graft.functions.VectorOps.longDot
+
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
-      .withColumn("norm", expr(dotSpark("v", "v")))
+      .withColumn("norm", longDot(col("v"), col("v")))
 
   private val quantizedSql: String =
     s"""SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
@@ -48,8 +50,9 @@ object Similarity {
     val scored = broadcast(queries.as("q")).join(corpus.as("c"),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        expr(dotSpark("q.v", "c.v")).as("dot"),
-        expr(cosineSpark(dotSpark("q.v", "c.v"), "q.norm", "c.norm")).as("cos"))
+        longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
@@ -94,8 +97,9 @@ object Similarity {
     val scored = broadcast(queries.as("q")).join(corpus.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        expr(dotSpark("q.v", "c.v")).as("dot"),
-        expr(cosineSpark(dotSpark("q.v", "c.v"), "q.norm", "c.norm")).as("cos"))
+        longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters, so the
+  * graft library can wrap its native Catalyst expressions (e.g.
+  * [[graft.functions.LongVectorDot]]) in the public Column API. Lives in a
+  * subpackage of org.apache.spark.sql purely for access; no Spark
+  * internals are modified.
+  */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
