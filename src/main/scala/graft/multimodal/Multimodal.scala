@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video payloads travel as opaque `BINARY` columns with typed metadata,
+  * and per-batch decode/feature-extraction runs as a partition-iterator
+  * transform over a typed Dataset (the JVM analogue of an Arrow-batched
+  * Pandas UDF: one JVM call per partition, row batches streamed through
+  * an iterator, no per-row SerDe).
+  *
+  * The container has no image/audio codecs, so [[FakeCodec.decode]] is a
+  * clearly-marked deterministic STUB standing in for e.g. a JNI/ImageIO
+  * decode; everything around it — binary schema, typed Encoders, the
+  * mapPartitions batch shape, partitioning behavior, metadata pushdown —
+  * is the real production plumbing and is what the tests exercise.
+  *
+  * The media relation is derived deterministically from `documents`
+  * (bytes := utf8(text)), so the DuckDB oracle can replicate the stub
+  * decode arithmetic exactly.
+  */
+object Multimodal {
+
+  /** A media file: opaque payload + routing metadata. */
+  case class MediaFile(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded per-file features (the stub "decode" output). */
+  case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      checksum: Long)
+
+  val Kinds: Seq[String] = Seq("image", "audio", "video")
+
+  /** documents → media relation: payload = utf8(text), kind cycles by id.
+    * Pure projection — pipelines into the scan.
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("media_id"),
+        element_at(
+          array(Kinds.map(lit): _*), (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+          .as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaFile]
+  }
+
+  /** STUB codec: deterministic arithmetic over the payload bytes standing
+    * in for a real decoder. A production build swaps `decode` for the
+    * actual library call; the signature (bytes in, typed features out) and
+    * everything downstream are unchanged.
+    */
+  object FakeCodec {
+    def decode(m: MediaFile): DecodedMedia = {
+      val n = m.payload.length.toLong
+      // ??? real decode goes here — replaced by deterministic fake:
+      var sum = 0L
+      var i = 0
+      while (i < m.payload.length) { sum = (sum * 31 + (m.payload(i) & 0xff)) % 2147483647L; i += 1 }
+      val width = 16L + (n * 31 + m.kind.length) % 624L
+      val height = 16L + (sum % 464L)
+      val frames = m.kind match {
+        case "video" => 1L + n % 240L
+        case "audio" => 1L + n % 16L
+        case _       => 1L
+      }
+      DecodedMedia(m.media_id, m.kind, n, width, height, frames, sum)
+    }
+  }
+
+  /** The batched decode: one iterator pass per partition (Arrow-batch
+    * shape), constant memory, no driver involvement. Partitioning is
+    * inherited from the scan; at 100 TB you'd repartition by size budget
+    * (`maxPartitionBytes`) so each decode batch fits an executor core.
+    */
+  def decodeMedia(media: Dataset[MediaFile]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Frame sampling plan for video rows: every k-th frame index, exploded
+    * to one row per sampled frame — the Spark-side shape of
+    * decode-then-sample, without materializing frames.
+    */
+  def sampleFrames(decoded: Dataset[DecodedMedia], every: Int): DataFrame =
+    decoded.where(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong)))
+          .as("frame_idx"))
+
+  /** Gated query: full decode over the media relation. */
+  def decodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMedia(mediaFromDocuments(spark, sfDir)).toDF()
+
+  /** Oracle: the stub arithmetic replayed in SQL. Texts are ASCII so
+    * octet length == n_chars and the byte loop == the char poly hash.
+    */
+  val decodeQuerySql: String =
+    s"""SELECT media_id, kind, n_bytes, width, height,
+       |  CASE WHEN kind = 'video' THEN 1 + n_bytes % 240
+       |       WHEN kind = 'audio' THEN 1 + n_bytes % 16
+       |       ELSE 1 END AS n_frames,
+       |  checksum
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    16 + (CAST(octet_length(encode(text)) AS BIGINT) * 31
+       |          + length(['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1])) % 624 AS width,
+       |    16 + (${graft.functions.Parity.charPolyHashDuck("text")} % 464) AS height,
+       |    ${graft.functions.Parity.charPolyHashDuck("text")} AS checksum
+       |  FROM (SELECT doc_id, text FROM documents))""".stripMargin
+
+  /** Gated query: frame-sampling fan-out (video rows, every 8th frame). */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(decodeMedia(mediaFromDocuments(spark, sfDir)), 8)
+
+  val frameSampleQuerySql: String =
+    s"""SELECT media_id, n_frames, unnest(range(0, n_frames, 8)) AS frame_idx
+       |FROM ($decodeQuerySql) WHERE kind = 'video'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_decode_media" -> (decodeQuery _),
+    "m_frame_sample" -> (frameSampleQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "m_decode_media" -> decodeQuerySql,
+    "m_frame_sample" -> frameSampleQuerySql)
+}
