@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.Shapes
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming parity for the reference's streaming core
+  * (SURVEY.md §2.7–2.8): event-time tumbling windows, per-source
+  * punctuation low-watermarks, trigger-time emission with completeness
+  * policy, and the forked stateful operator (C4, `MyStateSpecWithIndex` +
+  * `MyMapWithStateWithIndexRDD`).
+  *
+  * The reference hand-builds all of it on DStreams: punctuation control
+  * rows interleaved with data (state/src/main/scala/cluster/naive/
+  * HashJoin.scala:54-63), executor-singleton watermark timetables
+  * (state/src/main/scala/timetable/MyStateJoinUtils.scala:25-65), and a
+  * forked mapWithState that scans and evicts window state on trigger
+  * (state/src/main/scala/org/apache/spark/streaming/rdd/
+  * MyMapWithStateWithIndexRDD.scala:63-148). In Structured Streaming the
+  * engine owns every piece: `withWatermark` is the punctuation timetable
+  * (global watermark = min over inputs, same min-over-ports rule), append
+  * mode is the emit-once-per-closed-window contract, and watermark
+  * eviction is the state cleanup.
+  *
+  * Two implementations of the Q2 shape ("per (word, window) min over
+  * per-port counts; incomplete window → 0",
+  * state/src/main/scala/cluster/naive/HashJoin.scala:89-103):
+  *
+  *   1. [[q2WindowedAgg]] — the idiomatic form: watermark + two chained
+  *      windowed aggregations in append mode (Spark 4 supports stacked
+  *      stateful aggs on the same event-time window).
+  *   2. [[q2FlatMapGroups]] — the reference-shaped form: explicit keyed
+  *      state via flatMapGroupsWithState + EventTimeTimeout, state =
+  *      per-port counts, emission exactly at watermark passage — a
+  *      faithful (but engine-managed) analogue of C4's
+  *      trigger-scan-emit-evict loop.
+  *
+  * Both are asserted equivalent to the batch CASE-expression form by
+  * StreamingParitySpec (MemoryStream fixtures from FIXTURES.md §4).
+  */
+object StreamingParity {
+
+  /** Input record: the reference's `"ts port word"` stream shape with
+    * event_time in logical ms (FIXTURES.md §1.1).
+    */
+  case class PwEvent(event_time: Long, port: Int, word: String)
+
+  /** Emitted result per closed (word, window). */
+  case class Q2Result(word: String, ltw: Long, min_cnt: Long)
+
+  /** Per-key streaming state: counts per port. */
+  case class PortCounts(counts: Map[Int, Long])
+
+  /** Window width in ms and expected port arity (reference
+    * `logic_time_slot` / `ports_num`).
+    */
+  val SlotMs: Long = 1000L
+  val PortsNum: Int = 3
+
+  private def withEventTs(events: Dataset[PwEvent]): DataFrame =
+    events.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withColumn("ltw", expr(s"event_time div $SlotMs"))
+
+  /** Idiomatic Q2: watermark + windowed count per (word, port, window),
+    * re-aggregated to min-with-completeness per (word, window), append
+    * mode. Delay 0 ms = the reference's assumption of per-source in-order
+    * timestamps (SURVEY.md §2.8).
+    */
+  def q2WindowedAgg(events: Dataset[PwEvent]): DataFrame =
+    withEventTs(events)
+      .withWatermark("event_ts", "0 milliseconds")
+      .groupBy(window(col("event_ts"), s"$SlotMs milliseconds"),
+        col("word"), col("port"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"), col("word"))
+      .agg(when(count(lit(1)) === PortsNum, min(col("cnt")))
+        .otherwise(lit(0L)).as("min_cnt"))
+      .select(col("word"),
+        expr(s"unix_millis(window.start) div $SlotMs").as("ltw"),
+        col("min_cnt"))
+
+  /** Reference-shaped Q2: explicit keyed state (per-port counts) with
+    * event-time timeout at window close — the Structured Streaming
+    * analogue of the forked mapWithState operator (C4). The timeout
+    * replaces punctuation control rows; watermark passage replaces the
+    * trigger scan; returning Iterator.single on timeout replaces the
+    * emit+evict path (state/src/main/scala/cluster/optimized/
+    * HashJoin.scala:77-99).
+    */
+  def q2FlatMapGroups(events: Dataset[PwEvent]): Dataset[Q2Result] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTs(events)
+      .select(col("event_ts"), col("word"), col("ltw"), col("port"))
+      .withWatermark("event_ts", "0 milliseconds")
+      .as[(java.sql.Timestamp, String, Long, Int)]
+      .groupByKey { case (_, word, ltw, _) => (word, ltw) }
+      .flatMapGroupsWithState[PortCounts, Q2Result](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((word, ltw), rows, state: GroupState[PortCounts]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed the window end: emit once, evict.
+            val counts = state.get.counts
+            state.remove()
+            val minCnt =
+              if (counts.size == PortsNum) counts.values.min else 0L
+            Iterator.single(Q2Result(word, ltw, minCnt))
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+            rows.foreach { case (_, _, _, port) =>
+              counts = counts.updated(port, counts.getOrElse(port, 0L) + 1L)
+            }
+            state.update(PortCounts(counts))
+            // Close the window when the watermark reaches its end.
+            state.setTimeoutTimestamp((ltw + 1) * SlotMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The batch-mode contract both streaming forms must match (same CASE
+    * as RefQueries.q2WindowedMinComplete, over the same records).
+    */
+  def q2Batch(events: Dataset[PwEvent]): DataFrame =
+    events.toDF()
+      .withColumn("ltw", expr(s"event_time div $SlotMs"))
+      .groupBy("word", "ltw", "port").agg(count(lit(1)).as("cnt"))
+      .groupBy("word", "ltw")
+      .agg(when(count(lit(1)) === PortsNum, min("cnt"))
+        .otherwise(lit(0L)).as("min_cnt"))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis specs on planted fixtures: exact duplicates,
+  * high-Jaccard near-duplicates, and unrelated documents.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val other =
+    "completely different words about spark shuffles and window functions"
+
+  private def fixture(): String = writeFixture(documents = Seq(
+    doc(0, base), doc(1, base), doc(2, nearDup), doc(3, other)))
+
+  test("exact dedup keeps the lowest doc_id and counts duplicates") {
+    val dir = fixture()
+    val got = rows(Dedup.exactDedup(spark, dir))
+    assert(got === Set(Seq(0L, 2L), Seq(2L, 1L), Seq(3L, 1L)))
+  }
+
+  test("n-gram jaccard finds the exact and near pairs, not the unrelated one") {
+    val dir = fixture()
+    val pairs = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH: identical docs match on all signature positions") {
+    val dir = fixture()
+    val got = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("sig_matches"))).toMap
+    assert(got((0L, 1L)) === graft.functions.Parity.NumHashes.toLong)
+    // Near-dup pair shares most of its shingles → most signature slots.
+    assert(got.contains((0L, 2L)))
+    assert(got((0L, 2L)) > graft.functions.Parity.NumHashes / 2L)
+  }
+
+  test("simhash: identical docs at Hamming 0; near-dups within radius") {
+    val dir = fixture()
+    val got = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("hamming"))).toMap
+    assert(got((0L, 1L)) === 0L)
+    assert(got.get((0L, 2L)).forall(_ <= Dedup.MaxHamming))
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val w = v.clone(); w(0) += 0.001f           // near-identical
+    val u = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f) // far
+    val dir = writeFixture(embeddings = Seq(
+      EmbRow(0, v, 0), EmbRow(1, w, 0), EmbRow(2, u, 1)))
+    val pairs = Dedup.embeddingNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("token stats and quality on a controlled document") {
+    val dir = writeFixture(documents = Seq(doc(0, "the cat and the dog")))
+    val ts = TextAnalysis.tokenStats(spark, dir).collect().head
+    assert(ts.getAs[Int]("n_tokens") === 5)
+    assert(ts.getAs[Int]("n_distinct") === 4)
+    assert(ts.getAs[Double]("avg_token_len") === 15.0 / 5)
+    val q = TextAnalysis.qualityScore(spark, dir).collect().head
+    assert(q.getAs[Long]("stop_cnt") === 3L) // the, and, the
+  }
+
+  test("language id picks the profile with the most marker hits") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "the cat of the house and a dog", lang = "en"),
+      doc(1, "el gato de la casa y los perros", lang = "es"),
+      doc(2, "xyz qrs tuv", lang = "zh")))
+    val got = TextAnalysis.langId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got(0L) === "en")
+    assert(got(1L) === "es")
+    assert(got(2L) === "und")
+  }
+
+  test("fingerprint equals the reference polynomial hash") {
+    val text = "abc"
+    val dir = writeFixture(documents = Seq(doc(0, text)))
+    val fp = Dedup.exactDedup(spark, dir) // touch plan
+    val got = TextAnalysis.fingerprint(spark, dir).collect().head
+    val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c) % 2147483647L)
+    assert(got.getAs[Long]("fp") === expected)
+  }
+}

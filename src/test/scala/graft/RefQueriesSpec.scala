@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{RefQueries, Salting}
+
+/** Edge-case specs for the reference-parity queries (FIXTURES.md §4).
+  * Fixtures map through Shapes: port := user_id % 3, word/z := event_type,
+  * event_time := epoch ms, ltw := event_time div 1 day.
+  */
+class RefQueriesSpec extends SparkSpec {
+
+  private val Day = Shapes.LogicTimeSlotMs
+
+  test("q1: min count per word over ports") {
+    // word A: port0×2, port1×1 → min 1; word B: port2×3 → min 3.
+    val dir = writeFixture(events = Seq(
+      event(0, 1000, 0, "A"), event(1, 2000, 0, "A"), event(2, 3000, 1, "A"),
+      event(3, 4000, 2, "B"), event(4, 5000, 2, "B"), event(5, 6000, 2, "B")))
+    assert(rows(RefQueries.q1MinCountPerPort(spark, dir)) ===
+      Set(Seq("A", 1L), Seq("B", 3L)))
+  }
+
+  test("q2: window missing a port emits 0 (FIXTURES §4.1)") {
+    // Day 0: word A on ports 0,1,2 (counts 2,1,1) → min 1.
+    //        word B on ports 0,1 only → incomplete → 0.
+    // Day 1: word A on port 0 only → 0.
+    val dir = writeFixture(events = Seq(
+      event(0, 10, 0, "A"), event(1, 20, 0, "A"), event(2, 30, 1, "A"),
+      event(3, 40, 2, "A"),
+      event(4, 50, 0, "B"), event(5, 60, 1, "B"),
+      event(6, Day + 10, 0, "A")))
+    assert(rows(RefQueries.q2WindowedMinComplete(spark, dir)) ===
+      Set(Seq("A", 0L, 1L), Seq("B", 0L, 0L), Seq("A", 1L, 0L)))
+  }
+
+  test("q3: heavy-hitter threshold share > 0.2/m is strict (FIXTURES §4.4)") {
+    // One window with 60 rows: key H has 2 (2·60 > 60 → heavy),
+    // key E has exactly 1 (1·60 = 60, NOT > → not heavy),
+    // filler F has 57.
+    val evs = Seq(event(0, 10, 0, "H"), event(1, 20, 0, "H"), event(2, 30, 0, "E")) ++
+      (0 until 57).map(i => event(3 + i, 40 + i, 0, "F"))
+    val dir = writeFixture(events = evs)
+    val hh = rows(RefQueries.q3HeavyHitters(spark, dir))
+    assert(hh === Set(Seq(0L, "H", 2L), Seq(0L, "F", 57L)))
+  }
+
+  test("q4: star cardinality is count product; missing relation gives 0 (FIXTURES §4.5)") {
+    // z=A: ports 0,1,2 with counts 2,1,1 → 2. z=B: ports 0,1 only → 0.
+    val dir = writeFixture(events = Seq(
+      event(0, 10, 0, "A"), event(1, 20, 0, "A"), event(2, 30, 1, "A"),
+      event(3, 40, 2, "A"),
+      event(4, 50, 0, "B"), event(5, 60, 1, "B")))
+    assert(rows(RefQueries.q4StarCardinality(spark, dir)) ===
+      Set(Seq("A", 2L), Seq("B", 0L)))
+  }
+
+  test("q4: count-product equals true 3-way join cardinality") {
+    // Property from SURVEY §5.3 on a deterministic multiset.
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 200).map { i =>
+      event(i.toLong, 10 + i, rnd.nextInt(3).toLong, "K" + rnd.nextInt(5))
+    }
+    val dir = writeFixture(events = evs)
+    val pw = Shapes.portWordEvents(spark, dir)
+    val byPort = (p: Int) => pw.where(s"port = $p").select("word")
+    val trueJoin = byPort(0).as("r0")
+      .join(byPort(1).as("r1"), "word")
+      .join(byPort(2).as("r2"), "word")
+      .groupBy("word").count()
+    val product = RefQueries.q4StarCardinality(spark, dir)
+      .where("card > 0")
+    assert(rows(trueJoin) === rows(product).map(r => Seq(r.head, r(1))))
+  }
+
+  test("q_amplify: duplicateRate=k multiplies counts by k (FIXTURES §4.6)") {
+    val dir = writeFixture(events = Seq(
+      event(0, 10, 0, "A"), event(1, 20, 0, "A"), event(2, 30, 0, "B")))
+    val amp = rows(RefQueries.qAmplify(spark, dir))
+    assert(amp === Set(
+      Seq("A", 0L, 2L * RefQueries.DuplicateRate),
+      Seq("B", 0L, 1L * RefQueries.DuplicateRate)))
+  }
+
+  test("salted aggregation result is identical to the unsalted plan") {
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 300).map { i =>
+      event(i.toLong, rnd.nextInt(3) * Day + rnd.nextInt(1000), i % 7, "Z" + rnd.nextInt(4))
+    }
+    val dir = writeFixture(events = evs)
+    assert(rows(Salting.saltedWindowedCount(spark, dir)) ===
+      rows(RefQueries.q3WindowedCount(spark, dir)))
+  }
+
+  test("q3 skew stats: p1 and strategy come out exact on a known window") {
+    // Window 0: key X×8, key Y×2 → M=10, K=2, p1=0.8.
+    val evs = (0 until 8).map(i => event(i.toLong, 10 + i, 0, "X")) ++
+      Seq(event(8, 30, 0, "Y"), event(9, 40, 0, "Y"))
+    val dir = writeFixture(events = evs)
+    val r = RefQueries.q3SkewStats(spark, dir).collect().head
+    assert(r.getAs[Long]("m_total") === 10L)
+    assert(r.getAs[Long]("k_keys") === 2L)
+    assert(r.getAs[Double]("p1") === 0.8)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.StreamingParity
+import graft.streaming.StreamingParity.{PwEvent, Q2Result}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming Q2 parity (SURVEY.md Phase 3): append-mode emission of
+  * closed event-time windows must equal the batch CASE-expression form,
+  * exactly once per window — the contract of the reference's C4 operator.
+  *
+  * Scenario (FIXTURES.md §4): per-port in-order timestamps, ports
+  * interleaved out of window order across sources; a final sentinel event
+  * far in the future closes every earlier window.
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  // Windows are 1000 ms (StreamingParity.SlotMs). Window 0: word A on all
+  // 3 ports (counts 2,1,1) → min 1; word B on ports 0,1 → incomplete → 0.
+  // Window 1: word A on port 0 only → 0. Sentinel at t=10_500 stays open.
+  private val batch1 = Seq(
+    PwEvent(10, 0, "A"), PwEvent(20, 0, "A"), PwEvent(30, 1, "A"),
+    PwEvent(40, 2, "A"), PwEvent(50, 0, "B"), PwEvent(60, 1, "B"))
+  private val batch2 = Seq(PwEvent(1010, 0, "A"))
+  private val sentinel = Seq(PwEvent(10500, 0, "SENTINEL"))
+
+  private val expectedClosed = Set(
+    Q2Result("A", 0L, 1L), Q2Result("B", 0L, 0L), Q2Result("A", 1L, 0L))
+
+  test("flatMapGroupsWithState emits each closed window exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.q2FlatMapGroups(input.toDS())
+      .writeStream.format("memory").queryName("q2_fmgs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable()
+      val got = s.table("q2_fmgs").as[Q2Result].collect()
+      assert(got.length === got.toSet.size, "duplicate emissions")
+      assert(got.toSet === expectedClosed)
+    } finally query.stop()
+  }
+
+  test("windowed-aggregation form matches the batch contract on closed windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.q2WindowedAgg(input.toDS())
+      .writeStream.format("memory").queryName("q2_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable()
+      val got = s.table("q2_agg").as[Q2Result].collect()
+      assert(got.length === got.toSet.size, "duplicate emissions")
+      assert(got.toSet === expectedClosed)
+    } finally query.stop()
+  }
+
+  test("streaming output equals the batch form restricted to closed windows") {
+    val s = spark
+    import s.implicits._
+    val all = batch1 ++ batch2 ++ sentinel
+    val batch = StreamingParity.q2Batch(all.toDS()).as[Q2Result].collect().toSet
+    // Watermark after the sentinel = 10_500 → every window ending ≤ 10_500
+    // is closed; only the sentinel's own window (ltw 10) stays open.
+    val closed = batch.filter(_.ltw < 10L)
+    assert(closed === expectedClosed)
+  }
+}
