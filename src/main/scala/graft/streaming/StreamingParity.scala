@@ -130,4 +130,46 @@ object StreamingParity {
       .groupBy("word", "ltw")
       .agg(when(count(lit(1)) === PortsNum, min("cnt"))
         .otherwise(lit(0L)).as("min_cnt"))
+
+  // ------------------------------------------------------------------
+  // Per-batch statistics feedback — the reference's BroadcastWrapper loop
+  // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:
+  // 14-37): every micro-batch the driver aggregates per-key stats, updates
+  // a mutable broadcast, and the next batch's partitioner reads it. The
+  // Structured Streaming analogue is foreachBatch: the per-batch DataFrame
+  // aggregation lands in driver-visible state (here an AtomicReference; in
+  // production a Delta/kafka-compacted lookup joined stream-static).
+  // ------------------------------------------------------------------
+
+  /** One batch's heavy-hitter snapshot: keys with share > 0.2/m of the
+    * batch (reference threshold, APKGrouping.scala:94-100, m = 12).
+    */
+  case class BatchStats(batchId: Long, total: Long, heavyHitters: Set[String])
+
+  /** Start the Q3-shaped stream with a per-batch heavy-hitter feedback
+    * sink; `latest` always holds the most recent batch's stats (what the
+    * reference re-broadcast to its partitioners each interval).
+    */
+  def heavyHitterFeedback(
+      events: Dataset[PwEvent],
+      latest: java.util.concurrent.atomic.AtomicReference[BatchStats]) = {
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[PwEvent], batchId: Long) =>
+        val stats = batch.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum("cnt").as("total"),
+            collect_list(struct(col("word"), col("cnt"))).as("keys"))
+          .collect()
+        stats.headOption.foreach { r =>
+          val total = Option(r.getAs[Long]("total")).getOrElse(0L)
+          val hot = r.getSeq[org.apache.spark.sql.Row](1)
+            .filter(k => k.getAs[Long]("cnt") * 60L > total)
+            .map(_.getAs[String]("word")).toSet
+          latest.set(BatchStats(batchId, total, hot))
+        }
+        ()
+      }
+  }
 }

@@ -63,6 +63,25 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val latest = new java.util.concurrent.atomic.AtomicReference[StreamingParity.BatchStats]()
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.heavyHitterFeedback(input.toDS(), latest).start()
+    try {
+      // 60 rows: HOT×2 (share 1/30 > 1/60 → heavy), COLD×1 (exactly 1/60,
+      // strict > → not), 57 filler.
+      val batch = Seq(PwEvent(10, 0, "HOT"), PwEvent(20, 0, "HOT"), PwEvent(30, 0, "COLD")) ++
+        (0 until 57).map(i => PwEvent(40 + i, 0, "FILL"))
+      input.addData(batch); query.processAllAvailable()
+      val got = latest.get()
+      assert(got.total === 60L)
+      assert(got.heavyHitters === Set("HOT", "FILL"))
+    } finally query.stop()
+  }
+
   test("streaming output equals the batch form restricted to closed windows") {
     val s = spark
     import s.implicits._
