@@ -122,13 +122,88 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // IVF-style ANN: coarse partitions (the `label` column stands in for
+  // k-means cell ids — at 100 TB you'd train cells offline the same way),
+  // centroid = exact integer SUM vector + count per cell (no FP until the
+  // final, deterministic dot/count scoring), probe = best cell by mean
+  // similarity, then exact top-k inside that cell only. The corpus is
+  // scanned once for centroids (tiny aggregate: cells × dim) and candidate
+  // scoring touches 1/|cells| of the data per query.
+  // ------------------------------------------------------------------
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), expr(quantizeSpark("embedding")).as("v"))
+      .withColumn("norm", longDot(col("v"), col("v")))
+    // Centroid sum vectors: posexplode → grouped sums → deterministic
+    // reassembly (array_sort on pos).
+    val cents = corpus
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("s"), count(lit(1)).as("c"))
+      .groupBy("label").agg(
+        expr("transform(array_sort(collect_list(struct(pos, s))), e -> e.s)").as("sumv"),
+        max("c").as("cnt"))
+    val queries = corpus.where(col("vec_id") < NumQueries)
+    // Probe: best cell by mean dot = dot(q, sum_c)/cnt_c (identical
+    // doubles both engines; ties break on label).
+    val probed = broadcast(queries.as("q")).join(broadcast(cents.as("ce")))
+      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
+        col("q.norm").as("qn"), col("ce.label").as("cell"),
+        (longDot(col("q.v"), col("ce.sumv")).cast("double") / col("ce.cnt")).as("score"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))))
+      .where(col("crnk") === 1)
+      .select("query_id", "qv", "qn", "cell")
+    // Exact top-k within the probed cell.
+    broadcast(probed.as("p")).join(corpus.as("c"),
+        col("p.cell") === col("c.label") && col("p.query_id") =!= col("c.vec_id"))
+      .select(col("p.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        longDot(col("p.qv"), col("c.v")).as("dot"),
+        col("p.qn").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, label, v, ${dotDuck("v", "v")} AS norm
+       |  FROM (SELECT vec_id, label, ${quantizeDuck("embedding")} AS v FROM embeddings)),
+       |cents AS (
+       |  SELECT label, list(s ORDER BY pos) AS sumv, max(c) AS cnt FROM (
+       |    SELECT label, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS c FROM (
+       |      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+       |      FROM corpus)
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |probed AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qn, ce.label AS cell,
+       |      CAST(${dotDuck("q.v", "ce.sumv")} AS DOUBLE) / ce.cnt AS score,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY CAST(${dotDuck("q.v", "ce.sumv")} AS DOUBLE) / ce.cnt DESC, ce.label) AS crnk
+       |    FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q CROSS JOIN cents ce)
+       |  WHERE crnk = 1)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("p.qv", "c.v")} AS dot,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosineDuck(dotDuck("p.qv", "c.v"), "p.qn", "c.norm")} DESC, c.vec_id) AS rnk
+       |  FROM probed p JOIN corpus c
+       |    ON p.cell = c.label AND p.query_id <> c.vec_id)
+       |WHERE rnk <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> (cosineTopK _),
     "s_lsh_bucket_stats" -> (lshBucketStats _),
-    "s_lsh_topk" -> (lshTopK _))
+    "s_lsh_topk" -> (lshTopK _),
+    "s_ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKSql,
     "s_lsh_bucket_stats" -> lshBucketStatsSql,
-    "s_lsh_topk" -> lshTopKSql)
+    "s_lsh_topk" -> lshTopKSql,
+    "s_ivf_topk" -> ivfTopKSql)
 }
