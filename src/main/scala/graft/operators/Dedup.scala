@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Parity._
+import graft.functions.TextHashOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,7 +48,7 @@ object Dedup {
   // ------------------------------------------------------------------
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(charPolyHashSpark("text")).as("fp"))
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
@@ -60,7 +61,7 @@ object Dedup {
   /** Per-source dedup accounting: rows in vs distinct texts. */
   def exactDedupStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("source"), expr(charPolyHashSpark("text")).as("fp"))
+      .select(col("source"), TextHashOps.polyHash(col("text")).as("fp"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_distinct"))
 
@@ -78,8 +79,7 @@ object Dedup {
   private def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr(hashedArraySpark(shinglesSpark(tokensSpark("text"), ShingleW))))
-          .as("sh"))
+        explode(TextHashOps.shingleHashes(col("text"), ShingleW)).as("sh"))
 
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRel(spark, sfDir)
@@ -174,7 +174,7 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr(hashedArraySpark(tokensSpark("text")))).as("h"))
+        explode(TextHashOps.tokenHashes(col("text"))).as("h"))
       .groupBy("doc_id")
       .agg(expr(simhashAggSpark("h").head), simhashAggSpark("h").tail.map(expr): _*)
       .select(col("doc_id"), expr(simhashFromCounts).as("simhash"))

@@ -139,12 +139,12 @@ object TextAnalysis {
   // fingerprint — the min-hash of the rolling window hashes).
   // ------------------------------------------------------------------
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shinglesSpark(tokensSpark("text"), 4)
+    import graft.functions.TextHashOps
+    val sh = TextHashOps.shingleHashes(col("text"), 4)
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      expr(charPolyHashSpark("text")).as("fp"),
-      expr(s"CASE WHEN size($sh) = 0 THEN CAST($P AS BIGINT) " +
-        s"ELSE array_min(${hashedArraySpark(sh)}) END").as("fp_min_shingle"))
+      TextHashOps.polyHash(col("text")).as("fp"),
+      when(size(sh) === 0, lit(P)).otherwise(array_min(sh)).as("fp_min_shingle"))
   }
 
   val fingerprintSql: String = {
