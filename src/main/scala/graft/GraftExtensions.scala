@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{LongVectorDot, PolyHash, WordShingleHashes}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * expressions as SQL functions, so they are usable from `spark.sql` /
+  * `expr` strings as well as the Column API:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)        // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  *   SELECT poly_hash(text), word_shingle_hashes(text, 3, true),
+  *          long_vector_dot(a, b) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples shared by the extension (new
+    * sessions) and [[register]] (existing sessions).
+    */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(str) - codepoint polynomial rolling hash mod 2^31-1"),
+      (args: Seq[Expression]) => PolyHash(args.head)),
+    (FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes",
+        "word_shingle_hashes(str, w, distinct) - hashes of word w-gram shingles"),
+      (args: Seq[Expression]) => WordShingleHashes(
+        args.head, intArg(args(1), "w"), boolArg(args(2), "distinct"))),
+    (FunctionIdentifier("long_vector_dot"),
+      info("long_vector_dot", "long_vector_dot(a, b) - exact BIGINT-array dot product"),
+      (args: Seq[Expression]) => LongVectorDot(args.head, args(1))))
+
+  /** Registers the graft functions into an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, inf, b) =>
+      org.apache.spark.sql.graftbridge.CatalystBridge
+        .registerFunction(spark, id, inf, b)
+    }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{Parity, TextHashOps}
+import org.apache.spark.sql.functions._
+
+/** The codegen kernels (PolyHash / WordShingleHashes) must agree exactly
+  * with the higher-order-function expression forms in functions.Parity —
+  * which are the readable spec AND the source of the DuckDB oracle SQL.
+  * Random strings include multi-space runs, empty tokens, unicode, and
+  * short docs (< w tokens).
+  */
+class KernelParitySpec extends SparkSpec {
+
+  private def randomTexts: Seq[String] = {
+    val rnd = new scala.util.Random(99)
+    val words = Seq("the", "spark", "Σπάρκ", "日本", "a", "", "naïve", "zz")
+    (0 until 60).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  ", "one", "one two", "one two three four")
+  }
+
+  test("PolyHash == HOF charPolyHash on random unicode strings") {
+    val s = spark
+    import s.implicits._
+    val df = randomTexts.toDF("text")
+    val diff = df.select(
+        TextHashOps.polyHash(col("text")).as("kernel"),
+        expr(Parity.charPolyHashSpark("text")).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("WordShingleHashes(w=3, distinct) == HOF shingle pipeline") {
+    val s = spark
+    import s.implicits._
+    val df = randomTexts.toDF("text")
+    val hof = Parity.hashedArraySpark(Parity.shinglesSpark(Parity.tokensSpark("text"), 3))
+    val diff = df.select(
+        TextHashOps.shingleHashes(col("text"), 3).as("kernel"),
+        expr(hof).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("tokenHashes (w=1, non-distinct) == HOF token-hash pipeline") {
+    val s = spark
+    import s.implicits._
+    val df = randomTexts.toDF("text")
+    val hof = Parity.hashedArraySpark(Parity.tokensSpark("text"))
+    val diff = df.select(
+        TextHashOps.tokenHashes(col("text")).as("kernel"),
+        expr(hof).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("SQL registration: poly_hash / word_shingle_hashes / long_vector_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_hash('abc') AS h,
+        |       word_shingle_hashes('a b c d', 3, true) AS sh,
+        |       long_vector_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("h") === 96354L)
+    assert(r.getAs[Seq[Long]]("sh").length === 2)
+    assert(r.getAs[Long]("d") === 32L)
+  }
+}

@@ -63,6 +63,30 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState runs on the RocksDB state store (100 TB state path)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PwEvent]
+      val query = StreamingParity.q2FlatMapGroups(input.toDS())
+        .writeStream.format("memory").queryName("q2_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch1); query.processAllAvailable()
+        input.addData(batch2); query.processAllAvailable()
+        input.addData(sentinel); query.processAllAvailable()
+        assert(s.table("q2_rocks").as[Q2Result].collect().toSet === expectedClosed)
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
