@@ -97,25 +97,6 @@ object Parity {
       (1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
   }
 
-  /** Array of NumHashes minhash values over a BIGINT-array column `hs`.
-    * Empty shingle set → sentinel P (greater than any real hash).
-    */
-  def minhashSigSpark(hs: String): String = {
-    val mins = minhashCoeffs.map { case (a, b) =>
-      s"array_min(transform($hs, x -> ($a * x + $b) % $P))"
-    }
-    s"CASE WHEN size($hs) = 0 THEN array_repeat(CAST($P AS BIGINT), $NumHashes) " +
-      s"ELSE array(${mins.mkString(", ")}) END"
-  }
-
-  def minhashSigDuck(hs: String): String = {
-    val mins = minhashCoeffs.map { case (a, b) =>
-      s"list_min(list_transform($hs, x -> ($a * x + $b) % $P))"
-    }
-    s"CASE WHEN len($hs) = 0 THEN list_transform(range($NumHashes), i -> CAST($P AS BIGINT)) " +
-      s"ELSE [${mins.mkString(", ")}] END"
-  }
-
   /** Grouped-aggregation form of the signature, for use over an exploded
     * shingle-hash column `h`: one codegen'd `min` per hash function
     * (two-phase HashAggregate — the fast path; the array-lambda form above
@@ -214,9 +195,6 @@ object Parity {
 
   def quantizeDuck(vec: String): String =
     s"list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"
-
-  def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
   def dotDuck(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"

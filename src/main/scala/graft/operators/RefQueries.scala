@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Shapes, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference engine's four query shapes (SURVEY.md §2.1), re-expressed
@@ -104,15 +103,17 @@ object RefQueries {
   // Q3b — per-window heavy-hitter detection: keys whose share of the
   // window load exceeds 0.2/m (APKGrouping.scala:94-100;
   // one-group-state/cluster/DGrouping.scala:225-240). 0.2/12 = 1/60 →
-  // integer predicate cnt*60 > total. The per-window total is a window
-  // function (one extra shuffle on ltw, already the grouping key — AQE
-  // reuses the exchange).
+  // integer predicate cnt*60 > total, no floating point in the gate.
   // --------------------------------------------------------------------
   def q3HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = zxLtw(spark, sfDir)
       .groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("total", sum("cnt").over(Window.partitionBy("ltw")))
+    // Per-window totals are |windows| rows — broadcast-join them back
+    // rather than window-functioning over the (much larger) counts
+    // relation: no re-shuffle, no sort of counts. (A window function here
+    // would re-exchange counts by ltw and sort at 100 TB scale.)
+    val totals = counts.groupBy("ltw").agg(sum("cnt").as("total"))
+    counts.join(broadcast(totals), "ltw")
       .where(col("cnt") * 60 > col("total"))
       .select("ltw", "z", "cnt")
   }
@@ -140,8 +141,9 @@ object RefQueries {
     val lambda = 0.01
     val counts = zxLtw(spark, sfDir)
       .groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
-    val withTotal = counts
-      .withColumn("total", sum("cnt").over(Window.partitionBy("ltw")))
+    // Same broadcast-totals shape as q3HeavyHitters (no window function).
+    val totals = counts.groupBy("ltw").agg(sum("cnt").as("total"))
+    val withTotal = counts.join(broadcast(totals), "ltw")
     val stats = withTotal.groupBy("ltw").agg(
       max("total").as("m_total"),
       count(lit(1)).as("k_keys"),
