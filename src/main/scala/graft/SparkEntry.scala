@@ -21,12 +21,14 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Salting.queries ++ graft.multimodal.Multimodal.queries
+      Similarity.queries ++ Salting.queries ++ Curation.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Salting.oracles ++ graft.multimodal.Multimodal.oracles
+      Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextHashOps
+import graft.functions.Parity.charPolyHashDuck
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The capstone composition: a full training-data curation pass over
+  * `documents`, chaining the pipeline operators —
+  *
+  *   1. exact dedup (keep lowest doc_id per identical text, via the
+  *      64-bit fingerprint; text itself never shuffles),
+  *   2. quality + language annotation (TextAnalysis semantics),
+  *   3. curation filter: quality_score > 0.5 AND n_tokens >= 10,
+  *   4. corpus accounting per (source, lang_pred).
+  *
+  * Aggregate outputs are counts and INTEGER sums only — never SUM over
+  * doubles, whose result depends on partial-aggregation order and would
+  * break the bit-exact oracle (the per-row score is deterministic, so
+  * filtering on it is safe; summing it is not).
+  */
+object Curation {
+
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val withFp = docs.select(col("doc_id"), col("source"), col("text"),
+      TextHashOps.polyHash(col("text")).as("fp"))
+    val keep = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = withFp.join(keep, "doc_id")
+    val toks = "split(text, ' ')"
+    val annotated = kept.select(
+        col("doc_id"), col("source"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ${inList(TextAnalysis.Stopwords)}))").as("stop_cnt"),
+        expr(s"size(array_distinct($toks))").as("n_distinct"),
+        expr(s"size(filter($toks, t -> t IN ${inList(TextAnalysis.EnMarkers)}))").as("en_cnt"),
+        expr(s"size(filter($toks, t -> t IN ${inList(TextAnalysis.EsMarkers)}))").as("es_cnt"),
+        expr(s"size(filter($toks, t -> t IN ${inList(TextAnalysis.FrMarkers)}))").as("fr_cnt"))
+      .withColumn("quality_score",
+        expr("0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)" +
+          " + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))" +
+          " + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)"))
+      .withColumn("lang_pred",
+        expr("CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en' " +
+          "WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es' " +
+          "WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END"))
+    annotated
+      .where(col("quality_score") > 0.5 && col("n_tokens") >= 10)
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("stop_cnt").as("sum_stop"))
+  }
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val corpusCurationSql: String = {
+    val toks = "string_split(text, ' ')"
+    def cnt(xs: Seq[String]) = s"len(list_filter($toks, t -> t IN ${inList(xs)}))"
+    s"""WITH fps AS (
+       |  SELECT doc_id, source, text, ${charPolyHashDuck("text")} AS fp
+       |  FROM (SELECT doc_id, source, text FROM documents)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+       |annotated AS (
+       |  SELECT f.doc_id, f.source,
+       |    len($toks) AS n_tokens,
+       |    ${cnt(TextAnalysis.Stopwords)} AS stop_cnt,
+       |    len(list_distinct($toks)) AS n_distinct,
+       |    ${cnt(TextAnalysis.EnMarkers)} AS en_cnt,
+       |    ${cnt(TextAnalysis.EsMarkers)} AS es_cnt,
+       |    ${cnt(TextAnalysis.FrMarkers)} AS fr_cnt
+       |  FROM fps f JOIN keep k ON f.doc_id = k.doc_id),
+       |scored AS (
+       |  SELECT *,
+       |    0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |      + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+       |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score,
+       |    CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
+       |         WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es'
+       |         WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+       |  FROM annotated)
+       |SELECT source, lang_pred, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(stop_cnt) AS BIGINT) AS sum_stop
+       |FROM scored
+       |WHERE quality_score > 0.5 AND n_tokens >= 10
+       |GROUP BY source, lang_pred""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_corpus_curation" -> (corpusCuration _))
+
+  val oracles: Map[String, String] = Map(
+    "p_corpus_curation" -> corpusCurationSql)
+}

@@ -5,6 +5,56 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** File-source ingestion of the shared `events` fixture as a stream — the
+  * offline stand-in for the reference's Kafka direct source (S1): the same
+  * `readStream → shape-adapt → window/aggregate` pipeline would point at
+  * `format("kafka")` in production with no downstream change.
+  */
+object EventStreams {
+  import org.apache.spark.sql.types._
+
+  /** events.parquet schema with ts as epoch-nanos Long (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, as everywhere else the
+    * fixture is read).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming `(event_time ms, port, word)` shape from the fixture dir —
+    * the streaming twin of Shapes.portWordEvents.
+    */
+  def portWordStream(spark: SparkSession, sfDir: String): DataFrame =
+    // Glob form: FileStreamSource requires a directory basePath; the glob
+    // anchors it at sfDir while matching only the events table (works
+    // whether events.parquet is a single file or a directory).
+    spark.readStream.schema(eventsSchema)
+      .parquet(s"$sfDir/events*")
+      .select(expr("ts div 1000000").as("event_time"),
+        pmod(col("user_id"), lit(3)).cast("long").as("port"),
+        col("event_type").as("word"))
+
+  /** Q2 over the file stream with day windows (Shapes.LogicTimeSlotMs) —
+    * append mode; closed windows match RefQueries.q2WindowedMinComplete.
+    */
+  def q2DayWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val slot = graft.Shapes.LogicTimeSlotMs
+    portWordStream(spark, sfDir)
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withWatermark("event_ts", "0 milliseconds")
+      .groupBy(window(col("event_ts"), s"$slot milliseconds"),
+        col("word"), col("port"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"), col("word"))
+      .agg(when(count(lit(1)) === graft.Shapes.PortsNum, min(col("cnt")))
+        .otherwise(lit(0L)).as("min_cnt"))
+      .select(col("word"),
+        expr(s"unix_millis(window.start) div $slot").as("ltw"),
+        col("min_cnt"))
+  }
+}
+
 /** Structured-Streaming parity for the reference's streaming core
   * (SURVEY.md §2.7–2.8): event-time tumbling windows, per-source
   * punctuation low-watermarks, trigger-time emission with completeness

@@ -106,6 +106,35 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over the shared events fixture matches batch q2 on closed windows") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val query = graft.streaming.EventStreams.q2DayWindowStream(s, sfDir)
+        .writeStream.format("memory").queryName("q2_file")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        query.processAllAvailable()
+        val got = s.table("q2_file").as[Q2Result].collect().toSet
+        val batch = graft.operators.RefQueries.q2WindowedMinComplete(s, sfDir)
+          .as[Q2Result].collect().toSet
+        // Closed = window end <= final watermark (= max event time).
+        val maxTs = graft.Shapes.portWordEvents(s, sfDir)
+          .agg(org.apache.spark.sql.functions.max("event_time")).head().getLong(0)
+        val closed = batch.filter(r =>
+          (r.ltw + 1) * graft.Shapes.LogicTimeSlotMs <= maxTs)
+        assert(got === closed)
+        assert(closed.nonEmpty)
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   test("streaming output equals the batch form restricted to closed windows") {
     val s = spark
     import s.implicits._
