@@ -192,13 +192,22 @@ object Dedup {
       struct(lit(i).as("band"), expr(simhashBandSpark("simhash", i)).as("bkey")))
     val banded = sh.withColumn("bb", explode(array(bandCols: _*)))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // A pair colliding in k bands appears k times out of the join; emit it
+    // only from its FIRST colliding band — a scalar predicate on the two
+    // fingerprints — instead of a DISTINCT over millions of candidate rows
+    // (removes a full shuffle of the candidate set).
+    val firstBand = (0 until SimHashBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (i, rest) =>
+        when(expr(simhashBandSpark("a.simhash", i)) === expr(simhashBandSpark("b.simhash", i)),
+          lit(i)).otherwise(rest)
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.band") === firstBand)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
       .where(col("hamming") <= MaxHamming)
-      .distinct()
   }
 
   val simhashPairsSql: String = {
