@@ -182,6 +182,25 @@ object StreamingParity {
         .otherwise(lit(0L)).as("min_cnt"))
 
   // ------------------------------------------------------------------
+  // Streaming exact dedup — the streaming arm of the dedup family
+  // (operators/Dedup): keep the first occurrence of each text fingerprint.
+  // `dropDuplicatesWithinWatermark` bounds the dedup state by event time
+  // (state for fingerprints older than the watermark is evicted), which is
+  // the only formulation that survives an unbounded 100 TB/day stream.
+  // ------------------------------------------------------------------
+
+  /** A streaming document: arrival event time + text. */
+  case class StreamDoc(event_time: Long, doc_id: Long, text: String)
+
+  def streamingDedup(docs: Dataset[StreamDoc]): DataFrame =
+    docs.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withColumn("fp", graft.functions.TextHashOps.polyHash(col("text")))
+      .withWatermark("event_ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "fp")
+
+  // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:
   // 14-37): every micro-batch the driver aggregates per-key stats, updates

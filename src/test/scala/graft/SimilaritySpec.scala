@@ -15,6 +15,17 @@ class SimilaritySpec extends SparkSpec {
     assert(df.where(VectorOps.longDot(col("a"), col("b")) === 32L).count() === 1L)
   }
 
+  test("LongVectorDot is null-safe and dots over the common prefix") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Array(1L, 2L)), Some(Array(3L, 4L, 5L))),
+      (None: Option[Array[Long]], Some(Array(1L)))).toDF("a", "b")
+    val got = df.select(VectorOps.longDot(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) === 11L)
+    assert(got(1).isNullAt(0))
+  }
+
   test("brute-force top-k ranks the aligned vector first, ties broken by id") {
     // q (vec 0) is aligned with vec 1, orthogonal to vec 2, opposed to 3.
     val dir = writeFixture(embeddings = Seq(

@@ -87,6 +87,27 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup keeps the first occurrence per fingerprint") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        StreamDoc(1000, 0, "alpha beta"), StreamDoc(2000, 1, "alpha beta"),
+        StreamDoc(3000, 2, "gamma")))
+      query.processAllAvailable()
+      input.addData(Seq(StreamDoc(4000, 3, "gamma"), StreamDoc(5000, 4, "delta")))
+      query.processAllAvailable()
+      val kept = s.table("dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
