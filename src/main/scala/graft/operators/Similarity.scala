@@ -32,6 +32,16 @@ object Similarity {
 
   import graft.functions.VectorOps.longDot
 
+  /** LSH bucket via the codegen dot kernel against literal ±1 plane
+    * vectors (same arithmetic as Parity.lshBucketSpark/Duck, no
+    * interpreted lambdas in the per-row path).
+    */
+  private def lshBucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until NumPlanes).map { j =>
+      val plane = array(planes(j).map(x => lit(x.toLong)): _*)
+      when(longDot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
@@ -79,7 +89,7 @@ object Similarity {
   // ------------------------------------------------------------------
   def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame =
     quantized(spark, sfDir)
-      .select(expr(lshBucketSpark("v")).as("bucket"))
+      .select(lshBucketCol(col("v")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
 
   val lshBucketStatsSql: String =
@@ -92,7 +102,7 @@ object Similarity {
   // ------------------------------------------------------------------
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = quantized(spark, sfDir)
-      .withColumn("bucket", expr(lshBucketSpark("v")))
+      .withColumn("bucket", lshBucketCol(col("v")))
     val queries = corpus.where(col("vec_id") < NumQueries)
     val scored = broadcast(queries.as("q")).join(corpus.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
