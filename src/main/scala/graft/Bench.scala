@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // Untimed warmup: exercises the parquet reader, codegen pipeline,
     // aggregate and join paths so the first timed query isn't charged for
     // JVM startup/JIT.

@@ -99,8 +99,8 @@ object Parity {
 
   /** Grouped-aggregation form of the signature, for use over an exploded
     * shingle-hash column `h`: one codegen'd `min` per hash function
-    * (two-phase HashAggregate — the fast path; the array-lambda form above
-    * is interpreted and ~30× slower). Docs with no shingles drop out of
+    * (two-phase HashAggregate — the fast path; an array-lambda form is
+    * interpreted and ~30× slower). Docs with no shingles drop out of
     * the grouped form on both engines identically.
     */
   def minhashAggSpark(h: String): Seq[String] =

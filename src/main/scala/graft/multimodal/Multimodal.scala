@@ -118,6 +118,35 @@ object Multimodal {
        |    ${graft.functions.Parity.charPolyHashDuck("text")} AS checksum
        |  FROM (SELECT doc_id, text FROM documents))""".stripMargin
 
+  /** Resize planning: target box fit preserving aspect ratio, integer
+    * arithmetic only (floor division, matching SQL `//`). The real
+    * pixel-resample would live beside FakeCodec.decode; the planned
+    * dimensions drive it.
+    */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxDim: Long): DataFrame =
+    decoded.toDF().select(
+      col("media_id"), col("width"), col("height"),
+      expr(s"CASE WHEN greatest(width, height) <= $maxDim THEN width " +
+        s"ELSE width * $maxDim div greatest(width, height) END").as("out_w"),
+      expr(s"CASE WHEN greatest(width, height) <= $maxDim THEN height " +
+        s"ELSE height * $maxDim div greatest(width, height) END").as("out_h"))
+
+  /** Feature extraction stub: deterministic per-file feature vector from
+    * the decode output (stands in for an embedding model call); same
+    * batched partition-iterator shape as decode.
+    */
+  case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  def extractFeatures(decoded: Dataset[DecodedMedia], dim: Int = 8): Dataset[MediaFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      // ??? real feature model goes here — deterministic fake:
+      val f = Array.tabulate(dim)(i =>
+        (((d.checksum * 31 + i) % 1000003L).toFloat) / 1000003f)
+      MediaFeatures(d.media_id, f)
+    })
+  }
+
   /** Gated query: frame-sampling fan-out (video rows, every 8th frame). */
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(decodeMedia(mediaFromDocuments(spark, sfDir)), 8)
@@ -126,11 +155,27 @@ object Multimodal {
     s"""SELECT media_id, n_frames, unnest(range(0, n_frames, 8)) AS frame_idx
        |FROM ($decodeQuerySql) WHERE kind = 'video'""".stripMargin
 
+  /** Gated query: resize plan to a 256-box over the decoded metadata. */
+  val ResizeMaxDim = 256L
+
+  def resizeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    resizePlan(decodeMedia(mediaFromDocuments(spark, sfDir)), ResizeMaxDim)
+
+  val resizeQuerySql: String =
+    s"""SELECT media_id, width, height,
+       |  CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN width
+       |       ELSE width * $ResizeMaxDim // greatest(width, height) END AS out_w,
+       |  CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN height
+       |       ELSE height * $ResizeMaxDim // greatest(width, height) END AS out_h
+       |FROM ($decodeQuerySql)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_media" -> (decodeQuery _),
-    "m_frame_sample" -> (frameSampleQuery _))
+    "m_frame_sample" -> (frameSampleQuery _),
+    "m_resize_plan" -> (resizeQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_decode_media" -> decodeQuerySql,
-    "m_frame_sample" -> frameSampleQuerySql)
+    "m_frame_sample" -> frameSampleQuerySql,
+    "m_resize_plan" -> resizeQuerySql)
 }
