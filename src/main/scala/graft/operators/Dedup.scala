@@ -114,6 +114,75 @@ object Dedup {
        |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
 
   // ------------------------------------------------------------------
+  // Prefix-filtered Jaccard at a production threshold (J > 1/2) — the
+  // EXACT scale path for near-dup joins (AllPairs/PPJoin prefix lemma):
+  // order every doc's shingles by ascending global document frequency
+  // (ties by hash — fully deterministic); if J(A,B) ≥ t the two docs must
+  // share a shingle within their first |X| − ⌈t·|X|⌉ + 1 shingles, so only
+  // prefixes are self-joined (at t = 1/2 that indexes ~half the shingles,
+  // and the rare-first ordering makes prefix buckets tiny — the df² blowup
+  // of the full inverted index disappears). Candidates are then verified
+  // with the exact inter/union counts. Output contract matches
+  // jaccardPairs restricted to inter·2 > uni (asserted by DedupSpec).
+  // ------------------------------------------------------------------
+  val PrefixJaccNum = 1L
+  val PrefixJaccDen = 2L
+
+  def jaccardPrefixPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRel(spark, sfDir)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      // ⌈n/2⌉ = (n+1) div 2; prefix length = n − ⌈t·n⌉ + 1 at t = 1/2.
+      .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select("doc_id", "sh")
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = cands
+      .join(sh.as("x"), col("x.doc_id") === col("id_a"))
+      .join(sh.as("y"),
+        col("y.doc_id") === col("id_b") && col("y.sh") === col("x.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  val jaccardPrefixPairsSql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT s.doc_id, s.sh,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn,
+       |    z.n
+       |  FROM sh s JOIN dfreq d ON s.sh = d.sh JOIN sizes z ON s.doc_id = z.doc_id),
+       |prefix AS (SELECT doc_id, sh FROM ranked WHERE rn <= n - (n + 1) // 2 + 1),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter * $PrefixJaccDen > (sa.n + sb.n - inter) * $PrefixJaccNum""".stripMargin
+
+  // ------------------------------------------------------------------
   // MinHash signatures + LSH candidate pairs. Candidates = distinct
   // (a, b) sharing ≥ 1 of 8 band keys; sig_matches/32 estimates J.
   //
@@ -254,6 +323,7 @@ object Dedup {
     "d_exact_dedup" -> (exactDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
     "d_simhash" -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
@@ -263,6 +333,7 @@ object Dedup {
     "d_exact_dedup" -> exactDedupSql,
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_jaccard_prefix_pairs" -> jaccardPrefixPairsSql,
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,
     "d_simhash" -> simhashSql,
     "d_simhash_pairs" -> simhashPairsSql,

@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix-filtered jaccard equals brute force at its threshold") {
+    val dir = fixture()
+    val brute = Dedup.jaccardPairs(spark, dir).collect()
+      .filter(r => r.getAs[Long]("inter") * Dedup.PrefixJaccDen >
+        r.getAs[Long]("uni") * Dedup.PrefixJaccNum)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    val prefix = Dedup.jaccardPrefixPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(prefix === brute)
+    assert(prefix.nonEmpty)
+  }
+
   test("minhash LSH: identical docs match on all signature positions") {
     val dir = fixture()
     val got = Dedup.minhashLshPairs(spark, dir).collect()
