@@ -21,7 +21,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Salting.queries ++ Curation.queries ++
+      Similarity.queries ++ Salting.queries ++ Curation.queries ++ Analytics.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++
+      Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++ Analytics.oracles ++
       graft.multimodal.Multimodal.oracles
 }

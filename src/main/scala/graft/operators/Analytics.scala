@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic warehouse-analytics queries over the TPC-H-ish star schema —
+  * capabilities a user migrating off the reference would run next to the
+  * stream queries (scan → filter → join → multi-measure agg → top-n).
+  *
+  * Exactness rule: money columns are DOUBLE in the fixtures; summing
+  * doubles is partial-aggregation-order dependent, so every summed
+  * measure is first cast to DECIMAL(18,2) — decimal addition is exact and
+  * associative, so Spark's partial/final split and DuckDB's single-pass
+  * sum agree bit-for-bit. The final outputs are cast back to DOUBLE
+  * (exact → nearest double is deterministic) because the gate reads
+  * Spark parquet decimals and DuckDB decimals through different Python
+  * dtypes and would flag equal values as mismatched.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) —
+    * quantity/price/discounted sums and row count.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        // Keep the full scale-4 product exact — rounding each row to 2
+        // decimals hits exact .xx50 halves where engine rounding modes
+        // differ; the exact sum is cast once, to double, with no rounding.
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("disc_price"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").cast("decimal(18,2)").cast("double").as("sum_qty"),
+        sum("price").cast("decimal(18,2)").cast("double").as("sum_price"),
+        sum("disc_price").cast("decimal(28,4)").cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-5 customers by exact (decimal) order revenue per market segment —
+    * join + grouped agg + deterministic windowed top-n (ties broken by
+    * customer key). The join side is the dimension (broadcast); top-n via
+    * rank runs on the grouped (small) relation.
+    */
+  val TopN = 5L
+
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val revenue = o.groupBy("o_custkey")
+      .agg(sum("price").cast("decimal(18,2)").as("revenue_dec"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    revenue
+      // Rank on the exact decimal; expose the value as double (the gate
+      // reads Spark decimals and DuckDB decimals through different dtypes).
+      .withColumn("revenue", col("revenue_dec").cast("double"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("c_mktsegment")
+          .orderBy(col("revenue_dec").desc, col("c_custkey"))))
+      .where(col("rnk") <= TopN)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
+        col("revenue"), col("n_orders"))
+  }
+
+  val topCustomersSql: String =
+    s"""SELECT c_mktsegment, rnk, c_custkey, revenue, n_orders FROM (
+       |  SELECT c.c_mktsegment, c.c_custkey,
+       |    CAST(r.revenue_dec AS DOUBLE) AS revenue, r.n_orders,
+       |    row_number() OVER (PARTITION BY c.c_mktsegment
+       |      ORDER BY r.revenue_dec DESC, c.c_custkey) AS rnk
+       |  FROM (
+       |    SELECT o_custkey,
+       |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_dec,
+       |      count(*) AS n_orders
+       |    FROM orders GROUP BY o_custkey) r
+       |  JOIN customer c ON r.o_custkey = c.c_custkey)
+       |WHERE rnk <= $TopN""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ANN evaluation: per-query recall of the LSH top-k against the
+  // brute-force top-k (integer hit counts — the measurement a pipeline
+  // runs before trusting the approximate path at scale).
+  // ------------------------------------------------------------------
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Similarity.cosineTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(spark, sfDir)
+      .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
+    exact.join(approx,
+        col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a_neighbor").isNotNull, 1L).otherwise(0L)).as("hits"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH exact AS (${Similarity.cosineTopKSql}),
+       |approx AS (${Similarity.lshTopKSql})
+       |SELECT e.query_id, count(*) AS k,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_pricing_summary" -> (pricingSummary _),
+    "a_top_customers" -> (topCustomers _),
+    "s_lsh_recall" -> (lshRecall _))
+
+  val oracles: Map[String, String] = Map(
+    "a_pricing_summary" -> pricingSummarySql,
+    "a_top_customers" -> topCustomersSql,
+    "s_lsh_recall" -> lshRecallSql)
+}
