@@ -133,6 +133,53 @@ object Similarity {
        |WHERE rnk <= $TopK""".stripMargin
 
   // ------------------------------------------------------------------
+  // Multiprobe LSH top-k: probe the query's bucket plus the 8 buckets at
+  // Hamming distance 1 in plane space (flip one sign bit). Probing costs
+  // 9 equi-join keys per query instead of a wider corpus scan — the
+  // standard recall/latency dial for sign-LSH; candidates stay
+  // ~9/256 of the corpus per query.
+  // ------------------------------------------------------------------
+  def lshMultiprobeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+      .withColumn("bucket", lshBucketCol(col("v")))
+    val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
+    val queries = corpus.where(col("vec_id") < NumQueries)
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    val scored = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.pbucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val lshMultiprobeTopKSql: String = {
+    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, v, norm, ${lshBucketDuck("v")} AS bucket FROM ($quantizedSql)),
+       |probes AS (
+       |  SELECT vec_id, v, norm, CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
+       |  FROM (SELECT *, unnest($offsets) AS probe FROM corpus WHERE vec_id < $NumQueries)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} AS cos
+       |  FROM probes q JOIN corpus c
+       |    ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // IVF-style ANN: coarse partitions (the `label` column stands in for
   // k-means cell ids — at 100 TB you'd train cells offline the same way),
   // centroid = exact integer SUM vector + count per cell (no FP until the
@@ -209,11 +256,13 @@ object Similarity {
     "s_cosine_topk" -> (cosineTopK _),
     "s_lsh_bucket_stats" -> (lshBucketStats _),
     "s_lsh_topk" -> (lshTopK _),
+    "s_lsh_multiprobe_topk" -> (lshMultiprobeTopK _),
     "s_ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKSql,
     "s_lsh_bucket_stats" -> lshBucketStatsSql,
     "s_lsh_topk" -> lshTopKSql,
+    "s_lsh_multiprobe_topk" -> lshMultiprobeTopKSql,
     "s_ivf_topk" -> ivfTopKSql)
 }
