@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (vec_id, embedding FLOAT[64], label) — SURVEY.md Phase 4 extension.
   *
-  * Two paths:
+  * Four paths:
   *   - Brute-force cosine top-k: the exactness baseline. Query set ⨯
   *     corpus; at cluster scale the query side is the small relation and
   *     is broadcast, so the corpus never shuffles — the scan is
   *     embarrassingly parallel and the per-partition top-k is collapsed by
   *     the rank filter.
-  *   - Random-hyperplane LSH buckets: the scale path. Each vector maps to
-  *     an 8-bit sign pattern over fixed ±1 planes; candidates are
-  *     restricted to the query's bucket (expected 1/256 of the corpus per
-  *     probe — multiprobe would widen recall).
+  *   - Random-hyperplane LSH buckets: each vector maps to an 8-bit sign
+  *     pattern over fixed ±1 planes; candidates are restricted to the
+  *     query's bucket (expected 1/256 of the corpus per probe).
+  *   - Multiprobe LSH: bucket + 8 single-bit-flip probes (recall dial).
+  *   - IVF: coarse cells with exact-integer centroid sums, probe the best
+  *     cell, exact top-k inside it (see ivfTopK).
   *
   * All similarity math is the exact-integer quantized dot product
   * (functions.Parity): ranking and thresholds are bit-identical between
