@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  private val docsSql = "SELECT doc_id, text FROM documents"
+
   def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val withFp = docs.select(col("doc_id"), col("source"), col("text"),
@@ -90,9 +92,85 @@ object Curation {
        |GROUP BY source, lang_pred""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Vocabulary statistics: global term frequency and document frequency —
+  // the vocab-building pass of a tokenizer pipeline. One explode + one
+  // two-phase agg; at 100 TB the shuffle carries (token, partial counts).
+  // ------------------------------------------------------------------
+  def vocabFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+
+  val vocabFreqSql: String =
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM (SELECT doc_id, text FROM documents))
+      |GROUP BY token""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic train/val/test split: assignment from the content
+  // fingerprint (NOT the doc_id), so exact duplicates always land in the
+  // same split and re-ingestion is stable — the property that prevents
+  // train/val leakage through duplicates.
+  // ------------------------------------------------------------------
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
+      .withColumn("bucket", pmod(col("fp"), lit(100L)))
+      .withColumn("split",
+        expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+      .select("doc_id", "fp", "bucket", "split")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, fp, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, fp, fp % 100 AS bucket
+       |      FROM (SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql)))""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Benchmark-contamination detection: training docs sharing any word-
+  // 3-gram shingle with the held-out set (here: doc_id < 10 stands in for
+  // the benchmark). The eval shingle set is tiny → broadcast; the corpus
+  // scan is one pass, no corpus self-join.
+  // ------------------------------------------------------------------
+  val EvalSetMax = 10L
+
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextHashOps.shingleHashes(col("text"), Dedup.ShingleW)).as("sh"))
+    val evalSh = sh.where(col("doc_id") < EvalSetMax)
+      .select(col("sh").as("eval_sh")).distinct()
+    sh.where(col("doc_id") >= EvalSetMax)
+      .join(broadcast(evalSh), col("sh") === col("eval_sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
+  val contaminationSql: String = {
+    val shSql =
+      s"""SELECT doc_id, unnest(${graft.functions.Parity.hashedArrayDuck(
+        graft.functions.Parity.shinglesDuck(graft.functions.Parity.tokensDuck("text"), Dedup.ShingleW))}) AS sh
+         |FROM ($docsSql)""".stripMargin
+    s"""WITH sh AS ($shSql),
+       |ev AS (SELECT DISTINCT sh AS eval_sh FROM sh WHERE doc_id < $EvalSetMax)
+       |SELECT s.doc_id, count(*) AS shared_shingles
+       |FROM sh s JOIN ev ON s.sh = ev.eval_sh
+       |WHERE s.doc_id >= $EvalSetMax
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_corpus_curation" -> (corpusCuration _))
+    "p_corpus_curation" -> (corpusCuration _),
+    "p_vocab_freq" -> (vocabFreq _),
+    "p_split_assign" -> (splitAssign _),
+    "p_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
-    "p_corpus_curation" -> corpusCurationSql)
+    "p_corpus_curation" -> corpusCurationSql,
+    "p_vocab_freq" -> vocabFreqSql,
+    "p_split_assign" -> splitAssignSql,
+    "p_contamination" -> contaminationSql)
 }
