@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Curation, Similarity}
+
+class CurationSpec extends SparkSpec {
+
+  test("split assignment is identical for identical texts (dup-stable)") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "one two three four five six seven eight nine ten"),
+      doc(7, "one two three four five six seven eight nine ten"), // dup
+      doc(3, "something else entirely here today")))
+    val got = Curation.splitAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fp"), r.getAs[String]("split"))).toMap
+    assert(got(0L) === got(7L))
+    assert(Set("train", "val", "test").contains(got(3L)._2))
+  }
+
+  test("contamination flags only docs sharing shingles with the eval set") {
+    // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "alpha beta gamma delta epsilon"),
+      doc(11, "prefix words alpha beta gamma suffix"),
+      doc(12, "completely different tokens everywhere now")))
+    val got = Curation.contamination(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_shingles")).toMap
+    assert(got.contains(11L) && got(11L) >= 1L)
+    assert(!got.contains(12L))
+  }
+
+  test("vocab frequency counts tf with multiplicity and df per doc") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "cat cat dog"), doc(1, "cat bird")))
+    val got = operators.Curation.vocabFreq(spark, dir).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    assert(got("cat") === (3L, 2L))
+    assert(got("dog") === (1L, 1L))
+    assert(got("bird") === (1L, 1L))
+  }
+
+  test("IVF probes the query's own cluster when cells are separated") {
+    // Cell 0: vectors near +e1; cell 1: vectors near -e1. Query 0 sits in
+    // cell 0 — its neighbors must come from cell 0 only.
+    def v(sign: Float, jitter: Float) =
+      Array.tabulate(8)(i => if (i == 0) sign else jitter * (i - 4))
+    val dir = writeFixture(embeddings = Seq(
+      EmbRow(0, v(1f, 0.01f), 0), EmbRow(1, v(1f, 0.02f), 0),
+      EmbRow(2, v(1f, -0.01f), 0),
+      EmbRow(3, v(-1f, 0.01f), 1), EmbRow(4, v(-1f, 0.02f), 1)))
+    val got = Similarity.ivfTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got === Set(1L, 2L))
+  }
+}
