@@ -55,6 +55,23 @@ class KernelParitySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("codegen LSH bucket == HOF lshBucketSpark on random vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)(Array.fill(Parity.EmbeddingDim)(rnd.nextLong(2000001L) - 1000000L))
+      .toDF("v")
+    val kernelBucket = (0 until Parity.NumPlanes).map { j =>
+      val plane = array(Parity.planes(j).map(x => lit(x.toLong)): _*)
+      when(graft.functions.VectorOps.longDot(col("v"), plane) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val diff = df.select(kernelBucket.as("kernel"),
+        expr(Parity.lshBucketSpark("v")).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("SQL registration: poly_hash / word_shingle_hashes / long_vector_dot") {
     GraftExtensions.register(spark)
     val r = spark.sql(
