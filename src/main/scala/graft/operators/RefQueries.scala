@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
 object RefQueries {
 
   private val slot = Shapes.LogicTimeSlotMs // 86400000 (1 day)
-  private val M = 12 // reference mapper parallelism, stream.json:6
 
   /** DuckDB-side adapters matching Shapes.portWordEvents / zxEvents. */
   private val pwSql =

@@ -104,7 +104,6 @@ class DedupSpec extends SparkSpec {
   test("fingerprint equals the reference polynomial hash") {
     val text = "abc"
     val dir = writeFixture(documents = Seq(doc(0, text)))
-    val fp = Dedup.exactDedup(spark, dir) // touch plan
     val got = TextAnalysis.fingerprint(spark, dir).collect().head
     val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c) % 2147483647L)
     assert(got.getAs[Long]("fp") === expected)
