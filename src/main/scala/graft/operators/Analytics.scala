@@ -95,6 +95,34 @@ object Analytics {
        |WHERE rnk <= $TopN""".stripMargin
 
   // ------------------------------------------------------------------
+  // Rollup reporting: order counts by (segment, priority) with subtotal
+  // and grand-total rows — GROUPING SETS capability. Rollup NULLs are
+  // coalesced to 'ALL' on both engines so the gate never compares NULL
+  // ordering semantics.
+  // ------------------------------------------------------------------
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    // SQL front door (spark.sql over parquet file paths): the Dataset
+    // rollup API trips Spark's ambiguous-self-join detection on the
+    // re-tagged grouping attributes; the SQL path resolves cleanly and
+    // demonstrates the engine's plain-SQL entry point.
+    Tables.load(spark, sfDir, "orders") // ensures nanosAsLong-style confs
+    spark.sql(
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+         |       coalesce(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS n_orders
+         |FROM parquet.`$sfDir/orders.parquet` o
+         |JOIN parquet.`$sfDir/customer.parquet` c ON o.o_custkey = c.c_custkey
+         |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)""".stripMargin)
+  }
+
+  val revenueRollupSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)""".stripMargin
+
+  // ------------------------------------------------------------------
   // ANN evaluation: per-query recall of the LSH top-k against the
   // brute-force top-k (integer hit counts — the measurement a pipeline
   // runs before trusting the approximate path at scale).
@@ -124,10 +152,12 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_pricing_summary" -> (pricingSummary _),
     "a_top_customers" -> (topCustomers _),
+    "a_revenue_rollup" -> (revenueRollup _),
     "s_lsh_recall" -> (lshRecall _))
 
   val oracles: Map[String, String] = Map(
     "a_pricing_summary" -> pricingSummarySql,
     "a_top_customers" -> topCustomersSql,
+    "a_revenue_rollup" -> revenueRollupSql,
     "s_lsh_recall" -> lshRecallSql)
 }
