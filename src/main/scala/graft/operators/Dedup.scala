@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *     standard inverted-index build and shuffles linearly in corpus size.
   *   - MinHash-LSH reduces the candidate join to 8 band-key buckets per
   *     doc (32 hashes, 8 bands × 4 rows): the join key space is tiny and
-  *     uniform, the signature computation is a narrow codegen'd map.
-  *   - SimHash bands by fingerprint byte: near-Hamming pairs must collide
-  *     on ≥1 of 4 bytes (pigeonhole, d ≤ 3).
+  *     uniform; signatures come from codegen'd grouped aggregates.
+  *   - SimHash (60-bit) bands by 15-bit slice: near-Hamming pairs must
+  *     collide on ≥1 of 4 bands (pigeonhole, d ≤ 3); pairs are emitted
+  *     from their first colliding band (no DISTINCT shuffle).
   *   - All pair predicates are exact integer comparisons (10·inter > union
   *     etc.) — no FP in the gate.
   */
