@@ -149,15 +149,70 @@ object Analytics {
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Time-series similarity over the event stream (cf. "Time Series
+  // Similarity Search for Streaming Data in Distributed Systems", EDBT
+  // 2019 — PAPERS.md): each key z gets a daily-count profile vector;
+  // pairwise profile similarity via the exact-integer dot/cosine
+  // machinery. Key space is small (grouped relation), so the pairwise
+  // stage is trivially broadcastable; the heavy part — building profiles
+  // — is one two-phase aggregation over the stream.
+  // ------------------------------------------------------------------
+  def timeseriesSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.longDot
+    import graft.Shapes
+    val counts = Shapes.withLtw(Shapes.zxEvents(spark, sfDir), Shapes.LogicTimeSlotMs)
+      .groupBy("z", "ltw").agg(count(lit(1)).as("cnt"))
+    // Dense day-aligned profiles over the global [lo, hi] day range —
+    // missing days are explicit zeros so vector positions line up.
+    val bounds = counts.agg(min("ltw").as("lo"), max("ltw").as("hi"))
+    val profiles = counts
+      .groupBy("z")
+      .agg(map_from_entries(collect_list(struct(col("ltw"), col("cnt")))).as("m"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("profile",
+        expr("transform(sequence(lo, hi), d -> coalesce(element_at(m, d), 0L))"))
+      .withColumn("norm", longDot(col("profile"), col("profile")))
+    profiles.as("a").join(profiles.as("b"), col("a.z") < col("b.z"))
+      .select(col("a.z").as("z_a"), col("b.z").as("z_b"),
+        longDot(col("a.profile"), col("b.profile")).as("dot"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+  }
+
+  val timeseriesSimilaritySql: String =
+    s"""WITH counts AS (
+       |  SELECT event_type AS z, epoch_ms(ts) // ${graft.Shapes.LogicTimeSlotMs} AS ltw,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(ltw) AS lo, max(ltw) AS hi FROM counts),
+       |profiles AS (
+       |  SELECT z,
+       |    list_transform(range(lo, hi + 1),
+       |      d -> CAST(coalesce(vals[list_position(ltws, d)], 0) AS BIGINT)) AS profile
+       |  FROM (SELECT z, list(ltw ORDER BY ltw) AS ltws, list(cnt ORDER BY ltw) AS vals
+       |        FROM counts GROUP BY z) CROSS JOIN bounds),
+       |np AS (
+       |  SELECT z, profile,
+       |    CAST(list_sum(list_transform(range(1, len(profile) + 1),
+       |      i -> profile[i] * profile[i])) AS BIGINT) AS norm
+       |  FROM profiles)
+       |SELECT a.z AS z_a, b.z AS z_b,
+       |  CAST(list_sum(list_transform(range(1, len(a.profile) + 1),
+       |    i -> a.profile[i] * b.profile[i])) AS BIGINT) AS dot,
+       |  a.norm AS na, b.norm AS nb
+       |FROM np a JOIN np b ON a.z < b.z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_pricing_summary" -> (pricingSummary _),
     "a_top_customers" -> (topCustomers _),
     "a_revenue_rollup" -> (revenueRollup _),
+    "a_timeseries_similarity" -> (timeseriesSimilarity _),
     "s_lsh_recall" -> (lshRecall _))
 
   val oracles: Map[String, String] = Map(
     "a_pricing_summary" -> pricingSummarySql,
     "a_top_customers" -> topCustomersSql,
     "a_revenue_rollup" -> revenueRollupSql,
+    "a_timeseries_similarity" -> timeseriesSimilaritySql,
     "s_lsh_recall" -> lshRecallSql)
 }
