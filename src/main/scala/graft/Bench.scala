@@ -24,7 +24,12 @@ object Bench {
     // Fixed name order so per-query numbers are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() forces full evaluation of every operator in the
+      // plan; a bare Dataset.count() would let Catalyst collapse pure
+      // projections into a metadata-only row count and under-report the
+      // map-only queries.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
