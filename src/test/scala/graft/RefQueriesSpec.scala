@@ -90,6 +90,36 @@ class RefQueriesSpec extends SparkSpec {
       rows(RefQueries.q3WindowedCount(spark, dir)))
   }
 
+  test("J3 co-group formulation agrees with the groupBy min-count plan") {
+    // SURVEY §2.5 J3: the reference's "join" is an n-way co-group on the
+    // word key. KeyValueGroupedDataset.cogroup is the typed API for that
+    // shape; its result must equal the declarative two-level groupBy (q1).
+    val s = spark
+    import s.implicits._
+    val dir = writeFixture(events = Seq(
+      event(0, 1000, 0, "A"), event(1, 2000, 0, "A"), event(2, 3000, 1, "A"),
+      event(3, 4000, 2, "B"), event(4, 5000, 2, "B")))
+    val pw = Shapes.portWordEvents(s, dir).select("word", "port")
+      .as[(String, Long)]
+    val byPort = (p: Long) => pw.filter(_._2 == p).groupByKey(_._1)
+    // co-group ports 0 and 1 on word; per-word min of the two counts
+    // (restricted to words present on both ports, like an inner co-group).
+    val cg = byPort(0).cogroup(byPort(1)) { (word, it0, it1) =>
+      val (n0, n1) = (it0.size.toLong, it1.size.toLong)
+      if (n0 > 0 && n1 > 0) Iterator.single((word, math.min(n0, n1)))
+      else Iterator.empty
+    }.collect().toSet
+    val viaGroupBy = pw.toDF("word", "port").where("port IN (0, 1)")
+      .groupBy("word", "port").count()
+      .groupBy("word").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("count").as("m"))
+      .where("n = 2").select("word", "m")
+      .as[(String, Long)].collect().toSet
+    assert(cg === viaGroupBy)
+    assert(cg === Set(("A", 1L)))
+  }
+
   test("q3 skew stats: p1 and strategy come out exact on a known window") {
     // Window 0: key X×8, key Y×2 → M=10, K=2, p1=0.8.
     val evs = (0 until 8).map(i => event(i.toLong, 10 + i, 0, "X")) ++
