@@ -62,9 +62,61 @@ case class LongVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `quantize_vector(vec)`: ARRAY<FLOAT> → ARRAY<BIGINT> by
+  * floor(double(x) · scale) — the Parity quantization as a single codegen
+  * loop instead of an interpreted `transform` lambda. At corpus scale the
+  * per-row quantize IS the embedding scan cost, so it must stay fused.
+  * Semantics identical to Parity.quantizeSpark/quantizeDuck (float→double
+  * widening exact, floor exact). Elements assumed non-null.
+  */
+case class FloatVectorQuantize(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "quantize_vector"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (long) java.lang.Math.floor(((double) $x.getFloat($i)) * ${scale}L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVectorQuantize =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Column API for [[LongVectorDot]]. */
   def longDot(a: Column, b: Column): Column =
     CatalystBridge.column(LongVectorDot(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Column API for [[FloatVectorQuantize]] (Parity.QScale default). */
+  def quantize(v: Column, scale: Long = Parity.QScale): Column =
+    CatalystBridge.column(FloatVectorQuantize(CatalystBridge.expression(v), scale))
 }

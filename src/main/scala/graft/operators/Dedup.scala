@@ -302,7 +302,7 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.longDot
     val q = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
+      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("norm", longDot(col("v"), col("v")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -46,7 +46,7 @@ object Similarity {
 
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), expr(quantizeSpark("embedding")).as("v"))
+      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("norm", longDot(col("v"), col("v")))
 
   private val quantizedSql: String =
@@ -192,7 +192,7 @@ object Similarity {
   // ------------------------------------------------------------------
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), expr(quantizeSpark("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("norm", longDot(col("v"), col("v")))
     // Centroid sum vectors: posexplode → grouped sums → deterministic
     // reassembly (array_sort on pos).

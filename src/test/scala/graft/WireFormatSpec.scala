@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.WireFormat
+import org.apache.spark.sql.functions._
+
+class WireFormatSpec extends SparkSpec {
+
+  test("port-word wire parsing: `;`-joined records, reference format") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq("1001 0 A;1002 1 A;1003 0 B", "2004 2 A;").toDS()
+    val got = rows(WireFormat.parsePortWord(raw))
+    assert(got === Set(
+      Seq(1001L, 0, "A"), Seq(1002L, 1, "A"), Seq(1003L, 0, "B"),
+      Seq(2004L, 2, "A")))
+  }
+
+  test("keyed zx wire parsing: relation id from the message key") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(("0", "1001 AAA 999;1002 BBB 5"), ("2", "1003 AAA 3")).toDS()
+    val got = rows(WireFormat.parseKeyedZx(raw))
+    assert(got === Set(
+      Seq(1001L, 0, "AAA", 999L), Seq(1002L, 0, "BBB", 5L),
+      Seq(1003L, 2, "AAA", 3L)))
+  }
+
+  test("wire-parsed stream feeds q1 semantics end to end") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq("1 0 A;2 0 A;3 1 A;4 2 B").toDS()
+    val got = WireFormat.parsePortWord(raw)
+      .groupBy("word", "port").agg(count(lit(1)).as("cnt"))
+      .groupBy("word").agg(min("cnt").as("min_cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 1L, "B" -> 1L))
+  }
+
+  test("codegen quantize == interpreted transform quantize") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(40)(Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)).toDF("v")
+    val diff = df.select(
+        graft.functions.VectorOps.quantize(col("v")).as("kernel"),
+        expr(graft.functions.Parity.quantizeSpark("v")).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+}
