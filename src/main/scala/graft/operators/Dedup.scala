@@ -145,6 +145,14 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      // AllPairs length filter (exact): J(A,B) > 1/2 requires
+      // |A| > |B|/2 and |B| > |A|/2 — drop size-mismatched candidates
+      // before the expensive intersection join.
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "la"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "lb"), "id_b")
+      .where(col("la") * PrefixJaccDen > col("lb") * PrefixJaccNum &&
+        col("lb") * PrefixJaccDen > col("la") * PrefixJaccNum)
+      .select("id_a", "id_b")
     val inter = cands
       .join(sh.as("x"), col("x.doc_id") === col("id_a"))
       .join(sh.as("y"),

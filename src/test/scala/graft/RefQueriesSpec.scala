@@ -10,6 +10,10 @@ class RefQueriesSpec extends SparkSpec {
 
   private val Day = Shapes.LogicTimeSlotMs
 
+  test("driver flagship entry returns rows on the sf0.001 fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q1: min count per word over ports") {
     // word A: port0×2, port1×1 → min 1; word B: port2×3 → min 3.
     val dir = writeFixture(events = Seq(
