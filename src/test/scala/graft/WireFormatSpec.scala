@@ -36,6 +36,33 @@ class WireFormatSpec extends SparkSpec {
     assert(got === Map("A" -> 1L, "B" -> 1L))
   }
 
+  test("raw wire stream → parse → windowed Q2: the reference pipeline end to end") {
+    import graft.streaming.StreamingParity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[String]
+    val parsed = WireFormat.parsePortWord(input.toDS())
+      .as[StreamingParity.PwEvent]
+    val query = StreamingParity.q2WindowedAgg(parsed)
+      .writeStream.format("memory").queryName("q2_wire")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window 0 complete for A (ports 0,1,2), incomplete for B; sentinel
+      // closes it.
+      input.addData("10 0 A;20 0 A;30 1 A;40 2 A;50 0 B;60 1 B")
+      query.processAllAvailable()
+      input.addData("10500 0 SENTINEL")
+      query.processAllAvailable()
+      val got = s.table("q2_wire").as[StreamingParity.Q2Result].collect().toSet
+      assert(got === Set(
+        StreamingParity.Q2Result("A", 0L, 1L),
+        StreamingParity.Q2Result("B", 0L, 0L)))
+    } finally query.stop()
+  }
+
   test("codegen quantize == interpreted transform quantize") {
     val s = spark
     import s.implicits._
