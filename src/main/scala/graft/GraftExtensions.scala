@@ -44,13 +44,16 @@ object GraftExtensions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("poly_hash"),
-      info("poly_hash", "poly_hash(str) - codepoint polynomial rolling hash mod 2^31-1"),
+      info("poly_hash",
+        "poly_hash(str) - 62-bit codepoint fingerprint: two rolling hashes packed hi/lo"),
       (args: Seq[Expression]) => PolyHash(args.head)),
     (FunctionIdentifier("word_shingle_hashes"),
       info("word_shingle_hashes",
-        "word_shingle_hashes(str, w, distinct) - hashes of word w-gram shingles"),
+        "word_shingle_hashes(str, w, distinct[, wide]) - hashes of word w-gram shingles " +
+          "(wide=true: 62-bit two-hash pack)"),
       (args: Seq[Expression]) => WordShingleHashes(
-        args.head, intArg(args(1), "w"), boolArg(args(2), "distinct"))),
+        args.head, intArg(args(1), "w"), boolArg(args(2), "distinct"),
+        if (args.length > 3) boolArg(args(3), "wide") else false)),
     (FunctionIdentifier("long_vector_dot"),
       info("long_vector_dot", "long_vector_dot(a, b) - exact BIGINT-array dot product"),
       (args: Seq[Expression]) => LongVectorDot(args.head, args(1))))

@@ -36,19 +36,45 @@ object Parity {
     */
   val P: Long = 2147483647L
 
-  // ------------------------------------------------------------------
-  // Character-level polynomial rolling hash: h = Σ c_i · 31^(n-i) mod P.
-  // The base primitive for token hashes, shingle hashes, and document
-  // fingerprints.
-  // ------------------------------------------------------------------
-  def charPolyHashSpark(col: String): String =
-    s"aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"0L, (acc, x) -> (acc * 31 + x) % $P)"
+  /** Second, independent modulus (prime < 2^31) and base for the 62-bit
+    * two-hash fingerprint: fp = hashA·2^31 + hashB with hashA mod P (base
+    * 31) and hashB mod P2 (base 37). A collision needs BOTH residues to
+    * collide — birthday bound ~2^31 documents instead of ~2^15.5, vs the
+    * single 31-bit hash that silently merged distinct documents from ~50 k
+    * docs (exact dedup / split assignment / curation all group on it).
+    */
+  val P2: Long = 2147483629L
+  val Base2: Long = 37L
 
-  def charPolyHashDuck(col: String): String =
+  /** 2^31 — hi/lo packing multiplier; fp < 2^62 stays a positive BIGINT. */
+  val Pack: Long = 2147483648L
+
+  // ------------------------------------------------------------------
+  // Character-level polynomial rolling hashes folded into the 62-bit
+  // fingerprint: hashA = Σ c_i·31^(n-i) mod P, hashB = Σ c_i·37^(n-i)
+  // mod P2, fp = hashA·2^31 + hashB. The base primitive for token hashes
+  // and document fingerprints.
+  // ------------------------------------------------------------------
+  private def polyAccSpark(col: String, base: Long, p: Long): String =
+    s"aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"0L, (acc, x) -> (acc * $base + x) % $p)"
+
+  private def polyAccDuck(col: String, base: Long, p: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($col, ''), c -> CAST(unicode(c) AS BIGINT))), " +
-      s"(acc, x) -> (acc * 31 + x) % $P)"
+      s"(acc, x) -> (acc * $base + x) % $p)"
+
+  def charPolyHashSpark(col: String): String =
+    s"(${polyAccSpark(col, 31L, P)} * $Pack + ${polyAccSpark(col, Base2, P2)})"
+
+  def charPolyHashDuck(col: String): String =
+    s"(${polyAccDuck(col, 31L, P)} * $Pack + ${polyAccDuck(col, Base2, P2)})"
+
+  /** The single 31-bit rolling hash — NOT a dedup fingerprint. Kept for
+    * consumers whose contract is a bounded checksum (the multimodal stub
+    * codec's byte loop), where collision resistance is irrelevant.
+    */
+  def charPolyHash31Duck(col: String): String = polyAccDuck(col, 31L, P)
 
   // ------------------------------------------------------------------
   // Tokenization + w-shingles (word n-grams joined by a space).
@@ -70,7 +96,13 @@ object Parity {
       s"range(0, len($toks) - ${w - 1}), i -> array_to_string($toks[i + 1:i + $w], ' '))) " +
       s"ELSE [] END"
 
-  /** Hash each element of a string array with the char poly hash. */
+  /** Hash each element of a string array with the 31-bit char poly hash.
+    * Shingle hashes deliberately STAY in [0, P): the MinHash affine
+    * permutations (a·x + b) mod P are only uniform over that domain, and a
+    * shingle collision merely adds one shared candidate shingle to an
+    * approximate similarity estimate (the dedup FINGERPRINT, by contrast,
+    * is the 62-bit charPolyHash — collisions there lose documents).
+    */
   def hashedArraySpark(arr: String): String =
     s"transform($arr, s -> aggregate(transform(split(s, ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 31 + x) % $P))"
@@ -79,6 +111,27 @@ object Parity {
     s"list_transform($arr, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $P))"
+
+  /** 62-bit two-hash variant of [[hashedArraySpark]] — the token-hash
+    * primitive for SimHash, where every fingerprint bit must carry entropy
+    * (a 31-bit token hash zeroes bits 31+ of the 60-bit SimHash, making
+    * the upper Hamming bands constant keys and the band self-join O(n²)).
+    */
+  def hashedArray64Spark(arr: String): String =
+    s"transform($arr, s -> (" +
+      s"aggregate(transform(split(s, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"0L, (acc, x) -> (acc * 31 + x) % $P) * $Pack + " +
+      s"aggregate(transform(split(s, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"0L, (acc, x) -> (acc * $Base2 + x) % $P2)))"
+
+  def hashedArray64Duck(arr: String): String =
+    s"list_transform($arr, s -> (" +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P) * $Pack + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * $Base2 + x) % $P2)))"
 
   // ------------------------------------------------------------------
   // MinHash: k affine permutations h_i(x) = (a_i·x + b_i) mod P over the
@@ -139,6 +192,11 @@ object Parity {
   // ------------------------------------------------------------------
   // SimHash (60-bit) over token hashes: bit b of the fingerprint is 1 iff
   // the majority of token occurrences have bit b set (2·Σbit_b > n).
+  // Token hashes are the 62-bit two-hash pack (hashA·2^31 + hashB), so
+  // every fingerprint bit 0..59 carries entropy: bits 0..30 come from
+  // hashB, bits 31..59 from hashA. (With the old 31-bit token hash, bits
+  // 31..59 were constant 0 — band 3 was a single bucket and the band
+  // self-join degenerated to an O(n²) cross product.)
   // 60 bits keeps the value positive in a signed 64-bit BIGINT on both
   // engines; Hamming banding uses 4 bands × 15 bits (pigeonhole: any pair
   // within distance 3 collides on ≥ 1 band).

@@ -14,41 +14,51 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - tokens: `split(text, ' ')` with limit -1 — empty tokens kept;
   *   - shingles: w-grams of consecutive tokens joined by ' ', first-seen
   *     distinct; fewer than w tokens → empty array;
-  *   - hash: polynomial rolling hash over UNICODE CODEPOINTS,
+  *   - 31-bit hash: polynomial rolling hash over UNICODE CODEPOINTS,
   *     h = (h·31 + cp) mod (2^31 − 1), matching Spark `ascii` / DuckDB
-  *     `unicode` per-character semantics.
+  *     `unicode` per-character semantics — the shingle-hash domain
+  *     (MinHash permutations need x < P);
+  *   - 62-bit fingerprint: two independent rolling hashes (base 31 mod P,
+  *     base 37 mod P2) packed hashA·2^31 + hashB — the dedup/fingerprint
+  *     domain, where a collision silently loses a document.
   *
   * The HOF forms evaluate one interpreted lambda call per character;
-  * these kernels run one static JVM call per row (w=1 non-distinct gives
-  * per-token hashes for SimHash; the oracle gate at sf0.01 pins the
-  * equivalence).
+  * these kernels run one static JVM call per row (w=1 non-distinct wide
+  * gives per-token 62-bit hashes for SimHash; the oracle gate at sf0.01
+  * pins the equivalence).
   */
 object TextKernels {
 
   val P: Long = Parity.P
+  val P2: Long = Parity.P2
+  val Base2: Long = Parity.Base2
+  val Pack: Long = Parity.Pack
 
-  /** Poly hash of one string over codepoints. Called from generated code
-    * (top-level object → static forwarder).
+  /** 62-bit two-hash fingerprint of one string over codepoints. Called
+    * from generated code (top-level object → static forwarder).
     */
   def polyHash(s: UTF8String): Long = {
     val str = s.toString
-    var acc = 0L
+    var a = 0L
+    var b = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      acc = (acc * 31 + cp) % P
+      a = (a * 31 + cp) % P
+      b = (b * Base2 + cp) % P2
       i += Character.charCount(cp)
     }
-    acc
+    a * Pack + b
   }
 
   /** Hashes of the w-gram shingles (distinct ON THE SHINGLE STRING, first
     * occurrence order — matching `array_distinct` before hashing in the
     * HOF/oracle form, so a hash collision between distinct shingles keeps
     * both rows on both engines) or, for w = 1 with distinct = false, the
-    * multiset of token hashes.
+    * multiset of token hashes. `wide = false` → 31-bit hash (MinHash
+    * domain); `wide = true` → 62-bit two-hash pack (SimHash domain).
     */
-  def shingleHashes(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
+  def shingleHashes(s: UTF8String, w: Int, distinct: Boolean, wide: Boolean): ArrayData = {
     val toks = s.toString.split(" ", -1)
     if (toks.length < w) return new GenericArrayData(Array.emptyLongArray)
     val n = toks.length - w + 1
@@ -60,6 +70,7 @@ object TextKernels {
       // Hash of toks(i..i+w-1) joined by ' ' — identical to hashing the
       // joined string because the separator is itself hashed.
       var acc = 0L
+      var acc2 = 0L
       var keep = true
       if (seen != null) {
         val sb = new java.lang.StringBuilder
@@ -74,17 +85,21 @@ object TextKernels {
       if (keep) {
         var k = 0
         while (k < w) {
-          if (k > 0) acc = (acc * 31 + ' '.toInt) % P
+          if (k > 0) {
+            acc = (acc * 31 + ' '.toInt) % P
+            if (wide) acc2 = (acc2 * Base2 + ' '.toInt) % P2
+          }
           val t = toks(i + k)
           var j = 0
           while (j < t.length) {
             val cp = t.codePointAt(j)
             acc = (acc * 31 + cp) % P
+            if (wide) acc2 = (acc2 * Base2 + cp) % P2
             j += Character.charCount(cp)
           }
           k += 1
         }
-        out(m) = acc
+        out(m) = if (wide) acc * Pack + acc2 else acc
         m += 1
       }
       i += 1
@@ -109,21 +124,22 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `word_shingle_hashes(text, w, distinct)` — codegen array form of
+/** `word_shingle_hashes(text, w, distinct, wide)` — codegen array form of
   * [[TextKernels.shingleHashes]].
   */
-case class WordShingleHashes(child: Expression, w: Int, distinct: Boolean)
+case class WordShingleHashes(child: Expression, w: Int, distinct: Boolean,
+    wide: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], w, distinct)
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], w, distinct, wide)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextKernels.shingleHashes($c, $w, $distinct)")
+      c => s"graft.functions.TextKernels.shingleHashes($c, $w, $distinct, $wide)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
@@ -134,7 +150,11 @@ object TextHashOps {
     CatalystBridge.column(PolyHash(CatalystBridge.expression(c)))
 
   def shingleHashes(c: Column, w: Int, distinct: Boolean = true): Column =
-    CatalystBridge.column(WordShingleHashes(CatalystBridge.expression(c), w, distinct))
+    CatalystBridge.column(
+      WordShingleHashes(CatalystBridge.expression(c), w, distinct, wide = false))
 
-  def tokenHashes(c: Column): Column = shingleHashes(c, 1, distinct = false)
+  /** 62-bit per-token hashes (SimHash input). */
+  def tokenHashes(c: Column): Column =
+    CatalystBridge.column(
+      WordShingleHashes(CatalystBridge.expression(c), 1, distinct = false, wide = true))
 }

@@ -114,8 +114,8 @@ object Multimodal {
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |    16 + (CAST(octet_length(encode(text)) AS BIGINT) * 31
        |          + length(['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1])) % 624 AS width,
-       |    16 + (${graft.functions.Parity.charPolyHashDuck("text")} % 464) AS height,
-       |    ${graft.functions.Parity.charPolyHashDuck("text")} AS checksum
+       |    16 + (${graft.functions.Parity.charPolyHash31Duck("text")} % 464) AS height,
+       |    ${graft.functions.Parity.charPolyHash31Duck("text")} AS checksum
        |  FROM (SELECT doc_id, text FROM documents))""".stripMargin
 
   /** Resize planning: target box fit preserving aspect ratio, integer

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * `documents`, chaining the pipeline operators —
   *
   *   1. exact dedup (keep lowest doc_id per identical text, via the
-  *      64-bit fingerprint; text itself never shuffles),
+  *      62-bit two-hash fingerprint; text itself never shuffles),
   *   2. quality + language annotation (TextAnalysis semantics),
   *   3. curation filter: quality_score > 0.5 AND n_tokens >= 10,
   *   4. corpus accounting per (source, lang_pred).

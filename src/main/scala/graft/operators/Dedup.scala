@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * embedding-cosine near-dup (SURVEY.md Phase 4 extensions).
   *
   * Scale design (100 TB):
-  *   - Exact dedup groups on the 64-bit text fingerprint, never on the
+  *   - Exact dedup groups on the 62-bit text fingerprint, never on the
   *     text itself — the shuffle carries 8-byte keys, not documents.
   *   - Jaccard candidate generation explodes distinct shingle hashes and
   *     self-joins on the 8-byte hash; the `(doc, shingle)` relation is the
@@ -45,7 +45,7 @@ object Dedup {
 
   // ------------------------------------------------------------------
   // Exact dedup: keep lowest doc_id per identical text, grouped via the
-  // 64-bit fingerprint (hash-groupBy; text never shuffled).
+  // 62-bit two-hash fingerprint (hash-groupBy; text never shuffled).
   // ------------------------------------------------------------------
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -260,7 +260,7 @@ object Dedup {
   val simhashSql: String =
     s"""SELECT doc_id, $simhashFromCounts AS simhash FROM (
        |  SELECT doc_id, ${simhashAggDuck("h").mkString(", ")}
-       |  FROM (SELECT doc_id, unnest(${hashedArrayDuck(tokensDuck("text"))}) AS h
+       |  FROM (SELECT doc_id, unnest(${hashedArray64Duck(tokensDuck("text"))}) AS h
        |        FROM ($docsSql))
        |  GROUP BY doc_id)""".stripMargin
 

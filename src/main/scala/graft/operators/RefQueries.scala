@@ -209,17 +209,20 @@ object RefQueries {
   // Q4b — a TRUE 3-way equi-join cardinality over the star schema
   // (lineitem ⋈ orders ⋈ customer), grouped by market segment — the same
   // capability class as Q4 expressed over realistic keys where the join
-  // is selective. Dimension sides are broadcast (no shuffle of the fact
-  // table beyond the final aggregation). Equality of count-product and
-  // true-join cardinality is asserted by a property test
-  // (StarJoinPropertySpec).
+  // is selective. NO forced broadcast: orders and customer both scale
+  // with the fact side (orders 1:4 with lineitem, customer 1:10 with
+  // orders), so a broadcast hint would OOM executors at 100× — the join
+  // strategy is left to AQE, which picks broadcast at test SF (both sides
+  // under the threshold) and sort-merge + skew splitting at scale.
+  // Equality of count-product and true-join cardinality is asserted by a
+  // property test (StarJoinPropertySpec).
   // --------------------------------------------------------------------
   def q4StarJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment").agg(count(lit(1)).as("li_cnt"))
   }
 

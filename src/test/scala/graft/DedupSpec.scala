@@ -101,11 +101,42 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === "und")
   }
 
-  test("fingerprint equals the reference polynomial hash") {
+  test("fingerprint equals the two-hash 62-bit polynomial pack") {
+    import graft.functions.Parity
     val text = "abc"
     val dir = writeFixture(documents = Seq(doc(0, text)))
     val got = TextAnalysis.fingerprint(spark, dir).collect().head
-    val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c) % 2147483647L)
-    assert(got.getAs[Long]("fp") === expected)
+    val hA = text.foldLeft(0L)((acc, c) => (acc * 31 + c) % Parity.P)
+    val hB = text.foldLeft(0L)((acc, c) => (acc * Parity.Base2 + c) % Parity.P2)
+    assert(got.getAs[Long]("fp") === hA * Parity.Pack + hB)
+  }
+
+  test("62-bit fingerprint separates a real 31-bit polyHash collision") {
+    import graft.functions.Parity
+    // These two texts collide on the base-31 mod 2^31-1 hash (both
+    // 1011291013, found by exhaustive search) — under the old 31-bit
+    // fingerprint exact dedup silently merged them and dropped a document.
+    val a = "doc 1001200 body"
+    val b = "doc 8810053 body"
+    def hA(s: String) = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % Parity.P)
+    assert(hA(a) === hA(b)) // the planted collision is real
+    val dir = writeFixture(documents = Seq(doc(0, a), doc(1, b)))
+    // Both distinct texts survive dedup as their own group of size 1.
+    val got = rows(Dedup.exactDedup(spark, dir))
+    assert(got === Set(Seq(0L, 1L), Seq(1L, 1L)))
+  }
+
+  test("simhash upper bands discriminate (band keys not constant)") {
+    import graft.functions.Parity
+    val dir = fixture()
+    val sh = Dedup.simhash(spark, dir)
+    // With 31-bit token hashes band 3 (bits 45-59) was the constant key 0
+    // for every document — the band self-join was an O(n²) cross product.
+    (0 until Parity.SimHashBands).foreach { i =>
+      val cards = sh
+        .selectExpr(Parity.simhashBandSpark("simhash", i) + " AS bkey")
+        .distinct().count()
+      assert(cards > 1, s"band $i key is (near-)constant: $cards distinct value(s)")
+    }
   }
 }

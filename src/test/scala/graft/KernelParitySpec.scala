@@ -43,11 +43,11 @@ class KernelParitySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
-  test("tokenHashes (w=1, non-distinct) == HOF token-hash pipeline") {
+  test("tokenHashes (w=1, non-distinct, wide) == HOF 62-bit token-hash pipeline") {
     val s = spark
     import s.implicits._
     val df = randomTexts.toDF("text")
-    val hof = Parity.hashedArraySpark(Parity.tokensSpark("text"))
+    val hof = Parity.hashedArray64Spark(Parity.tokensSpark("text"))
     val diff = df.select(
         TextHashOps.tokenHashes(col("text")).as("kernel"),
         expr(hof).as("hof"))
@@ -79,7 +79,9 @@ class KernelParitySpec extends SparkSpec {
         |       word_shingle_hashes('a b c d', 3, true) AS sh,
         |       long_vector_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d
         |""".stripMargin).head()
-    assert(r.getAs[Long]("h") === 96354L)
+    // hashA('abc') = 96354 (base 31 mod P), hashB('abc') = 136518
+    // (base 37 mod P2), packed hi/lo.
+    assert(r.getAs[Long]("h") === 96354L * Parity.Pack + 136518L)
     assert(r.getAs[Seq[Long]]("sh").length === 2)
     assert(r.getAs[Long]("d") === 32L)
   }
