@@ -35,19 +35,23 @@ object Analytics {
           (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .as("disc_price"))
       .groupBy("l_returnflag", "l_linestatus")
+      // Sums stay at DECIMAL(38,x) until the final DOUBLE cast: narrowing
+      // to (18,2)/(28,4) NULLs on overflow in Spark (non-ANSI) while
+      // DuckDB errors — at 100× the fixtures the two engines would
+      // diverge. (38,x) holds any realistic corpus sum exactly.
       .agg(
-        sum("qty").cast("decimal(18,2)").cast("double").as("sum_qty"),
-        sum("price").cast("decimal(18,2)").cast("double").as("sum_price"),
-        sum("disc_price").cast("decimal(28,4)").cast("double").as("sum_disc_price"),
+        sum("qty").cast("decimal(38,2)").cast("double").as("sum_qty"),
+        sum("price").cast("decimal(38,2)").cast("double").as("sum_price"),
+        sum("disc_price").cast("decimal(38,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
       |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |    AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -65,7 +69,8 @@ object Analytics {
         col("o_totalprice").cast("decimal(18,2)").as("price"))
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
     val revenue = o.groupBy("o_custkey")
-      .agg(sum("price").cast("decimal(18,2)").as("revenue_dec"),
+      // (38,2): a (18,2) result cast would NULL on overflow at scale.
+      .agg(sum("price").cast("decimal(38,2)").as("revenue_dec"),
         count(lit(1)).as("n_orders"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
     revenue
@@ -88,7 +93,7 @@ object Analytics {
        |      ORDER BY r.revenue_dec DESC, c.c_custkey) AS rnk
        |  FROM (
        |    SELECT o_custkey,
-       |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_dec,
+       |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue_dec,
        |      count(*) AS n_orders
        |    FROM orders GROUP BY o_custkey) r
        |  JOIN customer c ON r.o_custkey = c.c_custkey)

@@ -131,7 +131,17 @@ object Dedup {
 
   def jaccardPrefixPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle relation feeds FOUR consumers (dfreq, sizes, ranked, and
+    // both sides of the intersection join) and Spark shares no common
+    // subexpressions across DataFrame reuse — unpersisted, the plan
+    // re-scans and re-hashes the whole corpus ~4×, the single most
+    // expensive kernel of the query. Persist it once; MEMORY_AND_DISK is
+    // evictable so a long-lived session (Verify runs 40+ queries) degrades
+    // to recompute, never OOM. Spark's CacheManager also substitutes this
+    // cached subtree into the other shingle consumers (jaccardPairs,
+    // minhash signatures) while it remains cached.
     val sh = shingleRel(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ranked = sh.join(dfreq, "sh")
@@ -192,8 +202,8 @@ object Dedup {
        |WHERE inter * $PrefixJaccDen > (sa.n + sb.n - inter) * $PrefixJaccNum""".stripMargin
 
   // ------------------------------------------------------------------
-  // MinHash signatures + LSH candidate pairs. Candidates = distinct
-  // (a, b) sharing ≥ 1 of 8 band keys; sig_matches/32 estimates J.
+  // MinHash signatures + LSH candidate pairs. Candidates = (a, b) sharing
+  // ≥ 1 of 8 band keys, emitted once each; sig_matches/32 estimates J.
   //
   // Signatures come from the exploded (doc, shingle-hash) relation via 32
   // grouped `min` aggregates — a single codegen'd two-phase HashAggregate
@@ -218,13 +228,24 @@ object Dedup {
 
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val b = signaturesWithBands(spark, sfDir)
+    // A pair colliding in k bands appears k times out of the band join;
+    // emit it only from its FIRST colliding band — a scalar predicate over
+    // the two signatures — instead of DISTINCT-ing the candidate set
+    // (which re-shuffles every candidate pair). Same pattern as
+    // simhashPairs below; the oracle keeps SELECT DISTINCT, which yields
+    // the identical set (sig_matches is a function of the pair).
+    val firstBand = (0 until NumBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (i, rest) =>
+        when(expr(bandKeySpark("a.sig", i)) === expr(bandKeySpark("b.sig", i)), lit(i))
+          .otherwise(rest)
+    }
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.band") === firstBand)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
           "0L, (acc, v) -> acc + v)").as("sig_matches"))
-      .distinct()
   }
 
   val minhashLshPairsSql: String = {
@@ -328,6 +349,58 @@ object Dedup {
        |FROM q a JOIN q b ON a.vec_id < b.vec_id
        |WHERE ${cosineDuck(dotDuck("a.v", "b.v"), "a.norm", "b.norm")} > $CosThreshold""".stripMargin
 
+  // ------------------------------------------------------------------
+  // LSH-bucketed embedding near-dup — the SCALE path for the pair
+  // contract above. Candidates are restricted to pairs whose sign-LSH
+  // buckets (8 random-hyperplane bits, Similarity.lshBucketCol) differ in
+  // at most ONE bit: the lower-id side explodes 9 probe buckets (itself +
+  // 8 single-bit flips) and equi-joins on the probed bucket, so the join
+  // key space is 256 near-uniform buckets instead of an all-pairs cross
+  // product, and each candidate pair is generated EXACTLY once (exactly
+  // one probe matches a bucket at Hamming distance ≤ 1 — no DISTINCT
+  // shuffle). Survivors are verified with the same exact-integer cosine
+  // as the brute-force form. This is the standard LSH recall/cost dial:
+  // near-identical vectors land in identical-or-adjacent buckets (a sign
+  // bit flips only when a plane dot crosses 0), and DedupSpec asserts
+  // output ≡ embeddingNearDup on a fixture whose true pairs are verified
+  // recall-complete under the banding.
+  // (Reference analogue: the heavy-key replication cube exists precisely
+  // to avoid all-pairs work on hot keys,
+  // star-join-stateless/src/main/scala/cluster/DuplicateHHJoin.scala:49-126.)
+  // ------------------------------------------------------------------
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.longDot
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("norm", longDot(col("v"), col("v")))
+      .withColumn("bucket", Similarity.lshBucketCol(col("v")))
+    val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
+    val probed = q
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    probed.as("a").join(q.as("b"),
+        col("a.pbucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        longDot(col("a.v"), col("b.v")).as("dot"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .where(expr(cosineSpark("dot", "na", "nb")) > CosThreshold)
+  }
+
+  val embeddingNearDupLshSql: String = {
+    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id, v, ${dotDuck("v", "v")} AS norm, ${lshBucketDuck("v")} AS bucket
+       |  FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)),
+       |probes AS (
+       |  SELECT vec_id, v, norm,
+       |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
+       |  FROM (SELECT *, unnest($offsets) AS probe FROM q))
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${dotDuck("a.v", "b.v")} AS dot, a.norm AS na, b.norm AS nb
+       |FROM probes a JOIN q b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineDuck(dotDuck("a.v", "b.v"), "a.norm", "b.norm")} > $CosThreshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
@@ -336,7 +409,8 @@ object Dedup {
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
     "d_simhash" -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
-    "d_embedding_neardup" -> (embeddingNearDup _))
+    "d_embedding_neardup" -> (embeddingNearDup _),
+    "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
@@ -346,5 +420,6 @@ object Dedup {
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,
     "d_simhash" -> simhashSql,
     "d_simhash_pairs" -> simhashPairsSql,
-    "d_embedding_neardup" -> embeddingNearDupSql)
+    "d_embedding_neardup" -> embeddingNearDupSql,
+    "d_embedding_neardup_lsh" -> embeddingNearDupLshSql)
 }

@@ -162,12 +162,54 @@ object StreamingParity {
             rows.foreach { case (_, _, _, port) =>
               counts = counts.updated(port, counts.getOrElse(port, 0L) + 1L)
             }
-            state.update(PortCounts(counts))
-            // Close the window when the watermark reaches its end.
-            state.setTimeoutTimestamp((ltw + 1) * SlotMs)
-            Iterator.empty
+            val end = (ltw + 1) * SlotMs
+            if (end <= state.getCurrentWatermarkMs()) {
+              // This batch's (eviction) watermark already passed the window
+              // end — reachable under cross-batch key skew: a later batch
+              // carries this window's first rows for some key (they clear
+              // the LATE filter, which lags one batch) while the watermark
+              // has moved past the window. setTimeoutTimestamp(end) would
+              // throw (timeouts must be strictly beyond the watermark), so
+              // close the window now: emit once, keep no state. No double
+              // emission is possible — any still-later row for this window
+              // is dropped by the engine's late filter before reaching us.
+              if (state.exists) state.remove()
+              val minCnt = if (counts.size == PortsNum) counts.values.min else 0L
+              Iterator.single(Q2Result(word, ltw, minCnt))
+            } else {
+              state.update(PortCounts(counts))
+              // Close the window when the watermark reaches its end.
+              state.setTimeoutTimestamp(end)
+              Iterator.empty
+            }
           }
       }
+  }
+
+  /** Two-source Q2 — the reference's core watermark invention made
+    * engine-native: each source carries its OWN punctuation timetable and
+    * the trigger fires at the MIN over sources
+    * (state/src/main/scala/timetable/MyStateJoinUtils.scala:25-65, min at
+    * :35/:58). Here each input gets its own `withWatermark` BEFORE the
+    * union, and Structured Streaming's default multi-watermark policy
+    * (`spark.sql.streaming.multipleWatermarkPolicy = min`) combines them —
+    * a laggard source holds back emission for every key, exactly the
+    * reference's completeness contract. (Watermarking AFTER the union
+    * would instead track the global max — the wrong semantics.)
+    */
+  def q2TwoSources(a: Dataset[PwEvent], b: Dataset[PwEvent]): DataFrame = {
+    val wm = (in: Dataset[PwEvent]) =>
+      withEventTs(in).withWatermark("event_ts", "0 milliseconds")
+    wm(a).union(wm(b))
+      .groupBy(window(col("event_ts"), s"$SlotMs milliseconds"),
+        col("word"), col("port"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"), col("word"))
+      .agg(when(count(lit(1)) === PortsNum, min(col("cnt")))
+        .otherwise(lit(0L)).as("min_cnt"))
+      .select(col("word"),
+        expr(s"unix_millis(window.start) div $SlotMs").as("ltw"),
+        col("min_cnt"))
   }
 
   /** The batch-mode contract both streaming forms must match (same CASE
@@ -225,20 +267,31 @@ object StreamingParity {
     events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[PwEvent], batchId: Long) =>
-        val stats = batch.groupBy(col("word"))
-          .agg(count(lit(1)).as("cnt"))
-          .agg(
-            sum("cnt").as("total"),
-            collect_list(struct(col("word"), col("cnt"))).as("keys"))
-          .collect()
-        stats.headOption.foreach { r =>
-          val total = Option(r.getAs[Long]("total")).getOrElse(0L)
-          val hot = r.getSeq[org.apache.spark.sql.Row](1)
-            .filter(k => k.getAs[Long]("cnt") * 60L > total)
-            .map(_.getAs[String]("word")).toSet
-          latest.set(BatchStats(batchId, total, hot))
-        }
+        latest.set(heavyHitterBatchStats(batch.toDF(), batchId))
         ()
       }
+  }
+
+  /** One batch's stats with the heavy filter IN THE PLAN: the driver
+    * receives a single scalar total plus only the heavy rows (at most
+    * 60 keys can each hold > 1/60 of the batch). The previous form
+    * collect_list'ed the FULL key set to the driver every batch — a
+    * per-batch driver OOM at realistic key cardinality. The grouped
+    * counts are persisted across the two actions (scalar total, then the
+    * executor-side `cnt·60 > total` filter) so the batch aggregates once.
+    */
+  def heavyHitterBatchStats(batch: DataFrame, batchId: Long): BatchStats = {
+    val counts = batch.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = counts.agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+        .collect().head.getAs[Long]("total")
+      val hot = counts.where(col("cnt") * 60L > lit(total))
+        .select("word").collect().map(_.getString(0)).toSet
+      BatchStats(batchId, total, hot)
+    } finally {
+      counts.unpersist()
+      ()
+    }
   }
 }

@@ -85,4 +85,20 @@ class KernelParitySpec extends SparkSpec {
     assert(r.getAs[Seq[Long]]("sh").length === 2)
     assert(r.getAs[Long]("d") === 32L)
   }
+
+  test("SQL registration: word_shingle_hashes 4th arg (wide) == tokenHashes kernel") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    // The optional `wide` SQL argument takes the args.length > 3 branch of
+    // the registration builder — assert it equals both the Column-API
+    // kernel and the 62-bit HOF pipeline on the same strings.
+    val df = randomTexts.toDF("text")
+    val diff = df.selectExpr(
+        "word_shingle_hashes(text, 1, false, true) AS sql_wide",
+        s"${Parity.hashedArray64Spark(Parity.tokensSpark("text"))} AS hof")
+      .withColumn("kernel", TextHashOps.tokenHashes(col("text")))
+      .where(col("sql_wide") =!= col("hof") || col("sql_wide") =!= col("kernel"))
+    assert(diff.count() === 0)
+  }
 }
