@@ -95,6 +95,7 @@ class KernelParitySpec extends SparkSpec {
     // kernel and the 62-bit HOF pipeline on the same strings.
     val df = randomTexts.toDF("text")
     val diff = df.selectExpr(
+        "text",
         "word_shingle_hashes(text, 1, false, true) AS sql_wide",
         s"${Parity.hashedArray64Spark(Parity.tokensSpark("text"))} AS hof")
       .withColumn("kernel", TextHashOps.tokenHashes(col("text")))
