@@ -37,10 +37,19 @@ object RefQueries {
   // ("minimum count of each word in each port",
   //  stateless/src/main/scala/cluster/HashJoin.scala:11-12, 51-62).
   // --------------------------------------------------------------------
-  def q1MinCountPerPort(spark: SparkSession, sfDir: String): DataFrame =
-    Shapes.portWordEvents(spark, sfDir)
+  /** The Q1 plan over any `(port, word)`-shaped relation — factored out so
+    * the per-trigger streaming form (foreachBatch over each micro-batch,
+    * the reference's per-processing-batch semantics,
+    * stateless/src/main/scala/cluster/HashJoin.scala:11-12) runs the SAME
+    * plan, not a reimplementation.
+    */
+  def q1Plan(portWord: DataFrame): DataFrame =
+    portWord
       .groupBy("word", "port").agg(count(lit(1)).as("cnt"))
       .groupBy("word").agg(min("cnt").as("min_cnt"))
+
+  def q1MinCountPerPort(spark: SparkSession, sfDir: String): DataFrame =
+    q1Plan(Shapes.portWordEvents(spark, sfDir))
 
   val q1Sql: String =
     s"""SELECT word, min(cnt) AS min_cnt FROM (

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingParity
 import graft.streaming.StreamingParity.{PwEvent, Q2Result}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming Q2 parity (SURVEY.md Phase 3): append-mode emission of
@@ -188,6 +189,113 @@ class StreamingParitySpec extends SparkSpec {
       assert(all.toSet === expectedClosed)
       assert(afterFirst.nonEmpty && afterFirst.toSet.subsetOf(expectedClosed))
     } finally q2.stop()
+  }
+
+  test("two-source q2: a laggard source holds back emission (trigger = min over sources, C3)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val a = MemoryStream[PwEvent]
+    val b = MemoryStream[PwEvent]
+    val query = StreamingParity.q2TwoSources(a.toDS(), b.toDS())
+      .writeStream.format("memory").queryName("q2_two_sources")
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Set[Q2Result] = s.table("q2_two_sources").as[Q2Result].collect().toSet
+    try {
+      // Window 0 is complete only across BOTH sources: A brings ports 0/1,
+      // B brings port 2. "B" (port 0, source A only) must close as 0.
+      a.addData(Seq(
+        PwEvent(10, 0, "A"), PwEvent(20, 0, "A"), PwEvent(30, 1, "A"),
+        PwEvent(40, 0, "B")))
+      query.processAllAvailable()
+      assert(emitted().isEmpty, "no source advanced past window 0 yet")
+      // Source A races 10 windows ahead. Under the reference's trigger=min
+      // contract (MyStateJoinUtils.scala:25-65) NOTHING may emit while B
+      // lags at watermark 0 — under a max policy window 0 would close here
+      // (the anti-case the q2TwoSources scaladoc warns about).
+      a.addData(Seq(PwEvent(10500, 0, "SENT_A")))
+      query.processAllAvailable()
+      assert(emitted().isEmpty, "laggard source B must hold back every window")
+      // B reaches only event-time 30: min watermark = 30 < window-0 end.
+      b.addData(Seq(PwEvent(30, 2, "A")))
+      query.processAllAvailable()
+      assert(emitted().isEmpty, "min watermark (30) still inside window 0")
+      // B passes window 0: min(10500, 10600) = 10500 closes windows 0..9
+      // with counts merged across sources.
+      b.addData(Seq(PwEvent(10600, 0, "SENT_B")))
+      query.processAllAvailable()
+      assert(emitted() === Set(Q2Result("A", 0L, 1L), Q2Result("B", 0L, 0L)),
+        "closed windows must merge counts from both sources")
+    } finally query.stop()
+  }
+
+  test("checkpointed state reads back via the statestore source (C5 contract)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-statestore").toString
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.q2FlatMapGroups(input.toDS())
+      .writeStream.format("memory").queryName("q2_state_snapshot")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+    } finally query.stop()
+    // The reference exposes live per-window state via stateSnapshots()
+    // (MyMapWithStateWithIndexDstream.scala:65-69); Structured Streaming's
+    // analogue is the statestore batch source over the checkpoint. Keys are
+    // the groupByKey tuples (word, ltw); values the PortCounts buffers.
+    // flatMapGroupsWithState values wrap the user state beside the engine's
+    // timeout column: (groupState, timeoutTimestamp).
+    val state = s.read.format("statestore").load(ckpt)
+      .select(col("key._1").as("word"), col("key._2").as("ltw"),
+        col("value.groupState.counts").as("counts"))
+      .where(col("counts").isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Map[Int, Long]]("counts"))
+      .toMap
+    // Which of window 0's groups already timed out depends on whether an
+    // empty batch ran after the watermark advanced; window 1 (end 2000 >
+    // final watermark 1010) MUST still be open with A's single port-0 row.
+    assert(state.keySet.subsetOf(Set(("A", 0L), ("B", 0L), ("A", 1L))))
+    assert(state.contains(("A", 1L)), "open window must be present in state")
+    assert(state(("A", 1L)) === Map(0 -> 1L))
+    state.get(("A", 0L)).foreach(c => assert(c === Map(0 -> 2L, 1 -> 1L, 2 -> 1L)))
+    state.get(("B", 0L)).foreach(c => assert(c === Map(0 -> 1L, 1 -> 1L)))
+  }
+
+  test("per-trigger Q1: each micro-batch equals the batch plan on that batch's rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // The reference Q1 is per-processing-batch, not cumulative
+    // (stateless/src/main/scala/cluster/HashJoin.scala:11-12): every
+    // trigger recomputes min-of-counts over ONLY that batch's rows.
+    // foreachBatch + the shared q1Plan is that contract verbatim.
+    val perBatch = scala.collection.concurrent.TrieMap.empty[Long, Set[(String, Long)]]
+    val input = MemoryStream[PwEvent]
+    val query = input.toDS().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[PwEvent], id: Long) =>
+        val out = graft.operators.RefQueries.q1Plan(batch.toDF())
+          .as[(String, Long)].collect().toSet
+        if (out.nonEmpty) perBatch.put(id, out)
+        ()
+      }.start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2 ++ Seq(PwEvent(1020, 1, "A"), PwEvent(1030, 1, "A")))
+      query.processAllAvailable()
+      val got = perBatch.values.toSeq
+      // Batch 1: A counts (2,1,1) → 1; B counts (1,1) → 1.
+      // Batch 2: A counts port0=1, port1=2 → 1 — NOT cumulative (a
+      // cumulative plan would see A's port-2 count and differ on B).
+      assert(got.contains(Set(("A", 1L), ("B", 1L))))
+      assert(got.contains(Set(("A", 1L))))
+      assert(perBatch.size === 2)
+    } finally query.stop()
   }
 
   test("streaming output equals the batch form restricted to closed windows") {
