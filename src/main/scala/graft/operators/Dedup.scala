@@ -130,50 +130,62 @@ object Dedup {
   val PrefixJaccDen = 2L
 
   def jaccardPrefixPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // The shingle relation feeds FOUR consumers (dfreq, sizes, ranked, and
-    // both sides of the intersection join) and Spark shares no common
-    // subexpressions across DataFrame reuse — unpersisted, the plan
-    // re-scans and re-hashes the whole corpus ~4×, the single most
-    // expensive kernel of the query. Persist it once; MEMORY_AND_DISK is
-    // evictable so a long-lived session (Verify runs 40+ queries) degrades
-    // to recompute, never OOM. Spark's CacheManager also substitutes this
-    // cached subtree into the other shingle consumers (jaccardPairs,
-    // minhash signatures) while it remains cached.
+    // The shingle relation feeds dfreq + the ranked build; persisting it
+    // also lets CacheManager substitute the cached subtree into the OTHER
+    // shingle consumers that run in the same session (jaccardPairs,
+    // minhash signatures). MEMORY_AND_DISK is evictable, so a long-lived
+    // session (Verify runs 40+ queries) degrades to recompute, never OOM.
     val sh = shingleRel(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ranked = sh.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-      // ⌈n/2⌉ = (n+1) div 2; prefix length = n − ⌈t·n⌉ + 1 at t = 1/2.
-      .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select("doc_id", "sh")
-    val cands = ranked.as("a").join(ranked.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      // AllPairs length filter (exact): J(A,B) > 1/2 requires
-      // |A| > |B|/2 and |B| > |A|/2 — drop size-mismatched candidates
-      // before the expensive intersection join.
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "la"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "lb"), "id_b")
-      .where(col("la") * PrefixJaccDen > col("lb") * PrefixJaccNum &&
-        col("lb") * PrefixJaccDen > col("la") * PrefixJaccNum)
-      .select("id_a", "id_b")
-    val inter = cands
-      .join(sh.as("x"), col("x.doc_id") === col("id_a"))
-      .join(sh.as("y"),
-        col("y.doc_id") === col("id_b") && col("y.sh") === col("x.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    // One grouped pass per doc builds everything verification needs: the
+    // doc's shingle set, the rare-first prefix, and |X| — so candidates
+    // are verified IN PLACE at the prefix join instead of re-joining the
+    // corpus-sized shingle relation twice and DISTINCT-ing candidates
+    // (the round-3/4 shape; its residual cost was exactly that double
+    // join + distinct shuffle). Rare-first ranking happens per ROW
+    // (sort_array over the doc's own (df, sh) structs) — no corpus-wide
+    // Sort/Window pass; per-doc arrays are small. PPJoin's
+    // verify-on-index tradeoff: exploded prefix rows carry the doc's hash
+    // arrays, so prefix-join shuffle volume is O(prefix_len · doc_len ·
+    // 8 B) per doc — bounded and sequential-read friendly; for extreme
+    // doc lengths the join-the-index-twice form trades back.
+    val docs = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc_id"),
+        expr("cast(size(ranked) as bigint)").as("n"),
+        // Set-valued consumers only (array_intersect/array_min) — the
+        // (df, sh) rank order of `full` is irrelevant, so skip re-sorting.
+        expr("transform(ranked, x -> x.sh)").as("full"),
+        // ⌈n/2⌉ = (n+1) div 2; prefix length = n − ⌈t·n⌉ + 1 at t = 1/2.
+        expr("transform(slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1), x -> x.sh)")
+          .as("pref"))
+      // Both join sides consume the per-doc arrays; persist so the
+      // grouped array build runs once, not once per side.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = docs.select(col("doc_id"), col("n"), col("pref"), col("full"),
+      explode(col("pref")).as("sh"))
+    // Predicate order inside the join condition is evaluation order —
+    // cheap scalar guards (id order, AllPairs length filter: J > 1/2
+    // requires |A| > |B|/2 ∧ |B| > |A|/2) run before the array work.
+    // Exactly-once emission: a pair colliding on k shared prefix shingles
+    // appears k times; keep only the row whose join shingle is the
+    // SMALLEST shared prefix shingle — a scalar predicate over the two
+    // prefix arrays (the minhash/simhash first-band pattern), so no
+    // DISTINCT shuffle of the candidate set.
+    ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * PrefixJaccDen > col("b.n") * PrefixJaccNum &&
+          col("b.n") * PrefixJaccDen > col("a.n") * PrefixJaccNum &&
+          col("a.sh") === array_min(array_intersect(col("a.pref"), col("b.pref"))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.full"), col("b.full"))).cast("long").as("inter"),
+        (col("a.n") + col("b.n")).as("n_sum"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_sum") - col("inter")).as("uni"))
       .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
-      .select("id_a", "id_b", "inter", "uni")
   }
 
   val jaccardPrefixPairsSql: String =
