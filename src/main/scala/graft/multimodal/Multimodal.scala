@@ -147,6 +147,25 @@ object Multimodal {
     })
   }
 
+  /** Gated query: the feature-extraction stub, exploded to one row per
+    * (file, feature index) so the gate hash-compares every scalar. The
+    * floats are float32 quotients of exactly-representable integers
+    * (numerator < 1000003 < 2^23), so Spark's fdiv and DuckDB's
+    * REAL/REAL division are both the correctly-rounded IEEE result.
+    */
+  def extractFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(decodeMedia(mediaFromDocuments(spark, sfDir)))
+      .toDF()
+      .select(col("media_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
+      .withColumn("feat_idx", col("feat_idx").cast("long"))
+      .select("media_id", "feat_idx", "feat")
+
+  val extractFeaturesSql: String =
+    s"""SELECT media_id, i AS feat_idx,
+       |  CAST((checksum * 31 + i) % 1000003 AS REAL) / CAST(1000003 AS REAL) AS feat
+       |FROM (SELECT media_id, checksum, unnest(range(0, 8)) AS i
+       |      FROM ($decodeQuerySql))""".stripMargin
+
   /** Gated query: frame-sampling fan-out (video rows, every 8th frame). */
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(decodeMedia(mediaFromDocuments(spark, sfDir)), 8)
@@ -172,10 +191,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_media" -> (decodeQuery _),
     "m_frame_sample" -> (frameSampleQuery _),
-    "m_resize_plan" -> (resizeQuery _))
+    "m_resize_plan" -> (resizeQuery _),
+    "m_extract_features" -> (extractFeaturesQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_decode_media" -> decodeQuerySql,
     "m_frame_sample" -> frameSampleQuerySql,
-    "m_resize_plan" -> resizeQuerySql)
+    "m_resize_plan" -> resizeQuerySql,
+    "m_extract_features" -> extractFeaturesSql)
 }
