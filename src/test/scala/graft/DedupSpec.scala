@@ -126,17 +126,35 @@ class DedupSpec extends SparkSpec {
     assert(got === Set(Seq(0L, 1L), Seq(1L, 1L)))
   }
 
-  test("simhash upper bands discriminate (band keys not constant)") {
+  test("simhash bands discriminate proportionally (bucket join stays near-linear)") {
     import graft.functions.Parity
-    val dir = fixture()
-    val sh = Dedup.simhash(spark, dir)
     // With 31-bit token hashes band 3 (bits 45-59) was the constant key 0
     // for every document — the band self-join was an O(n²) cross product.
+    // `cards > 1` would still pass on a near-degenerate band (2 keys over
+    // the corpus keeps the join quasi-quadratic), so assert proportional
+    // spread AND a bucket-size cap over a corpus of distinct docs: with
+    // anything close to uniform 15-bit keys, 200 docs should rarely share
+    // a bucket at all.
+    // Globally-unique tokens (injective map into Z_1000003) — docs share
+    // NO tokens, so fingerprints are uniform and band buckets must stay
+    // tiny. (A shared template would make docs genuinely similar, and
+    // simhash banding them together would be correct behavior.)
+    val n = 200
+    val dir = writeFixture(documents = (0 until n).map { i =>
+      val toks = (0 until 8).map(j => "t" + ((i * 8 + j) * 2654435761L % 1000003L))
+      doc(i.toLong, toks.mkString(" "))
+    })
+    val sh = Dedup.simhash(spark, dir)
     (0 until Parity.SimHashBands).foreach { i =>
-      val cards = sh
+      val buckets = sh
         .selectExpr(Parity.simhashBandSpark("simhash", i) + " AS bkey")
-        .distinct().count()
-      assert(cards > 1, s"band $i key is (near-)constant: $cards distinct value(s)")
+        .groupBy("bkey").count().collect().map(_.getLong(1))
+      val distinct = buckets.length
+      val maxBucket = buckets.max
+      assert(distinct > n / 2,
+        s"band $i keys collapse: $distinct distinct over $n docs")
+      assert(maxBucket <= 5,
+        s"band $i has a hot bucket of $maxBucket docs — self-join degrades")
     }
   }
 }
