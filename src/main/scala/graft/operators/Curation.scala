@@ -138,9 +138,9 @@ object Curation {
   val EvalSetMax = 10L
 
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(TextHashOps.shingleHashes(col("text"), Dedup.ShingleW)).as("sh"))
+    // Dedup's persisted shingle relation — identical plan, shared cache
+    // entry across the whole Jaccard/minhash/contamination family.
+    val sh = Dedup.shingleRel(spark, sfDir)
     val evalSh = sh.where(col("doc_id") < EvalSetMax)
       .select(col("sh").as("eval_sh")).distinct()
     sh.where(col("doc_id") >= EvalSetMax)

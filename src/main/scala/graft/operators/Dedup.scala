@@ -77,7 +77,15 @@ object Dedup {
   // hash sets, via inverted-index self-join. Exact integer output
   // (inter, uni) — jaccard = inter/uni for the consumer.
   // ------------------------------------------------------------------
-  private def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
+  /** Exploded (doc_id, shingle-hash) relation — the shared kernel of the
+    * Jaccard/minhash/contamination family. Deliberately NOT persisted:
+    * the exploded relation is corpus-sized (measured at sf0.1, caching it
+    * costs more than its recompute — a narrow codegen'd scan+hash — and
+    * breaks codegen fusion into the consumers). What IS persisted are the
+    * small expensive AGGREGATES derived from it (minhash signatures,
+    * simhash fingerprints, the per-doc prefix arrays).
+    */
+  private[operators] def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(TextHashOps.shingleHashes(col("text"), ShingleW)).as("sh"))
@@ -130,13 +138,7 @@ object Dedup {
   val PrefixJaccDen = 2L
 
   def jaccardPrefixPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // The shingle relation feeds dfreq + the ranked build; persisting it
-    // also lets CacheManager substitute the cached subtree into the OTHER
-    // shingle consumers that run in the same session (jaccardPairs,
-    // minhash signatures). MEMORY_AND_DISK is evictable, so a long-lived
-    // session (Verify runs 40+ queries) degrades to recompute, never OOM.
     val sh = shingleRel(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // One grouped pass per doc builds everything verification needs: the
     // doc's shingle set, the rare-first prefix, and |X| — so candidates
@@ -229,6 +231,9 @@ object Dedup {
       .agg(expr(minhashAggSpark("sh").head),
         minhashAggSpark("sh").tail.map(expr): _*)
       .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
+      // Both sides of the LSH band self-join re-derive this aggregate;
+      // persist so the 32-min signature pass runs once per session.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def signaturesWithBands(spark: SparkSession, sfDir: String): DataFrame = {
     val bandCols = (0 until NumBands).map(b =>
@@ -289,6 +294,9 @@ object Dedup {
       .groupBy("doc_id")
       .agg(expr(simhashAggSpark("h").head), simhashAggSpark("h").tail.map(expr): _*)
       .select(col("doc_id"), expr(simhashFromCounts).as("simhash"))
+      // Consumed by the d_simhash gate AND (twice, via the band self-join)
+      // by simhashPairs; persist so the per-bit SUM pass runs once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   val simhashSql: String =
     s"""SELECT doc_id, $simhashFromCounts AS simhash FROM (
@@ -342,9 +350,9 @@ object Dedup {
   // ------------------------------------------------------------------
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.longDot
-    val q = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
-      .withColumn("norm", longDot(col("v"), col("v")))
+    // Shared persisted (vec_id, v, norm) relation — one cache entry across
+    // the ANN family and both near-dup forms.
+    val q = Similarity.quantized(spark, sfDir)
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         longDot(col("a.v"), col("b.v")).as("dot"),
@@ -382,9 +390,7 @@ object Dedup {
   // ------------------------------------------------------------------
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.longDot
-    val q = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
-      .withColumn("norm", longDot(col("v"), col("v")))
+    val q = Similarity.quantized(spark, sfDir)
       .withColumn("bucket", Similarity.lshBucketCol(col("v")))
     val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
     val probed = q
