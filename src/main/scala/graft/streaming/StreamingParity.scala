@@ -212,6 +212,62 @@ object StreamingParity {
         col("min_cnt"))
   }
 
+  /** Keyed star-join record: the reference's `"ts z x"` stream shape
+    * (star-join-stateless wire form, HHJoin.scala:39-45).
+    */
+  case class ZxEvent(event_time: Long, z: String, x: Long)
+
+  /** Stream-stream windowed equi-join — the reference's actual join mode:
+    * its star joins run over live Kafka streams, pairing rows of the same
+    * key within the same logical window
+    * (star-join-stateless/src/main/scala/cluster/HHJoin.scala:59-78;
+    * stateful form state/src/main/scala/cluster/naive/HashJoin.scala:89-103).
+    * Engine-native form: per-input watermark + tumbling-window column on
+    * each side, inner join on (z, window). Window equality acts as the
+    * event-time constraint, so the engine evicts each side's join state as
+    * the (min-over-sources) watermark passes the window end — the
+    * reference's timetable-driven state cleanup, owned by the engine.
+    * Inner-join rows emit as soon as both sides have arrived (the
+    * reference's pair emission at trigger), and the output is exactly the
+    * batch join of the same rows.
+    */
+  def streamWindowJoin(a: Dataset[ZxEvent], b: Dataset[ZxEvent]): DataFrame = {
+    def shape(in: Dataset[ZxEvent], side: String): DataFrame =
+      in.toDF()
+        .withColumn(s"ts_$side", timestamp_millis(col("event_time")))
+        .withWatermark(s"ts_$side", "0 milliseconds")
+        .select(col(s"ts_$side"),
+          window(col(s"ts_$side"), s"$SlotMs milliseconds").as(s"w_$side"),
+          col("z").as(s"z_$side"), col("x").as(s"x_$side"))
+    shape(a, "a").join(shape(b, "b"),
+        col("z_a") === col("z_b") && col("w_a") === col("w_b"))
+      .select(col("z_a").as("z"),
+        expr(s"unix_millis(w_a.start) div $SlotMs").as("ltw"),
+        col("x_a"), col("x_b"))
+  }
+
+  /** Three-way form — the reference's star join R0 ⋈ R1 ⋈ R2 on (z,
+    * window) (HHJoin.scala:59-78). Spark ≥ 3.5 supports chained
+    * stream-stream joins (multiple stateful operators); each pairwise join
+    * keeps the window-equality constraint so state stays bounded.
+    */
+  def streamStarJoin(r0: Dataset[ZxEvent], r1: Dataset[ZxEvent],
+      r2: Dataset[ZxEvent]): DataFrame = {
+    def shape(in: Dataset[ZxEvent], side: String): DataFrame =
+      in.toDF()
+        .withColumn(s"ts_$side", timestamp_millis(col("event_time")))
+        .withWatermark(s"ts_$side", "0 milliseconds")
+        .select(col(s"ts_$side"),
+          window(col(s"ts_$side"), s"$SlotMs milliseconds").as(s"w_$side"),
+          col("z").as(s"z_$side"), col("x").as(s"x_$side"))
+    shape(r0, "a")
+      .join(shape(r1, "b"), col("z_a") === col("z_b") && col("w_a") === col("w_b"))
+      .join(shape(r2, "c"), col("z_a") === col("z_c") && col("w_a") === col("w_c"))
+      .select(col("z_a").as("z"),
+        expr(s"unix_millis(w_a.start) div $SlotMs").as("ltw"),
+        col("x_a"), col("x_b"), col("x_c"))
+  }
+
   /** The batch-mode contract both streaming forms must match (same CASE
     * as RefQueries.q2WindowedMinComplete, over the same records).
     */

@@ -298,6 +298,59 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream windowed join equals the batch join (J1 over live streams)") {
+    import graft.streaming.StreamingParity.ZxEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val a = MemoryStream[ZxEvent]
+    val b = MemoryStream[ZxEvent]
+    val query = StreamingParity.streamWindowJoin(a.toDS(), b.toDS())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window 0: key K on both sides (2×1 pairs), key L only on a.
+      // Window 1: key K on both sides again — must NOT pair across windows.
+      a.addData(Seq(ZxEvent(10, "K", 1), ZxEvent(20, "K", 2), ZxEvent(30, "L", 3),
+        ZxEvent(1010, "K", 4)))
+      query.processAllAvailable()
+      b.addData(Seq(ZxEvent(40, "K", 10), ZxEvent(1040, "K", 11)))
+      query.processAllAvailable()
+      val got = s.table("ss_join").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("K", 0L, 1L, 10L), ("K", 0L, 2L, 10L), ("K", 1L, 4L, 11L)))
+    } finally query.stop()
+  }
+
+  test("three-way stream star join pairs all relations per (z, window)") {
+    import graft.streaming.StreamingParity.ZxEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val r0 = MemoryStream[ZxEvent]
+    val r1 = MemoryStream[ZxEvent]
+    val r2 = MemoryStream[ZxEvent]
+    val query = StreamingParity.streamStarJoin(r0.toDS(), r1.toDS(), r2.toDS())
+      .writeStream.format("memory").queryName("ss_star")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window 0, key K: 2×1×2 = 4 star rows; key M missing from r2 → none.
+      r0.addData(Seq(ZxEvent(10, "K", 1), ZxEvent(20, "K", 2), ZxEvent(30, "M", 3)))
+      query.processAllAvailable()
+      r1.addData(Seq(ZxEvent(40, "K", 10), ZxEvent(50, "M", 11)))
+      query.processAllAvailable()
+      r2.addData(Seq(ZxEvent(60, "K", 100), ZxEvent(70, "K", 101)))
+      query.processAllAvailable()
+      val got = s.table("ss_star").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = for (xa <- Set(1L, 2L); xc <- Set(100L, 101L))
+        yield ("K", 0L, xa, 10L, xc)
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("streaming output equals the batch form restricted to closed windows") {
     val s = spark
     import s.implicits._
