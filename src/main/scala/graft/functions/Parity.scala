@@ -189,6 +189,15 @@ object Parity {
     terms.foldLeft("CAST(0 AS BIGINT)")((acc, t) => s"(($acc * 31 + $t) % $P)")
   }
 
+  /** Same band-key fold over the flat m0..m31 agg columns (identical
+    * values to bandKeySpark over the assembled array — m_i == sig[i+1]).
+    */
+  def bandKeyFromCols(band: Int): String = {
+    val lo = band * RowsPerBand
+    val terms = (lo until lo + RowsPerBand).map(i => s"m$i")
+    terms.foldLeft("CAST(0 AS BIGINT)")((acc, t) => s"(($acc * 31 + $t) % $P)")
+  }
+
   // ------------------------------------------------------------------
   // SimHash (60-bit) over token hashes: bit b of the fingerprint is 1 iff
   // the majority of token occurrences have bit b set (2·Σbit_b > n).

@@ -207,11 +207,138 @@ object Analytics {
        |  a.norm AS na, b.norm AS nb
        |FROM np a JOIN np b ON a.z < b.z""".stripMargin
 
+  // ------------------------------------------------------------------
+  // As-of join: for every "trade" event, the most recent "quote" event of
+  // the same user at or before the trade's timestamp (inner semantics —
+  // trades with no prior quote drop). Spark lacks a native ASOF JOIN;
+  // a time-range join explodes O(trades × quotes-in-range) and a
+  // per-trade subquery doesn't distribute. The scalable composition is
+  // union + last-non-null carry-forward: ONE shuffle by user, one sort by
+  // (time, kind) — quotes sort before same-timestamp trades, giving
+  // inclusive semantics — and the window carry runs linearly per
+  // partition. The DuckDB oracle uses its NATIVE ASOF JOIN: two
+  // independent implementations of the contract must hash-match.
+  // Quotes are deduped to one per (user, t) — max event_id wins — so the
+  // as-of pick is deterministic in both engines.
+  // ------------------------------------------------------------------
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    val ev = raw.select(col("event_id"), graft.Shapes.eventTimeMs(raw).as("t"),
+      col("user_id"), floor(col("value")).cast("long").as("x"))
+    val trades = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("user_id"), col("t"), lit(1).as("kind"),
+        col("event_id").as("trade_id"),
+        lit(null).cast("long").as("q_id"), lit(null).cast("long").as("q_x"))
+    val quotes = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(struct(col("event_id"), col("x"))).as("q"))
+      .select(col("user_id"), col("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("trade_id"),
+        col("q.event_id").as("q_id"), col("q.x").as("q_x"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quotes.unionByName(trades)
+      .withColumn("quote_id", last(col("q_id"), ignoreNulls = true).over(w))
+      .withColumn("quote_x", last(col("q_x"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1 && col("quote_id").isNotNull)
+      .select(col("user_id"), col("trade_id"), col("t").as("trade_t"),
+        col("quote_id"), col("quote_x"))
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_ms(ts) AS t, user_id,
+      |         CAST(floor(value) AS BIGINT) AS x
+      |  FROM events),
+      |trades AS (
+      |  SELECT user_id, t AS trade_t, event_id AS trade_id
+      |  FROM ev WHERE event_id % 2 = 0),
+      |quotes AS (
+      |  SELECT user_id, t, max(event_id) AS quote_id, arg_max(x, event_id) AS quote_x
+      |  FROM ev WHERE event_id % 2 = 1 GROUP BY user_id, t)
+      |SELECT tr.user_id, tr.trade_id, tr.trade_t, q.quote_id, q.quote_x
+      |FROM trades tr ASOF JOIN quotes q
+      |  ON tr.user_id = q.user_id AND tr.trade_t >= q.t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sessionization: gaps-and-islands over the event stream — a session
+  // per user breaks when the inter-event gap exceeds SessionGapMs. One
+  // shuffle by user + one sort by time; the session id is a running sum
+  // of boundary flags. The cumulative sum uses the DEFAULT window frame
+  // (RANGE UNBOUNDED PRECEDING..CURRENT ROW) in both engines, so
+  // same-timestamp rows all receive the same session id regardless of
+  // their (engine-dependent) tie order. Streaming twin: the engine's
+  // session_window (StreamingParity.sessionWindowStream), asserted
+  // equivalent by spec.
+  // ------------------------------------------------------------------
+  val SessionGapMs: Long = 3600L * 1000
+
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    val ev = raw.select(graft.Shapes.eventTimeMs(raw).as("t"), col("user_id"))
+    val byUser = Window.partitionBy("user_id").orderBy("t")
+    ev
+      .withColumn("lt", lag("t", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("lt").isNull || col("t") - col("lt") > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum("is_new").over(byUser)) // default RANGE frame
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("session_start"), max("t").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        (col("session_end") - col("session_start")).as("duration_ms"),
+        col("n_events"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH ev AS (SELECT epoch_ms(ts) AS t, user_id FROM events),
+       |flagged AS (
+       |  SELECT user_id, t,
+       |    CASE WHEN lt IS NULL OR t - lt > $SessionGapMs THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT user_id, t,
+       |          lag(t) OVER (PARTITION BY user_id ORDER BY t) AS lt
+       |        FROM ev)),
+       |s AS (
+       |  SELECT user_id, t,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t) AS sid
+       |  FROM flagged)
+       |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+       |  max(t) - min(t) AS duration_ms, count(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact quantiles per group (type-7 linear interpolation): Spark's
+  // percentile() and DuckDB's quantile_cont() both rank at (n-1)·p and
+  // interpolate lower + (upper-lower)·frac — on exact BIGINT inputs the
+  // doubles agree bit-for-bit. Exploded to one row per (group, p).
+  // ------------------------------------------------------------------
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(q, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q_val")))
+      .withColumn("q_idx", col("q_idx").cast("long"))
+      .select("l_returnflag", "q_idx", "q_val")
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS q_idx,
+      |  unnest(qs) AS q_val
+      |FROM (
+      |  SELECT l_returnflag, quantile_cont(q, [0.25, 0.5, 0.75]) AS qs
+      |  FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_pricing_summary" -> (pricingSummary _),
     "a_top_customers" -> (topCustomers _),
     "a_revenue_rollup" -> (revenueRollup _),
     "a_timeseries_similarity" -> (timeseriesSimilarity _),
+    "a_asof_join" -> (asofJoin _),
+    "a_sessionize" -> (sessionize _),
+    "a_quantiles" -> (quantiles _),
     "s_lsh_recall" -> (lshRecall _))
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +346,8 @@ object Analytics {
     "a_top_customers" -> topCustomersSql,
     "a_revenue_rollup" -> revenueRollupSql,
     "a_timeseries_similarity" -> timeseriesSimilaritySql,
+    "a_asof_join" -> asofJoinSql,
+    "a_sessionize" -> sessionizeSql,
+    "a_quantiles" -> quantilesSql,
     "s_lsh_recall" -> lshRecallSql)
 }

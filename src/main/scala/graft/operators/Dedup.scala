@@ -225,44 +225,55 @@ object Dedup {
   // at sf0.1). Docs with fewer than ShingleW tokens have no shingles and
   // drop out (they cannot be near-dup candidates).
   // ------------------------------------------------------------------
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    shingleRel(spark, sfDir)
+  /** Signature as 32 FLAT LONG columns m0..m31 plus the 8 precomputed
+    * band-key columns bk0..bk7, persisted. Both sides of the LSH band
+    * self-join consume this; flat longs matter twice: columnar caching of
+    * scalar LONGs is fast where caching an ARRAY column measured ~3×
+    * slower to materialize, and every downstream predicate (band keys,
+    * first-band dedupe, sig_matches) becomes a codegen'd scalar
+    * comparison instead of array element_at chains / interpreted
+    * zip_with lambdas.
+    */
+  private def sigCols(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = shingleRel(spark, sfDir)
       .groupBy("doc_id")
       .agg(expr(minhashAggSpark("sh").head),
         minhashAggSpark("sh").tail.map(expr): _*)
-      .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
-      // Both sides of the LSH band self-join re-derive this aggregate;
-      // persist so the 32-min signature pass runs once per session.
+    (0 until NumBands)
+      .foldLeft(base)((d, b) => d.withColumn(s"bk$b", expr(bandKeyFromCols(b))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  private def signaturesWithBands(spark: SparkSession, sfDir: String): DataFrame = {
-    val bandCols = (0 until NumBands).map(b =>
-      struct(lit(b).as("band"), expr(bandKeySpark("sig", b)).as("bkey")))
-    minhashSignatures(spark, sfDir)
-      .withColumn("bk", explode(array(bandCols: _*)))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    sigCols(spark, sfDir)
+      .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
+
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = signaturesWithBands(spark, sfDir)
+    val s = sigCols(spark, sfDir)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), col(s"bk$b").as("bkey")))
+    val banded = s.withColumn("bk", explode(array(bandCols: _*)))
+      .withColumn("band", col("bk.band")).withColumn("bkey", col("bk.bkey"))
+      .drop("bk")
     // A pair colliding in k bands appears k times out of the band join;
     // emit it only from its FIRST colliding band — a scalar predicate over
-    // the two signatures — instead of DISTINCT-ing the candidate set
-    // (which re-shuffles every candidate pair). Same pattern as
+    // the precomputed bk columns — instead of DISTINCT-ing the candidate
+    // set (which re-shuffles every candidate pair). Same pattern as
     // simhashPairs below; the oracle keeps SELECT DISTINCT, which yields
     // the identical set (sig_matches is a function of the pair).
     val firstBand = (0 until NumBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
       case (i, rest) =>
-        when(expr(bandKeySpark("a.sig", i)) === expr(bandKeySpark("b.sig", i)), lit(i))
-          .otherwise(rest)
+        when(col(s"a.bk$i") === col(s"b.bk$i"), lit(i)).otherwise(rest)
     }
-    b.as("a").join(b.as("b"),
+    val sigMatches = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .where(col("a.band") === firstBand)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
-          "0L, (acc, v) -> acc + v)").as("sig_matches"))
+        sigMatches.as("sig_matches"))
   }
 
   val minhashLshPairsSql: String = {

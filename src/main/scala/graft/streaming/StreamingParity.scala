@@ -268,6 +268,23 @@ object StreamingParity {
         col("x_a"), col("x_b"), col("x_c"))
   }
 
+  /** Streaming sessionization — the engine-native twin of the batch
+    * gaps-and-islands form (operators/Analytics.sessionize): the engine's
+    * session_window merges events within the gap and closes a session
+    * when the watermark passes its end (last event + gap). State is
+    * bounded by the watermark — the only sessionization that survives an
+    * unbounded stream. Keyed by `word` here (the spec's fixture key); the
+    * batch form keys by user — the shape is identical.
+    */
+  def sessionWindowStream(events: Dataset[PwEvent], gapMs: Long): DataFrame =
+    withEventTs(events)
+      .withWatermark("event_ts", "0 milliseconds")
+      .groupBy(session_window(col("event_ts"), s"$gapMs milliseconds"), col("word"))
+      .agg(min("event_time").as("session_start"),
+        max("event_time").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("word"), col("session_start"), col("session_end"), col("n_events"))
+
   /** The batch-mode contract both streaming forms must match (same CASE
     * as RefQueries.q2WindowedMinComplete, over the same records).
     */

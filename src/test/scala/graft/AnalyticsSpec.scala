@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Planted-fixture specs for the windowed-analytics operators (as-of join,
+  * sessionization incl. the streaming session_window twin). The oracle
+  * gate proves them at corpus scale; these pin the semantics on
+  * hand-checkable rows.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("as-of join picks the latest quote at or before each trade, per user") {
+    // Even event_id = trade, odd = quote (the operator's convention).
+    // user 1: quotes (1, t=100, x=10), (3, t=300, x=30), (5, t=300, x=50)
+    //         — the t=300 tie dedupes to max event_id 5.
+    //         trades (2, t=200) → quote 1; (4, t=300) → quote 5 (inclusive);
+    //                (6, t=50)  → no prior quote, dropped.
+    // user 2: trade (8, t=500) with only user-1 quotes → dropped
+    //         (as-of never crosses the partition key).
+    val dir = writeFixture(events = Seq(
+      event(1, 100, 1, "q", 10.0), event(3, 300, 1, "q", 30.0),
+      event(5, 300, 1, "q", 50.0),
+      event(2, 200, 1, "t"), event(4, 300, 1, "t"), event(6, 50, 1, "t"),
+      event(8, 500, 2, "t")))
+    val got = rows(Analytics.asofJoin(spark, dir))
+    assert(got === Set(
+      Seq(1L, 2L, 200L, 1L, 10L),
+      Seq(1L, 4L, 300L, 5L, 50L)))
+  }
+
+  test("sessionize breaks sessions on gaps above the threshold, per user") {
+    val gap = Analytics.SessionGapMs
+    // user 1: events at 0, gap (boundary-inclusive), and 3·gap — the first
+    // two are one session (diff == gap, not >), the third starts a new one.
+    // user 2: one event → its own session. Same-timestamp rows collapse
+    // into the same session regardless of tie order.
+    val dir = writeFixture(events = Seq(
+      event(1, 0, 1, "a"), event(2, gap, 1, "a"), event(3, 3 * gap, 1, "a"),
+      event(4, 3 * gap, 1, "a"),
+      event(5, 42, 2, "a")))
+    val got = rows(Analytics.sessionize(spark, dir))
+    assert(got === Set(
+      Seq(1L, 0L, gap, gap, 2L),
+      Seq(1L, 3 * gap, 3 * gap, 0L, 2L),
+      Seq(2L, 42L, 42L, 0L, 1L)))
+  }
+
+  test("streaming session_window matches the batch gaps-and-islands sessions") {
+    import graft.streaming.StreamingParity
+    import graft.streaming.StreamingParity.PwEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val gap = 1000L
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.sessionWindowStream(input.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // word A: 10, 500, 1400 chain into ONE session (each gap ≤ 1000);
+      // then 5000 starts a second. word B: single event at 200.
+      input.addData(Seq(
+        PwEvent(10, 0, "A"), PwEvent(500, 0, "A"), PwEvent(1400, 0, "A"),
+        PwEvent(200, 0, "B")))
+      query.processAllAvailable()
+      input.addData(Seq(PwEvent(5000, 0, "A")))
+      query.processAllAvailable()
+      // Sentinel far ahead closes every session.
+      input.addData(Seq(PwEvent(100000, 0, "SENT")))
+      query.processAllAvailable()
+      val got = s.table("sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === Set(
+        ("A", 10L, 1400L, 3L), ("A", 5000L, 5000L, 1L), ("B", 200L, 200L, 1L)))
+    } finally query.stop()
+  }
+
+  test("exact quantiles interpolate type-7 on a known distribution") {
+    // Not the gated relation — a direct check of the percentile contract
+    // on values 1..5: p25 = 2.0, p50 = 3.0, p75 = 4.0.
+    val s = spark
+    import s.implicits._
+    val got = Seq(1L, 2L, 3L, 4L, 5L).toDF("q")
+      .selectExpr("percentile(q, array(0.25D, 0.5D, 0.75D)) AS qs")
+      .head().getAs[scala.collection.Seq[Double]]("qs").toSeq
+    assert(got === Seq(2.0, 3.0, 4.0))
+  }
+}
