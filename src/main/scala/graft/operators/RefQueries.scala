@@ -196,15 +196,21 @@ object RefQueries {
   // the count-product needs no pair materialization and no replication;
   // skew is absorbed by the map-side partial aggregate.
   // --------------------------------------------------------------------
-  def q4StarCardinality(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Shapes.portWordEvents(spark, sfDir)
-    ev.groupBy(col("word").as("z"))
+  /** The count-product plan over any `(port, word)` relation — ONE
+    * conditional aggregation, also runnable as a streaming update/complete
+    * aggregation (the reference's Q4 runs over live streams; the streaming
+    * spec asserts the running state converges to this batch plan).
+    */
+  def q4CardinalityPlan(portWord: DataFrame): DataFrame =
+    portWord.groupBy(col("word").as("z"))
       .agg(
         sum(when(col("port") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("port") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
       .select(col("z"), (col("c0") * col("c1") * col("c2")).as("card"))
-  }
+
+  def q4StarCardinality(spark: SparkSession, sfDir: String): DataFrame =
+    q4CardinalityPlan(Shapes.portWordEvents(spark, sfDir))
 
   val q4StarCardinalitySql: String =
     s"""SELECT z, CAST(c0 * c1 * c2 AS BIGINT) AS card FROM (

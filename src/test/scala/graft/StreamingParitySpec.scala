@@ -351,6 +351,36 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-product (Q4) converges to the batch star cardinality") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[PwEvent]
+    // Complete mode: the running per-key counts are exactly the
+    // reference's cardinality state (HHJoin.scala:59-78), re-aggregated
+    // by the engine each trigger.
+    val query = graft.operators.RefQueries.q4CardinalityPlan(input.toDS().toDF())
+      .writeStream.format("memory").queryName("q4_stream")
+      .outputMode(OutputMode.Complete()).start()
+    def table() = s.table("q4_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    try {
+      input.addData(Seq(PwEvent(10, 0, "A"), PwEvent(20, 0, "A"), PwEvent(30, 1, "A")))
+      query.processAllAvailable()
+      // Port 2 empty → zero product, exactly the batch semantics.
+      assert(table() === Set(("A", 0L)))
+      input.addData(Seq(PwEvent(40, 2, "A"), PwEvent(50, 2, "A"), PwEvent(60, 0, "B")))
+      query.processAllAvailable()
+      val all = Seq(
+        PwEvent(10, 0, "A"), PwEvent(20, 0, "A"), PwEvent(30, 1, "A"),
+        PwEvent(40, 2, "A"), PwEvent(50, 2, "A"), PwEvent(60, 0, "B"))
+      val batch = graft.operators.RefQueries.q4CardinalityPlan(all.toDF())
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(table() === batch)
+      assert(table() === Set(("A", 4L), ("B", 0L)))
+    } finally query.stop()
+  }
+
   test("streaming output equals the batch form restricted to closed windows") {
     val s = spark
     import s.implicits._
