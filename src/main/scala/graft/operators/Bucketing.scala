@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — the storage-layout lever for the 100 TB
+  * fact-to-fact join: writing both sides bucketed (and sorted) by the join
+  * key pins rows to bucket files by `hash(key) % n`, so an equi-join on
+  * that key reads matching buckets pairwise and the plan carries NO
+  * shuffle exchange on either side — the exchange the reference's
+  * hand-rolled hash partitioners (T1/T8) existed to align. At cluster
+  * scale this is the difference between re-shuffling the full fact table
+  * on every join and a scan-local sort-merge; AQE cannot remove that
+  * exchange at runtime, only the layout can.
+  *
+  * Not an oracle-gated query (bucketing is a physical property — the
+  * RESULT is identical to the plain join, which IS gated as
+  * `q4_star_join`); BucketingSpec asserts both halves of the contract:
+  * result equality with the unbucketed join, and shuffle-freedom of the
+  * executed plan.
+  */
+object Bucketing {
+
+  val NumBuckets = 8
+
+  /** Write lineitem + orders as bucketed-sorted tables on the join key
+    * into `location` (external tables registered in the session catalog).
+    */
+  def writeBucketed(spark: SparkSession, sfDir: String, location: String,
+      liTable: String, oTable: String): Unit = {
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$location/$liTable")
+      .saveAsTable(liTable)
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$location/$oTable")
+      .saveAsTable(oTable)
+  }
+
+  /** Fact-to-fact join over the bucketed tables: per-orderkey line counts.
+    * With matching bucket specs the planner reads bucket i against bucket
+    * i — no Exchange on either input. The `merge` hint pins sort-merge —
+    * at 100 TB neither fact side broadcasts, so SMJ is the natural
+    * strategy; at test SF AQE would broadcast and hide the layout effect
+    * the spec asserts.
+    */
+  def bucketedJoinCounts(spark: SparkSession, liTable: String, oTable: String): DataFrame =
+    spark.table(liTable).hint("merge")
+      .join(spark.table(oTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_lines"))
+
+  /** The identical logical join over the raw parquet — same `merge` pin —
+    * the equality-and-shuffle baseline for the spec.
+    */
+  def unbucketedJoinCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity").hint("merge")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_lines"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed co-located join contract: same result as the shuffled join,
+  * with NO shuffle exchange below the join in the executed plan.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def shuffleCount(df: DataFrame): Int = {
+    // AQE hides finalized exchanges inside query-stage nodes that tree
+    // traversal does not descend into; the printed final plan shows every
+    // shuffle as "Exchange hashpartitioning" (broadcasts print as
+    // BroadcastExchange and don't match).
+    // AQE prints the initial plan below the final one — count only the
+    // final section.
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(s).length
+  }
+
+  test("bucketed join matches the shuffled join and reads without an exchange") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val (li, o) = ("graft_li_bucketed", "graft_o_bucketed")
+    try {
+      Bucketing.writeBucketed(s, sfDir, loc, li, o)
+      val bucketed = Bucketing.bucketedJoinCounts(s, li, o)
+      val plain = Bucketing.unbucketedJoinCounts(s, sfDir)
+      // Contract 1: identical results.
+      assert(rows(bucketed) === rows(plain))
+      assert(rows(bucketed).nonEmpty)
+      // Contract 2: the bucketed join's inputs arrive shuffle-free. Both
+      // plans keep exactly ONE shuffle — the final groupBy(o_custkey) —
+      // while the plain join adds one exchange per join input.
+      bucketed.collect() // materialize so AQE finalizes the executed plan
+      plain.collect()
+      assert(shuffleCount(bucketed) === 1,
+        s"bucketed join must only shuffle for the final groupBy:\n${bucketed.queryExecution.executedPlan}")
+      assert(shuffleCount(plain) === 3,
+        s"baseline sanity: the unbucketed join shuffles both inputs:\n${plain.queryExecution.executedPlan}")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $li")
+      s.sql(s"DROP TABLE IF EXISTS $o")
+    }
+  }
+}
