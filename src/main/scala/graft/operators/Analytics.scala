@@ -331,7 +331,31 @@ object Analytics {
       |        FROM lineitem)
       |  GROUP BY l_returnflag)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Semi-structured extraction: pull typed fields out of the events'
+  // JSON `props` column and aggregate on them — the schema-on-read path
+  // every telemetry pipeline needs. get_json_object is a pure projection
+  // (pipelines into the scan, no shuffle before the grouped agg); the
+  // DuckDB oracle uses its independent JSON parser.
+  // ------------------------------------------------------------------
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    raw.select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        floor(col("value")).cast("long").as("x"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"), sum("x").as("sum_x"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_x
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_json_extract" -> (jsonExtract _),
     "a_pricing_summary" -> (pricingSummary _),
     "a_top_customers" -> (topCustomers _),
     "a_revenue_rollup" -> (revenueRollup _),
@@ -342,6 +366,7 @@ object Analytics {
     "s_lsh_recall" -> (lshRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_json_extract" -> jsonExtractSql,
     "a_pricing_summary" -> pricingSummarySql,
     "a_top_customers" -> topCustomersSql,
     "a_revenue_rollup" -> revenueRollupSql,

@@ -31,6 +31,29 @@ object WireFormat {
         element_at(col("f"), 2).cast("int").as("port"),
         element_at(col("f"), 3).as("word"))
 
+  /** The permissive parser above assumes the reference's generator-fed
+    * wellformed streams — under ANSI mode (Spark 4 default) one malformed
+    * numeric ABORTS the whole job mid-stream. This strict variant
+    * tolerates malformed input (`try_cast`), enforces the 3-field shape,
+    * and routes violations to a side relation with the raw segment
+    * preserved (the dead-letter pattern): at 100 TB you audit and replay
+    * rejects; the pipeline never stops and never silently drops. Both
+    * branches are narrow projections off the same exploded relation.
+    */
+  def parsePortWordWithRejects(messages: Dataset[String]): (DataFrame, DataFrame) = {
+    val rec = messages.toDF("value")
+      .select(explode(split(col("value"), ";")).as("rec"))
+      .where(length(trim(col("rec"))) > 0)
+      .select(col("rec"), split(col("rec"), " ").as("f"))
+      .withColumn("event_time", expr("try_cast(element_at(f, 1) AS BIGINT)"))
+      .withColumn("port", expr("try_cast(element_at(f, 2) AS INT)"))
+      .withColumn("word", element_at(col("f"), 3))
+    val ok = size(col("f")) === 3 &&
+      col("event_time").isNotNull && col("port").isNotNull && col("word").isNotNull
+    (rec.where(ok).select("event_time", "port", "word"),
+      rec.where(!ok).select(col("rec").as("raw")))
+  }
+
   /** Keyed wire form: (sourceId, `"<ts> <z> <x>;..."`) → (event_time,
     * relation, z, x) — the star-join/one-group shape where the Kafka key
     * carries the relation id.

@@ -15,6 +15,24 @@ class WireFormatSpec extends SparkSpec {
       Seq(2004L, 2, "A")))
   }
 
+  test("strict parsing routes malformed segments to the reject relation") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      "10 0 alpha;1 2",            // second segment: missing word
+      "20 notanint beta;30 1 ok",  // first segment: non-numeric port
+      "40 2 gamma extra;;50 0 d"   // first segment: 4 fields; blank drops
+    ).toDS()
+    val (good, rejects) = WireFormat.parsePortWordWithRejects(raw)
+    assert(rows(good) === Set(
+      Seq(10L, 0, "alpha"), Seq(30L, 1, "ok"), Seq(50L, 0, "d")))
+    assert(rows(rejects) === Set(
+      Seq("1 2"), Seq("20 notanint beta"), Seq("40 2 gamma extra")))
+    // The permissive parser would have NULLed, not dropped — the strict
+    // split conserves every non-blank segment exactly once.
+    assert(good.count() + rejects.count() === 6)
+  }
+
   test("keyed zx wire parsing: relation id from the message key") {
     val s = spark
     import s.implicits._
