@@ -430,6 +430,76 @@ object Dedup {
        |WHERE ${cosineDuck(dotDuck("a.v", "b.v"), "a.norm", "b.norm")} > $CosThreshold""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Near-dup CLUSTERING: pair relations only say "these two are dups";
+  // a curation pipeline must collapse them into components and elect one
+  // canonical doc per cluster (keep-lowest-id). Distributed connected
+  // components via iterative min-label propagation over the symmetric
+  // simhash-pair edge relation: each round every doc takes the min of
+  // its own label and its neighbors' labels; fixpoint in O(component
+  // diameter) rounds (near-dup clusters are shallow — a handful). Each
+  // round is one join + one grouped min — fully distributed; the only
+  // driver-side value is the scalar changed-row count that ends the
+  // loop (the standard large-star/small-star structure). The oracle is
+  // an INDEPENDENT implementation: DuckDB's recursive CTE computes the
+  // transitive closure and takes the min reachable id.
+  // ------------------------------------------------------------------
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = simhashPairs(spark, sfDir).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) truncates the logical plan each round —
+    // without it the iteration stacks joins into an ever-deeper lineage
+    // (planning blows the heap long before the data does) and re-joining
+    // a frame against its own ancestor trips ambiguous-self-join
+    // resolution. Convergence = the label sum stops falling: min-label
+    // propagation only ever lowers labels, so the (exact, decimal) sum
+    // strictly decreases until fixpoint — no old-vs-new self-join needed.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) { // 64 ≥ log-diameter of any graph here
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("id_b"), col("comp").as("nc")), "id_b")
+        .groupBy("id_a").agg(min("nc").as("min_nbr"))
+      labels = labels
+        .join(nbrMin.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("comp").as("canonical_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($simhashPairsSql)),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT d.doc_id,
+       |  CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS canonical_id
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
@@ -439,7 +509,8 @@ object Dedup {
     "d_simhash" -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_embedding_neardup" -> (embeddingNearDup _),
-    "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _))
+    "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
+    "d_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
@@ -450,5 +521,6 @@ object Dedup {
     "d_simhash" -> simhashSql,
     "d_simhash_pairs" -> simhashPairsSql,
     "d_embedding_neardup" -> embeddingNearDupSql,
-    "d_embedding_neardup_lsh" -> embeddingNearDupLshSql)
+    "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
+    "d_dedup_clusters" -> dedupClustersSql)
 }

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dedup clustering collapses the near-dup component to one canonical doc") {
+    val dir = fixture()
+    val got = rows(Dedup.dedupClusters(spark, dir))
+    // 0 and 1 are identical (hamming 0) → one component with canonical 0;
+    // 2 differs by more than the simhash radius on this fixture and 3 is
+    // unrelated → each stays its own canonical.
+    assert(got === Set(
+      Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L), Seq(3L, 3L)))
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val w = v.clone(); w(0) += 0.001f           // near-identical
