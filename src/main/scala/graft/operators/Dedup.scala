@@ -338,6 +338,11 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
       .where(col("hamming") <= MaxHamming)
+      // The pair OUTPUT is tiny (near-dups are rare by construction) and
+      // has two gated consumers — the pair query itself and the
+      // connected-components clustering — persist so the banded self-join
+      // runs once per session.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val simhashPairsSql: String = {
@@ -444,44 +449,71 @@ object Dedup {
   // an INDEPENDENT implementation: DuckDB's recursive CTE computes the
   // transitive closure and takes the min reachable id.
   // ------------------------------------------------------------------
+  /** Operational visibility for the iterative clustering (stderr — the
+    * one driver-side loop in the library should say how long it ran).
+    */
+  private def logInfoRounds(rounds: Int): Unit =
+    System.err.println(s"[dedupClusters] converged after $rounds rounds")
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // simhashPairs is persisted at source (shared with the gated pair
+    // query); the symmetric union reads the cache once per direction.
     val pairs = simhashPairs(spark, sfDir).select("id_a", "id_b")
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) truncates the logical plan each round —
-    // without it the iteration stacks joins into an ever-deeper lineage
-    // (planning blows the heap long before the data does) and re-joining
-    // a frame against its own ancestor trips ambiguous-self-join
-    // resolution. Convergence = the label sum stops falling: min-label
-    // propagation only ever lowers labels, so the (exact, decimal) sum
-    // strictly decreases until fixpoint — no old-vs-new self-join needed.
+    // Iterate ONLY over docs that appear in some pair — a singleton's
+    // label can never change, and paired docs are a tiny fraction of the
+    // corpus (the whole point of dedup); the full doc list joins back in
+    // once at the end. localCheckpoint truncates the logical plan each
+    // round — without it the iteration stacks joins into an ever-deeper
+    // lineage (planning blows the heap long before the data does) and
+    // re-joining a frame against its own ancestor trips
+    // ambiguous-self-join resolution; the lazy form materializes under
+    // the convergence action, one job per round. Convergence = the label
+    // sum stops falling: min-label propagation only ever lowers labels,
+    // so the (exact, decimal) sum strictly decreases until fixpoint — no
+    // old-vs-new self-join needed.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
-    var labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) { // 64 ≥ log-diameter of any graph here
+    while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
+      // The label relation is pairs-only (small); broadcast it into the
+      // edge join so the cached edge relation never re-shuffles per round.
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("id_b"), col("comp").as("nc")), "id_b")
+        .join(broadcast(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
+          "id_b")
         .groupBy("id_a").agg(min("nc").as("min_nbr"))
-      labels = labels
-        .join(nbrMin.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+      val propagated = labels
+        .join(broadcast(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      // Pointer jumping: follow comp → comp(comp) through the previous
+      // round's labels — path lengths halve per round, so convergence is
+      // O(log diameter) instead of O(diameter).
+      labels = propagated
+        .join(broadcast(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
+          col("comp") === col("comp_doc"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .localCheckpoint(false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }
+    logInfoRounds(rounds)
     edges.unpersist()
-    labels.select(col("doc_id"), col("comp").as("canonical_id"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
   }
 
   val dedupClustersSql: String =
