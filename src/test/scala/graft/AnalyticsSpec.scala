@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Analytics
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Planted-fixture specs for the windowed-analytics operators (as-of join,
@@ -76,6 +77,21 @@ class AnalyticsSpec extends SparkSpec {
       assert(got === Set(
         ("A", 10L, 1400L, 3L), ("A", 5000L, 5000L, 1L), ("B", 200L, 200L, 1L)))
     } finally query.stop()
+  }
+
+  test("HLL++ approximate distinct tracks the exact count within its error bound") {
+    // The sketch path for COUNT(DISTINCT) at 100 TB — one pass, fixed
+    // memory, mergeable across partitions — vs the exact shuffle. Not
+    // oracle-gatable (sketch hashes are engine-specific); asserted
+    // against the exact count on the shared fixture instead.
+    val s = spark
+    val sfDir = "/root/testdata/sf0.01"
+    val ev = Tables.events(s, sfDir)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val rsd = 0.05
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd)).head().getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 3 * rsd, s"approx $approx vs exact $exact: relErr $relErr")
   }
 
   test("exact quantiles interpolate type-7 on a known distribution") {
