@@ -351,6 +351,32 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension (stateless)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // The dimension-enrichment shape: every micro-batch joins against the
+    // static relation with NO streaming state (broadcast per batch) — the
+    // production pattern for attaching reference data to a 100 TB/day
+    // stream without a stateful join.
+    val dim = Seq((0, "us"), (1, "eu"), (2, "apac")).toDF("port", "region")
+    val input = MemoryStream[PwEvent]
+    val query = input.toDS().toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("port"))
+      .select("word", "event_time", "region")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(PwEvent(10, 0, "A"), PwEvent(20, 2, "B")))
+      query.processAllAvailable()
+      input.addData(Seq(PwEvent(30, 1, "C")))
+      query.processAllAvailable()
+      val got = s.table("enriched").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set(("A", 10L, "us"), ("B", 20L, "apac"), ("C", 30L, "eu")))
+    } finally query.stop()
+  }
+
   test("streaming count-product (Q4) converges to the batch star cardinality") {
     val s = spark
     import s.implicits._
