@@ -449,32 +449,31 @@ object Dedup {
   // an INDEPENDENT implementation: DuckDB's recursive CTE computes the
   // transitive closure and takes the min reachable id.
   // ------------------------------------------------------------------
-  /** Operational visibility for the iterative clustering (stderr — the
-    * one driver-side loop in the library should say how long it ran).
+  /** Distributed connected components over an undirected `(id_a, id_b)`
+    * pair relation: returns `(doc_id, comp)` for every vertex appearing
+    * in a pair, with comp = the component's minimum id. Iterative
+    * min-label propagation with pointer jumping; reusable for ANY pair
+    * source (simhash, minhash, embedding LSH) and property-tested against
+    * a driver-side union-find on random graphs (PropertySpec).
+    *
+    * Mechanics: the label relation is broadcast into the cached edge
+    * relation each round so edges never re-shuffle; each round also
+    * follows comp → comp(comp) (pointer jumping), halving path lengths —
+    * O(log diameter) rounds. localCheckpoint truncates the logical plan
+    * per round (without it the iteration stacks joins into an ever-deeper
+    * lineage — planning blows the heap long before the data does — and
+    * re-joining a frame against its own ancestor trips
+    * ambiguous-self-join resolution); the lazy form materializes under
+    * the convergence action, one job per round. Convergence = the label
+    * sum stops falling: propagation only ever lowers labels, so the
+    * (exact, decimal) sum strictly decreases until fixpoint — no
+    * old-vs-new self-join needed.
     */
-  private def logInfoRounds(rounds: Int): Unit =
-    System.err.println(s"[dedupClusters] converged after $rounds rounds")
-
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // simhashPairs is persisted at source (shared with the gated pair
-    // query); the symmetric union reads the cache once per direction.
-    val pairs = simhashPairs(spark, sfDir).select("id_a", "id_b")
-    val edges = pairs
+    val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Iterate ONLY over docs that appear in some pair — a singleton's
-    // label can never change, and paired docs are a tiny fraction of the
-    // corpus (the whole point of dedup); the full doc list joins back in
-    // once at the end. localCheckpoint truncates the logical plan each
-    // round — without it the iteration stacks joins into an ever-deeper
-    // lineage (planning blows the heap long before the data does) and
-    // re-joining a frame against its own ancestor trips
-    // ambiguous-self-join resolution; the lazy form materializes under
-    // the convergence action, one job per round. Convergence = the label
-    // sum stops falling: min-label propagation only ever lowers labels,
-    // so the (exact, decimal) sum strictly decreases until fixpoint — no
-    // old-vs-new self-join needed.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
@@ -485,8 +484,6 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
-      // The label relation is pairs-only (small); broadcast it into the
-      // edge join so the cached edge relation never re-shuffles per round.
       val nbrMin = edges
         .join(broadcast(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
           "id_b")
@@ -495,9 +492,6 @@ object Dedup {
         .join(broadcast(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
-      // Pointer jumping: follow comp → comp(comp) through the previous
-      // round's labels — path lengths halve per round, so convergence is
-      // O(log diameter) instead of O(diameter).
       labels = propagated
         .join(broadcast(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
           col("comp") === col("comp_doc"), "left")
@@ -509,8 +503,18 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
-    logInfoRounds(rounds)
+    System.err.println(s"[connectedComponents] converged after $rounds rounds")
     edges.unpersist()
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // simhashPairs is persisted at source (shared with the gated pair
+    // query). Components run ONLY over docs that appear in some pair — a
+    // singleton's label can never change, and paired docs are a tiny
+    // fraction of the corpus (the whole point of dedup); the full doc
+    // list joins back in once at the end.
+    val labels = connectedComponents(simhashPairs(spark, sfDir))
     Tables.documents(spark, sfDir).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))

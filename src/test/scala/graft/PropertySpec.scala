@@ -43,6 +43,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal driver-side union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 16 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      // Random sparse graph incl. long chains (the pointer-jumping case).
+      val chain = (0 until 12).map(i => (i.toLong, (i + 1).toLong))
+      val random = List.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = (chain ++ random).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      // Reference: union-find.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = members.map(v => Seq[Any](v,
+        members.filter(u => find(u.toInt) == find(v.toInt)).min)).toSet
+      val got = rows(graft.operators.Dedup.connectedComponents(
+        pairs.toDF("id_a", "id_b")))
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("as-of join equals the brute-force latest-quote scan on random events") {
+    for (seed <- 21 to 25) {
+      val rnd = new scala.util.Random(seed)
+      // Small ts domain forces same-timestamp collisions (the tie rules).
+      val evs = (0 until 50).map { i =>
+        event(i.toLong, rnd.nextInt(10).toLong * 100, rnd.nextInt(3).toLong, "e")
+      }
+      val dir = writeFixture(events = evs)
+      // Brute force: per trade, scan all quotes of the user at t ≤ trade
+      // t; pick max t, then max event_id; x = floor(value) of that quote.
+      val quotes = evs.filter(_.event_id % 2 == 1)
+      val expected = evs.filter(_.event_id % 2 == 0).flatMap { tr =>
+        val cands = quotes.filter(q =>
+          q.user_id == tr.user_id && q.ts.getTime <= tr.ts.getTime)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(q => (q.ts.getTime, q.event_id))
+          Some(Seq[Any](tr.user_id, tr.event_id, tr.ts.getTime,
+            best.event_id, math.floor(best.value).toLong))
+        }
+      }.toSet
+      val got = rows(graft.operators.Analytics.asofJoin(spark, dir))
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("sessionize equals the brute-force gap scan on random events") {
+    val gap = graft.operators.Analytics.SessionGapMs
+    for (seed <- 26 to 30) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (0 until 60).map { i =>
+        event(i.toLong, rnd.nextInt(20).toLong * gap / 2, rnd.nextInt(4).toLong, "e")
+      }
+      val dir = writeFixture(events = evs)
+      val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        // Split the sorted times where the gap exceeds the threshold.
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gap) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        sessions.map { sess =>
+          Seq[Any](u, sess.min, sess.max, sess.max - sess.min, sess.size.toLong)
+        }
+      }.toSet
+      val got = rows(graft.operators.Analytics.sessionize(spark, dir))
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("amplification scales counts linearly") {
     for (seed <- 11 to 15) {
       val dir = mkDir(genEvents(seed))
