@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongVectorDot, PolyHash, WordShingleHashes}
+import graft.functions.{LongVectorDot, PolyHash, SimHash64, WordShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -56,7 +56,11 @@ object GraftExtensions {
         if (args.length > 3) boolArg(args(3), "wide") else false)),
     (FunctionIdentifier("long_vector_dot"),
       info("long_vector_dot", "long_vector_dot(a, b) - exact BIGINT-array dot product"),
-      (args: Seq[Expression]) => LongVectorDot(args.head, args(1))))
+      (args: Seq[Expression]) => LongVectorDot(args.head, args(1))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(str) - 60-bit SimHash over per-token 62-bit hashes (one pass per row)"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
 
   /** Registers the graft functions into an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

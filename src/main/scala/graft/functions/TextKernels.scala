@@ -106,6 +106,46 @@ object TextKernels {
     }
     new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** 60-bit SimHash of one string in a single pass: per-token 62-bit
+    * two-hash pack, per-bit majority over token OCCURRENCES — bit-for-bit
+    * the grouped-aggregation form (Parity.simhashAggSpark over exploded
+    * tokenHashes + simhashFromCounts), which the KernelParitySpec pins.
+    * Exists for the per-ROW domains the grouped form can't serve: a
+    * streaming row needs its fingerprint before any grouping exists.
+    */
+  def simHash64(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val counts = new Array[Int](Parity.SimHashBits)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var a = 0L
+      var b2 = 0L
+      var j = 0
+      while (j < t.length) {
+        val cp = t.codePointAt(j)
+        a = (a * 31 + cp) % P
+        b2 = (b2 * Base2 + cp) % P2
+        j += Character.charCount(cp)
+      }
+      val h = a * Pack + b2
+      var b = 0
+      while (b < Parity.SimHashBits) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    val n = toks.length
+    var out = 0L
+    var b = 0
+    while (b < Parity.SimHashBits) {
+      if (2L * counts(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** `poly_hash(text)` — codegen scalar form of [[TextKernels.polyHash]]. */
@@ -145,9 +185,28 @@ case class WordShingleHashes(child: Expression, w: Int, distinct: Boolean,
     copy(child = newChild)
 }
 
+/** `simhash64(text)` — codegen scalar form of [[TextKernels.simHash64]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextHashOps {
   def polyHash(c: Column): Column =
     CatalystBridge.column(PolyHash(CatalystBridge.expression(c)))
+
+  def simHash(c: Column): Column =
+    CatalystBridge.column(SimHash64(CatalystBridge.expression(c)))
 
   def shingleHashes(c: Column, w: Int, distinct: Boolean = true): Column =
     CatalystBridge.column(

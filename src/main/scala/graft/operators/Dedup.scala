@@ -299,14 +299,15 @@ object Dedup {
   // one codegen'd HashAggregate pass.
   // ------------------------------------------------------------------
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    // One codegen pass per row via the native SimHash64 kernel — replaces
+    // the explode + 61-aggregate grouped form (KernelParitySpec pins the
+    // two bit-for-bit; the DuckDB oracle still computes the grouped form
+    // independently). The scalar projection pipelines into the scan: no
+    // shuffle at all to fingerprint the corpus.
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(TextHashOps.tokenHashes(col("text"))).as("h"))
-      .groupBy("doc_id")
-      .agg(expr(simhashAggSpark("h").head), simhashAggSpark("h").tail.map(expr): _*)
-      .select(col("doc_id"), expr(simhashFromCounts).as("simhash"))
+      .select(col("doc_id"), TextHashOps.simHash(col("text")).as("simhash"))
       // Consumed by the d_simhash gate AND (twice, via the band self-join)
-      // by simhashPairs; persist so the per-bit SUM pass runs once.
+      // by simhashPairs; persist so the kernel pass runs once.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   val simhashSql: String =

@@ -315,6 +315,24 @@ object StreamingParity {
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "fp")
 
+  /** Streaming NEAR-dup guard: drop an arriving doc whose 60-bit SimHash
+    * equals one already seen inside the watermark. The per-row SimHash64
+    * kernel makes the fingerprint available before any grouping exists —
+    * the prerequisite for streaming use. Contract vs the batch family:
+    * high precision (equal fingerprints ⇒ near-identical token
+    * multisets), partial recall (a Hamming-1..3 neighbor passes the
+    * guard) — the honest streaming tradeoff; batch banded pairs +
+    * clustering remain the full-recall ground truth and the spec pins
+    * both sides of it.
+    */
+  def streamingNearDupGuard(docs: Dataset[StreamDoc]): DataFrame =
+    docs.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withColumn("simhash", graft.functions.TextHashOps.simHash(col("text")))
+      .withWatermark("event_ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("simhash")
+      .select("doc_id", "simhash")
+
   // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:

@@ -72,6 +72,28 @@ class KernelParitySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("SimHash64 kernel == grouped-aggregation simhash, bit for bit") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    val df = randomTexts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    // The grouped form (explode + per-bit SUMs + majority fold) — the
+    // oracle's formulation — must equal the one-pass kernel per doc, and
+    // the SQL-registered function must equal the Column API.
+    val grouped = df
+      .select(col("doc_id"), explode(TextHashOps.tokenHashes(col("text"))).as("h"))
+      .groupBy("doc_id")
+      .agg(expr(Parity.simhashAggSpark("h").head),
+        Parity.simhashAggSpark("h").tail.map(expr): _*)
+      .select(col("doc_id"), expr(Parity.simhashFromCounts).as("agg_form"))
+    val diff = df
+      .select(col("doc_id"), TextHashOps.simHash(col("text")).as("kernel"),
+        expr("simhash64(text)").as("sql_form"))
+      .join(grouped, "doc_id")
+      .where(col("kernel") =!= col("agg_form") || col("kernel") =!= col("sql_form"))
+    assert(diff.count() === 0)
+  }
+
   test("SQL registration: poly_hash / word_shingle_hashes / long_vector_dot") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -351,6 +351,30 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup guard drops same-fingerprint docs within the watermark") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.streamingNearDupGuard(input.toDS())
+      .writeStream.format("memory").queryName("neardup_guard")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Token-multiset permutations share the SimHash exactly → doc 1
+      // drops. Doc 2 differs in most tokens → distinct fingerprint, kept.
+      input.addData(Seq(
+        StreamDoc(1000, 0, "alpha beta gamma delta"),
+        StreamDoc(2000, 1, "delta gamma beta alpha"),
+        StreamDoc(3000, 2, "completely different words here")))
+      query.processAllAvailable()
+      input.addData(Seq(StreamDoc(4000, 3, "alpha beta gamma delta")))
+      query.processAllAvailable()
+      val kept = s.table("neardup_guard").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 2L))
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension (stateless)") {
     val s = spark
     import s.implicits._
