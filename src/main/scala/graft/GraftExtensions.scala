@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongVectorDot, PolyHash, SimHash64, WordShingleHashes}
+import graft.functions.{LongVectorDot, MinHashSigs, PolyHash, SimHash64, WordShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,7 +60,11 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("simhash64",
         "simhash64(str) - 60-bit SimHash over per-token 62-bit hashes (one pass per row)"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs",
+        "minhash_sigs(str, w) - 32-permutation MinHash signature over w-gram shingles"),
+      (args: Seq[Expression]) => MinHashSigs(args.head, intArg(args(1), "w"))))
 
   /** Registers the graft functions into an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -107,6 +107,34 @@ object TextKernels {
     new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** MinHash signature of one string in a single pass: the 32 permuted
+    * minima over the w-gram shingle hashes — bit-for-bit the grouped
+    * 32×min aggregation over the exploded shingle relation (min is
+    * multiplicity-blind, so shingle distinctness is irrelevant), pinned
+    * by KernelParitySpec. Returns an EMPTY array for docs with fewer
+    * than w tokens — the rows the grouped form drops; callers filter
+    * `size(sig) > 0`.
+    */
+  def minhashSigs(s: UTF8String, w: Int): ArrayData = {
+    val hs = shingleHashes(s, w, distinct = false, wide = false)
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = Array.fill(Parity.NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < Parity.NumHashes) {
+        val (a, b) = Parity.minhashCoeffs(k)
+        val v = (a * h + b) % P
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash of one string in a single pass: per-token 62-bit
     * two-hash pack, per-bit majority over token OCCURRENCES — bit-for-bit
     * the grouped-aggregation form (Parity.simhashAggSpark over exploded
@@ -185,6 +213,24 @@ case class WordShingleHashes(child: Expression, w: Int, distinct: Boolean,
     copy(child = newChild)
 }
 
+/** `minhash_sigs(text, w)` — codegen array form of
+  * [[TextKernels.minhashSigs]].
+  */
+case class MinHashSigs(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSigs(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhashSigs($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)` — codegen scalar form of [[TextKernels.simHash64]]. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -207,6 +253,9 @@ object TextHashOps {
 
   def simHash(c: Column): Column =
     CatalystBridge.column(SimHash64(CatalystBridge.expression(c)))
+
+  def minhashSigs(c: Column, w: Int): Column =
+    CatalystBridge.column(MinHashSigs(CatalystBridge.expression(c), w))
 
   def shingleHashes(c: Column, w: Int, distinct: Boolean = true): Column =
     CatalystBridge.column(

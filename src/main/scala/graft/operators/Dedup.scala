@@ -235,10 +235,19 @@ object Dedup {
     * zip_with lambdas.
     */
   private def sigCols(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = shingleRel(spark, sfDir)
-      .groupBy("doc_id")
-      .agg(expr(minhashAggSpark("sh").head),
-        minhashAggSpark("sh").tail.map(expr): _*)
+    // One codegen kernel pass per row (MinHashSigs) — no explode, no
+    // 32-aggregate shuffle; the whole signature build is a projection
+    // pipelined into the scan. The array lands in an aliased column
+    // FIRST, then flattens to m0..m31 in a separate select — CollapseProject
+    // keeps the non-cheap kernel single-evaluated because the alias is
+    // referenced 32 times. Empty array = the <w-token docs the grouped
+    // form dropped.
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextHashOps.minhashSigs(col("text"), ShingleW).as("sig"))
+      .where(size(col("sig")) > 0)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     (0 until NumBands)
       .foldLeft(base)((d, b) => d.withColumn(s"bk$b", expr(bandKeyFromCols(b))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -94,6 +94,31 @@ class KernelParitySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("MinHashSigs kernel == grouped 32-min aggregation") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    val df = randomTexts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val grouped = df
+      .select(col("doc_id"),
+        explode(TextHashOps.shingleHashes(col("text"), 3)).as("sh"))
+      .groupBy("doc_id")
+      .agg(expr(Parity.minhashAggSpark("sh").head),
+        Parity.minhashAggSpark("sh").tail.map(expr): _*)
+      .select(col("doc_id"), expr(Parity.minhashSigFromCols).as("agg_form"))
+    val kernel = df
+      .select(col("doc_id"), TextHashOps.minhashSigs(col("text"), 3).as("kernel"),
+        expr("minhash_sigs(text, 3)").as("sql_form"))
+      .where(size(col("kernel")) > 0)
+    // Inner join: the kernel's empty-array docs are exactly the grouped
+    // form's dropped groups — assert the same doc set survives, and the
+    // surviving signatures agree on every slot.
+    assert(kernel.count() === grouped.count())
+    val diff = kernel.join(grouped, "doc_id")
+      .where(col("kernel") =!= col("agg_form") || col("kernel") =!= col("sql_form"))
+    assert(diff.count() === 0)
+  }
+
   test("SQL registration: poly_hash / word_shingle_hashes / long_vector_dot") {
     GraftExtensions.register(spark)
     val r = spark.sql(
