@@ -120,6 +120,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals brute force on random high-overlap corpora") {
+    import graft.operators.Dedup
+    for (seed <- 31 to 35) {
+      val rnd = new scala.util.Random(seed)
+      // Small vocabulary → heavy shingle overlap → the prefix filter,
+      // length filter, and first-shared-emission all get exercised with
+      // many multi-collision candidates.
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0 until 25).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        doc(i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = writeFixture(documents = docs)
+      val brute = Dedup.jaccardPairs(spark, dir).collect()
+        .filter(r => r.getAs[Long]("inter") * Dedup.PrefixJaccDen >
+          r.getAs[Long]("uni") * Dedup.PrefixJaccNum)
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+      val prefix = Dedup.jaccardPrefixPairs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+      assert(prefix === brute, s"seed $seed")
+    }
+  }
+
   test("amplification scales counts linearly") {
     for (seed <- 11 to 15) {
       val dir = mkDir(genEvents(seed))
