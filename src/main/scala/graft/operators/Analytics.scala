@@ -208,6 +208,64 @@ object Analytics {
        |FROM np a JOIN np b ON a.z < b.z""".stripMargin
 
   // ------------------------------------------------------------------
+  // TPC-H Q3-shaped shipping priority: revenue of unshipped-at-cutoff
+  // order lines for one market segment, top-10 by exact decimal revenue.
+  // The scale story is in the plan: all three filters (segment, order
+  // date, ship date) push into their parquet scans (PushedFilters), the
+  // join strategy is AQE's (segment-filtered customers are 1/5 of a
+  // relation that scales with the fact side — no broadcast hint), and
+  // the top-10 is TakeOrderedAndProject (distributed per-partition
+  // top-k, NO global sort or single-partition window). Dates are
+  // compared as timestamps and exported as epoch-ms integers.
+  // ------------------------------------------------------------------
+  val ShipCutoff = "1998-01-01"
+
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(ShipCutoff).cast("timestamp")
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    // Parquet timestamps read as TIMESTAMP_NTZ; the UTC-session cast to
+    // TIMESTAMP is the wall-clock identity (same pattern as
+    // Shapes.eventTimeMs) and matches DuckDB's naive-timestamp epoch_ms.
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").cast("timestamp") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("rev").cast("decimal(38,4)").as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), unix_millis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderpriority"), col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_orderpriority,
+       |  CAST(revenue_dec AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |      AS DECIMAL(38,4)) AS revenue_dec
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment = 'BUILDING'
+       |    AND o_orderdate < TIMESTAMP '$ShipCutoff'
+       |    AND l_shipdate > TIMESTAMP '$ShipCutoff'
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY revenue_dec DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
   // As-of join: for every "trade" event, the most recent "quote" event of
   // the same user at or before the trade's timestamp (inner semantics —
   // trades with no prior quote drop). Spark lacks a native ASOF JOIN;
@@ -356,6 +414,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_json_extract" -> (jsonExtract _),
+    "a_shipping_priority" -> (shippingPriority _),
     "a_pricing_summary" -> (pricingSummary _),
     "a_top_customers" -> (topCustomers _),
     "a_revenue_rollup" -> (revenueRollup _),
@@ -367,6 +426,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "a_json_extract" -> jsonExtractSql,
+    "a_shipping_priority" -> shippingPrioritySql,
     "a_pricing_summary" -> pricingSummarySql,
     "a_top_customers" -> topCustomersSql,
     "a_revenue_rollup" -> revenueRollupSql,
