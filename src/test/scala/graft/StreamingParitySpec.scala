@@ -157,6 +157,42 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow processes only new files across incremental runs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    // The nightly-batch ingestion pattern: a growing directory, each run
+    // drains exactly the unseen files via the checkpointed file-source
+    // log, then exits — incremental ETL with streaming exactly-once
+    // semantics but batch-job lifecycle.
+    val in = java.nio.file.Files.createTempDirectory("graft-avail-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-avail-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-avail-out").toString
+    val schema = "doc_id LONG, text STRING"
+    def run(): Unit = {
+      val q = s.readStream.schema(schema).parquet(in)
+        .withColumn("fp", graft.functions.TextHashOps.polyHash(col("text")))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      q.awaitTermination()
+    }
+    def sinkIds(): Seq[Long] =
+      s.read.parquet(out).collect().map(_.getLong(0)).toSeq
+    Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    run()
+    assert(sinkIds().sorted === Seq(0L, 1L))
+    Seq((2L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    run()
+    // The second run drains ONLY the new file: old docs appear exactly
+    // once across both runs (no reprocessing, no duplicates).
+    assert(sinkIds().sorted === Seq(0L, 1L, 2L))
+  }
+
   test("checkpointed query restarts without duplicate emissions (S4 contract)") {
     val s = spark
     import s.implicits._
