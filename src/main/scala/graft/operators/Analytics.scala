@@ -283,23 +283,24 @@ object Analytics {
     val raw = Tables.events(spark, sfDir)
     val ev = raw.select(col("event_id"), graft.Shapes.eventTimeMs(raw).as("t"),
       col("user_id"), floor(col("value")).cast("long").as("x"))
-    val trades = ev.where(pmod(col("event_id"), lit(2)) === 0)
-      .select(col("user_id"), col("t"), lit(1).as("kind"),
-        col("event_id").as("trade_id"),
-        lit(null).cast("long").as("q_id"), lit(null).cast("long").as("q_x"))
-    val quotes = ev.where(pmod(col("event_id"), lit(2)) === 1)
-      .groupBy(col("user_id"), col("t"))
-      .agg(max(struct(col("event_id"), col("x"))).as("q"))
-      .select(col("user_id"), col("t"), lit(0).as("kind"),
-        lit(null).cast("long").as("trade_id"),
-        col("q.event_id").as("q_id"), col("q.x").as("q_x"))
-    val w = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+      .withColumn("kind", pmod(col("event_id"), lit(2)) =!= 1)
+    // Single window pass, no pre-dedupe shuffle: sorting by (t, kind,
+    // event_id) places quotes before same-timestamp trades (inclusive
+    // semantics) and orders same-timestamp quotes by event_id, so the
+    // last-non-null carry picks the max-event_id quote — the tie rule the
+    // oracle's arg_max encodes — without a separate groupBy. quote_id and
+    // quote_x always come from the same row (their null patterns are
+    // identical).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    quotes.unionByName(trades)
+    ev
+      .withColumn("q_id", when(!col("kind"), col("event_id")))
+      .withColumn("q_x", when(!col("kind"), col("x")))
       .withColumn("quote_id", last(col("q_id"), ignoreNulls = true).over(w))
       .withColumn("quote_x", last(col("q_x"), ignoreNulls = true).over(w))
-      .where(col("kind") === 1 && col("quote_id").isNotNull)
-      .select(col("user_id"), col("trade_id"), col("t").as("trade_t"),
+      .where(col("kind") && col("quote_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("trade_id"), col("t").as("trade_t"),
         col("quote_id"), col("quote_x"))
   }
 
