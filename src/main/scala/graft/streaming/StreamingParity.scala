@@ -186,6 +186,76 @@ object StreamingParity {
       }
   }
 
+  /** Q2 on the transformWithState API (Spark 4's successor to
+    * mapGroupsWithState — typed state handles + first-class event-time
+    * timers, RocksDB-only): the closest engine-native analogue of the
+    * reference's forked mapWithState operator (C4), whose state-scan-at-
+    * trigger loop becomes handleExpiredTimer and whose per-key per-port
+    * counts become a MapState handle. Same contract as q2FlatMapGroups;
+    * the spec runs both to the same closed-window set.
+    */
+  class Q2StatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), (java.sql.Timestamp, String, Long, Int), Q2Result] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var counts: streaming.MapState[Int, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Int, Long](
+        "portCounts", Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+
+    private def closedResult(key: (String, Long)): Q2Result = {
+      val m = counts.iterator().toMap
+      counts.clear()
+      val minCnt = if (m.size == PortsNum) m.values.min else 0L
+      Q2Result(key._1, key._2, minCnt)
+    }
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[(java.sql.Timestamp, String, Long, Int)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Q2Result] = {
+      val isFirstBatch = !counts.exists()
+      rows.foreach { case (_, _, _, port) =>
+        counts.updateValue(port,
+          (if (counts.containsKey(port)) counts.getValue(port) else 0L) + 1L)
+      }
+      val end = (key._2 + 1) * SlotMs
+      if (end <= timers.getCurrentWatermarkInMs()) {
+        // Watermark already past the window end (cross-batch laggard, cf.
+        // q2FlatMapGroups): close immediately — a timer at `end` would be
+        // in the past.
+        Iterator.single(closedResult(key))
+      } else {
+        // One event-time timer per key closes the window; register only on
+        // first contact (re-registration would duplicate expirations).
+        if (isFirstBatch) getHandle.registerTimer(end)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: (String, Long),
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Q2Result] =
+      // State may already be gone if the late-close path fired first.
+      if (counts.exists()) Iterator.single(closedResult(key)) else Iterator.empty
+  }
+
+  def q2TransformWithState(events: Dataset[PwEvent]): Dataset[Q2Result] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTs(events)
+      .select(col("event_ts"), col("word"), col("ltw"), col("port"))
+      .withWatermark("event_ts", "0 milliseconds")
+      .as[(java.sql.Timestamp, String, Long, Int)]
+      .groupByKey { case (_, word, ltw, _) => (word, ltw) }
+      .transformWithState(new Q2StatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Two-source Q2 — the reference's core watermark invention made
     * engine-native: each source carries its OWN punctuation timetable and
     * the trigger fires at the MIN over sources

@@ -88,6 +88,33 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState (typed handles + event-time timers) matches the Q2 contract") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PwEvent]
+      val query = StreamingParity.q2TransformWithState(input.toDS())
+        .writeStream.format("memory").queryName("q2_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch1); query.processAllAvailable()
+        input.addData(batch2); query.processAllAvailable()
+        input.addData(sentinel); query.processAllAvailable()
+        val got = s.table("q2_tws").as[Q2Result].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        assert(got.toSet === expectedClosed)
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming dedup keeps the first occurrence per fingerprint") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
