@@ -301,7 +301,8 @@ object StreamingParity {
     * reference's pair emission at trigger), and the output is exactly the
     * batch join of the same rows.
     */
-  def streamWindowJoin(a: Dataset[ZxEvent], b: Dataset[ZxEvent]): DataFrame = {
+  def streamWindowJoin(a: Dataset[ZxEvent], b: Dataset[ZxEvent],
+      joinType: String = "inner"): DataFrame = {
     def shape(in: Dataset[ZxEvent], side: String): DataFrame =
       in.toDF()
         .withColumn(s"ts_$side", timestamp_millis(col("event_time")))
@@ -309,8 +310,13 @@ object StreamingParity {
         .select(col(s"ts_$side"),
           window(col(s"ts_$side"), s"$SlotMs milliseconds").as(s"w_$side"),
           col("z").as(s"z_$side"), col("x").as(s"x_$side"))
+    // Outer types are engine-legal here because the window-equality
+    // constraint bounds both sides' state: a left row's null-padded
+    // emission happens when the watermark closes its window (the engine
+    // then KNOWS no match can still arrive) — matched rows still emit
+    // eagerly.
     shape(a, "a").join(shape(b, "b"),
-        col("z_a") === col("z_b") && col("w_a") === col("w_b"))
+        col("z_a") === col("z_b") && col("w_a") === col("w_b"), joinType)
       .select(col("z_a").as("z"),
         expr(s"unix_millis(w_a.start) div $SlotMs").as("ltw"),
         col("x_a"), col("x_b"))

@@ -386,6 +386,41 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer stream join null-pads unmatched rows only at window close") {
+    import graft.streaming.StreamingParity.ZxEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val a = MemoryStream[ZxEvent]
+    val b = MemoryStream[ZxEvent]
+    val query = StreamingParity.streamWindowJoin(a.toDS(), b.toDS(), "left_outer")
+      .writeStream.format("memory").queryName("ss_left")
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Set[(String, Long, Long, Option[Long])] =
+      s.table("ss_left").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    try {
+      // K matches in window 0; L never matches. The null-padded L row may
+      // only appear after BOTH watermarks pass window 0 — not before.
+      a.addData(Seq(ZxEvent(10, "K", 1), ZxEvent(20, "L", 2)))
+      query.processAllAvailable()
+      b.addData(Seq(ZxEvent(30, "K", 10)))
+      query.processAllAvailable()
+      assert(emitted() === Set(("K", 0L, 1L, Some(10L))),
+        "unmatched row must not null-pad while its window is open")
+      a.addData(Seq(ZxEvent(5000, "SENT_A", 0)))
+      b.addData(Seq(ZxEvent(5000, "SENT_B", 0)))
+      query.processAllAvailable()
+      // One more batch advances the watermark past window 0 on both sides.
+      a.addData(Seq(ZxEvent(6000, "SENT_A2", 0)))
+      b.addData(Seq(ZxEvent(6000, "SENT_B2", 0)))
+      query.processAllAvailable()
+      assert(emitted().contains(("L", 0L, 2L, None)),
+        "closed window must release the null-padded unmatched row")
+    } finally query.stop()
+  }
+
   test("three-way stream star join pairs all relations per (z, window)") {
     import graft.streaming.StreamingParity.ZxEvent
     val s = spark
