@@ -493,26 +493,36 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
-      val nbrMin = edges
-        .join(broadcast(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
-          "id_b")
-        .groupBy("id_a").agg(min("nc").as("min_nbr"))
-      val propagated = labels
-        .join(broadcast(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
-      labels = propagated
-        .join(broadcast(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
-          col("comp") === col("comp_doc"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
-        .localCheckpoint(false)
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      rounds += 1
-    }
+    // AQE off for the loop only: each round's plans are tiny and
+    // re-compiled fresh, so adaptive re-planning adds per-round stage
+    // jobs without information gain (the broadcasts are already hinted);
+    // static planning cuts the per-round scheduling overhead.
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
+        val nbrMin = edges
+          .join(broadcast(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
+            "id_b")
+          .groupBy("id_a").agg(min("nc").as("min_nbr"))
+        val propagated = labels
+          .join(broadcast(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
+        labels = propagated
+          .join(broadcast(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
+            col("comp") === col("comp_doc"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+          .localCheckpoint(false)
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        rounds += 1
+      }
+    } finally spark.conf.set(aqeKey, prevAqe)
     System.err.println(s"[connectedComponents] converged after $rounds rounds")
     edges.unpersist()
     labels
