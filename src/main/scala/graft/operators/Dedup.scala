@@ -259,9 +259,17 @@ object Dedup {
 
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val s = sigCols(spark, sfDir)
+    // The band self-join carries ONLY doc_id + the 8 band keys — the 32
+    // signature columns would quadruple the exploded relation and push
+    // its size across AQE's broadcast threshold (measured: the join
+    // strategy flipped run-to-run and with it a 3× timing swing).
+    // Signatures join back AFTER exactly-once pair emission, against the
+    // tiny candidate set.
+    val slim = s.select(col("doc_id") +:
+      (0 until NumBands).map(b => col(s"bk$b")): _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band"), col(s"bk$b").as("bkey")))
-    val banded = s.withColumn("bk", explode(array(bandCols: _*)))
+    val banded = slim.withColumn("bk", explode(array(bandCols: _*)))
       .withColumn("band", col("bk.band")).withColumn("bkey", col("bk.bkey"))
       .drop("bk")
     // A pair colliding in k bands appears k times out of the band join;
@@ -274,15 +282,21 @@ object Dedup {
       case (i, rest) =>
         when(col(s"a.bk$i") === col(s"b.bk$i"), lit(i)).otherwise(rest)
     }
-    val sigMatches = (0 until NumHashes)
-      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    banded.as("a").join(banded.as("b"),
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .where(col("a.band") === firstBand)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        sigMatches.as("sig_matches"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    def side(tag: String) = s.select(
+      col("doc_id").as(s"${tag}_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"${tag}_m$i")): _*)
+    val sigMatches = (0 until NumHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(side("a"), col("id_a") === col("a_id"))
+      .join(side("b"), col("id_b") === col("b_id"))
+      .select(col("id_a"), col("id_b"), sigMatches.as("sig_matches"))
   }
 
   val minhashLshPairsSql: String = {
