@@ -507,14 +507,20 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    // AQE off for the loop only: each round's plans are tiny and
-    // re-compiled fresh, so adaptive re-planning adds per-round stage
-    // jobs without information gain (the broadcasts are already hinted);
-    // static planning cuts the per-round scheduling overhead.
+    // Loop-local session tuning, restored in the finally: AQE off (each
+    // round's plans are tiny and re-compiled fresh, so adaptive
+    // re-planning adds per-round stage jobs without information gain —
+    // the broadcasts are already hinted) and few static shuffle
+    // partitions (the label relation is pair-members only; 32 near-empty
+    // reduce tasks per round are pure scheduling overhead that AQE would
+    // otherwise have coalesced).
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.get(aqeKey, "true")
+    val prevShuf = spark.conf.get(shufKey, "200")
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, "4")
     try {
       while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
         val nbrMin = edges
@@ -536,7 +542,10 @@ object Dedup {
         prevSum = s
         rounds += 1
       }
-    } finally spark.conf.set(aqeKey, prevAqe)
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(shufKey, prevShuf)
+    }
     System.err.println(s"[connectedComponents] converged after $rounds rounds")
     edges.unpersist()
     labels
