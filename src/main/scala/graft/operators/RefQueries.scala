@@ -212,6 +212,30 @@ object RefQueries {
   def q4StarCardinality(spark: SparkSession, sfDir: String): DataFrame =
     q4CardinalityPlan(Shapes.portWordEvents(spark, sfDir))
 
+  /** The stateful reference variant is per event-time window
+    * (one-group-state/star-join state modules): |R0(z,w)|·|R1(z,w)|·
+    * |R2(z,w)| per (key, window). Same single conditional aggregation,
+    * one more grouping column; the streaming twin
+    * (StreamingParity.q4WindowedCardinalityStream) emits each window once
+    * at watermark close and is specced equal to this plan.
+    */
+  def q4WindowedCardinality(spark: SparkSession, sfDir: String): DataFrame =
+    Shapes.withLtw(Shapes.portWordEvents(spark, sfDir), slot)
+      .groupBy(col("word").as("z"), col("ltw"))
+      .agg(
+        sum(when(col("port") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("port") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
+      .select(col("z"), col("ltw"), (col("c0") * col("c1") * col("c2")).as("card"))
+
+  val q4WindowedCardinalitySql: String =
+    s"""SELECT z, ltw, CAST(c0 * c1 * c2 AS BIGINT) AS card FROM (
+       |  SELECT word AS z, event_time // $slot AS ltw,
+       |         CAST(sum(CASE WHEN port = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |         CAST(sum(CASE WHEN port = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN port = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM ($pwSql) GROUP BY 1, 2)""".stripMargin
+
   val q4StarCardinalitySql: String =
     s"""SELECT z, CAST(c0 * c1 * c2 AS BIGINT) AS card FROM (
        |  SELECT word AS z,
@@ -276,6 +300,7 @@ object RefQueries {
     "q3_heavy_hitters" -> (q3HeavyHitters _),
     "q3_skew_stats" -> (q3SkewStats _),
     "q4_star_cardinality" -> (q4StarCardinality _),
+    "q4_windowed_cardinality" -> (q4WindowedCardinality _),
     "q4_star_join" -> (q4StarJoin _),
     "q_amplify" -> (qAmplify _))
 
@@ -288,6 +313,7 @@ object RefQueries {
     "q3_heavy_hitters" -> q3HeavyHittersSql,
     "q3_skew_stats" -> q3SkewStatsSql,
     "q4_star_cardinality" -> q4StarCardinalitySql,
+    "q4_windowed_cardinality" -> q4WindowedCardinalitySql,
     "q4_star_join" -> q4StarJoinSql,
     "q_amplify" -> qAmplifySql)
 }

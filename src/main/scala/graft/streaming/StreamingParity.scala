@@ -344,6 +344,25 @@ object StreamingParity {
         col("x_a"), col("x_b"), col("x_c"))
   }
 
+  /** Per-window streaming star cardinality — the stateful reference
+    * variant's shape (per (key, window) count product, emitted once when
+    * the window closes): watermark + ONE windowed conditional aggregation
+    * in append mode. Specced equal to the batch
+    * RefQueries.q4WindowedCardinality on closed windows.
+    */
+  def q4WindowedCardinalityStream(events: Dataset[PwEvent]): DataFrame =
+    withEventTs(events)
+      .withWatermark("event_ts", "0 milliseconds")
+      .groupBy(window(col("event_ts"), s"$SlotMs milliseconds"),
+        col("word").as("z"))
+      .agg(
+        sum(when(col("port") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("port") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
+      .select(col("z"),
+        expr(s"unix_millis(window.start) div $SlotMs").as("ltw"),
+        (col("c0") * col("c1") * col("c2")).as("card"))
+
   /** Streaming sessionization — the engine-native twin of the batch
     * gaps-and-islands form (operators/Analytics.sessionize): the engine's
     * session_window merges events within the gap and closes a session

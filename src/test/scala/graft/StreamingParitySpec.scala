@@ -529,6 +529,27 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed streaming cardinality emits each closed window's count product once") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.q4WindowedCardinalityStream(input.toDS())
+      .writeStream.format("memory").queryName("q4_windowed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window 0: A on ports (2,1,1) → card 2; B on port 0 only → card 0.
+      // Window 1: A on port 0 → card 0. Sentinel closes windows 0 and 1.
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable()
+      val got = s.table("q4_windowed").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.length === got.toSet.size, "duplicate emissions")
+      assert(got.toSet === Set(("A", 0L, 2L), ("B", 0L, 0L), ("A", 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("streaming output equals the batch form restricted to closed windows") {
     val s = spark
     import s.implicits._
