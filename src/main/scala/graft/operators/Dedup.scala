@@ -579,6 +579,28 @@ object Dedup {
        |LEFT JOIN reach r ON r.src = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
 
+  /** Near-dedup accounting: per source, how many docs survive cluster
+    * collapse (doc == its component's canonical) — the number a curation
+    * run reports after near-dedup, composed directly from
+    * [[dedupClusters]].
+    */
+  def canonicalStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(dedupClusters(spark, sfDir), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+          .as("n_canonical"))
+
+  val canonicalStatsSql: String =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN c.canonical_id = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_canonical
+       |FROM (SELECT doc_id, source FROM documents) d
+       |JOIN clusters c ON d.doc_id = c.doc_id
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
@@ -589,7 +611,8 @@ object Dedup {
     "d_simhash_pairs" -> (simhashPairs _),
     "d_embedding_neardup" -> (embeddingNearDup _),
     "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
-    "d_dedup_clusters" -> (dedupClusters _))
+    "d_dedup_clusters" -> (dedupClusters _),
+    "d_canonical_stats" -> (canonicalStats _))
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
@@ -601,5 +624,6 @@ object Dedup {
     "d_simhash_pairs" -> simhashPairsSql,
     "d_embedding_neardup" -> embeddingNearDupSql,
     "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
-    "d_dedup_clusters" -> dedupClustersSql)
+    "d_dedup_clusters" -> dedupClustersSql,
+    "d_canonical_stats" -> canonicalStatsSql)
 }
