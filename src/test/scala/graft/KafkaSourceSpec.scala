@@ -116,6 +116,39 @@ class KafkaSourceSpec extends SparkSpec {
     assert(bare.contains("latest"))
   }
 
+  test("reference topology end to end: keyed wire stream → relation split → stream star join") {
+    import graft.streaming.StreamingParity
+    import graft.streaming.StreamingParity.ZxEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // The reference's actual deployment: ONE Kafka topic, message key =
+    // relation id, star join across the three relations
+    // (star-join-stateless/src/main/scala/cluster/HHJoin.scala:39-78).
+    // Here the single wire stream splits into three branches (each with
+    // its own watermark inside streamStarJoin) joined per (z, window).
+    val input = MemoryStream[KafkaWireRow]
+    val parsed = KafkaSource.keyedZxRecords(input.toDF())
+    def rel(i: Int) = parsed.where(col("relation") === i)
+      .select(col("event_time"), col("z"), col("x")).as[ZxEvent]
+    val query = StreamingParity.streamStarJoin(rel(0), rel(1), rel(2))
+      .writeStream.format("memory").queryName("wire_star")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        wireRow("0", "10 K 1;20 K 2;30 M 3", 0L),
+        wireRow("1", "40 K 10", 1L),
+        wireRow("2", "50 K 100;60 K 101", 2L)))
+      query.processAllAvailable()
+      val got = s.table("wire_star").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = for (xa <- Set(1L, 2L); xc <- Set(100L, 101L))
+        yield ("K", 0L, xa, 10L, xc)
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("WireFormat and KafkaSource agree (adapter is a pure relay)") {
     val s = spark
     import s.implicits._
