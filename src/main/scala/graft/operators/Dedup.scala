@@ -560,6 +560,7 @@ object Dedup {
     */
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ClusterMemoMax = 8 // entries pin checkpoint RDD blocks — bound them
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // simhashPairs is persisted at source (shared with the gated pair
@@ -568,6 +569,8 @@ object Dedup {
     // fraction of the corpus (the whole point of dedup); the full doc
     // list joins back in once at the end.
     val key = s"${System.identityHashCode(spark)}:$sfDir"
+    if (clusterMemo.size >= ClusterMemoMax && !clusterMemo.containsKey(key))
+      clusterMemo.clear()
     val labels = clusterMemo.computeIfAbsent(key,
       _ => connectedComponents(simhashPairs(spark, sfDir)))
     Tables.documents(spark, sfDir).select("doc_id")
