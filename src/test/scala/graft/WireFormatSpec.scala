@@ -33,6 +33,31 @@ class WireFormatSpec extends SparkSpec {
     assert(good.count() + rejects.count() === 6)
   }
 
+  test("wire batches parse identically from a text-file source") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-text").toString
+    Seq("1001 0 A;1002 1 A", "2004 2 B;").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val got = rows(WireFormat.parsePortWord(s.read.text(dir).as[String]))
+    assert(got === Set(Seq(1001L, 0, "A"), Seq(1002L, 1, "A"), Seq(2004L, 2, "B")))
+  }
+
+  test("events from CSV run the same Q1 plan as parquet") {
+    val s = spark
+    import s.implicits._
+    // Format breadth: the loaders are plans over relations, not formats —
+    // the same shape adapter + Q1 plan runs over a CSV copy of events.
+    val sfDir = "/root/testdata/sf0.001"
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-events-csv").toString
+    val ev = Shapes.portWordEvents(s, sfDir)
+    ev.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val fromCsv = s.read.option("header", "true")
+      .schema("event_time LONG, port INT, word STRING").csv(csvDir)
+    assert(rows(graft.operators.RefQueries.q1Plan(fromCsv)) ===
+      rows(graft.operators.RefQueries.q1Plan(ev)))
+  }
+
   test("keyed zx wire parsing: relation id from the message key") {
     val s = spark
     import s.implicits._
