@@ -145,6 +145,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash banding recall guarantee: >=29/32 signature matches always collide") {
+    import graft.operators.Dedup
+    import graft.functions.Parity
+    // Pigeonhole over 8 bands × 4 rows: ≤ 3 mismatching slots leave at
+    // least one band fully intact, so any pair with sig_matches ≥ 29 MUST
+    // appear in the banded output — the lemma the LSH path's recall
+    // rests on, checked against exhaustive signature comparison.
+    for (seed <- 36 to 38) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+      val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0 until 20).map { i =>
+        // Perturb a shared base doc so many pairs share most shingles.
+        val toks = base.map(t => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else t)
+        doc(i.toLong, toks.mkString(" "))
+      }
+      val dir = writeFixture(documents = docs)
+      val sigs = Dedup.minhashSignatures(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig").toVector)
+        .toMap
+      val mustCollide = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+        if m >= Parity.NumHashes - 3
+      } yield (a, b)).toSet
+      val banded = Dedup.minhashLshPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mustCollide.subsetOf(banded),
+        s"seed $seed: missing ${mustCollide diff banded}")
+    }
+  }
+
+  test("simhash banding recall guarantee: Hamming <= 3 pairs always collide") {
+    import graft.operators.Dedup
+    for (seed <- 39 to 41) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("u", "v", "w", "x", "y", "z")
+      val base = Seq.fill(10)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0 until 20).map { i =>
+        val toks = base.map(t => if (rnd.nextInt(8) == 0) vocab(rnd.nextInt(vocab.size)) else t)
+        doc(i.toLong, toks.mkString(" "))
+      }
+      val dir = writeFixture(documents = docs)
+      val fps = Dedup.simhash(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val close = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= Dedup.MaxHamming
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 4 bands × 15 bits: ≤ 3 differing bits leave one band intact.
+      assert(close.subsetOf(banded), s"seed $seed: missing ${close diff banded}")
+      assert(banded.forall { case (a, b) =>
+        java.lang.Long.bitCount(fps(a) ^ fps(b)) <= Dedup.MaxHamming
+      }, s"seed $seed: emitted pair beyond the radius")
+    }
+  }
+
   test("amplification scales counts linearly") {
     for (seed <- 11 to 15) {
       val dir = mkDir(genEvents(seed))
