@@ -415,10 +415,10 @@ object StreamingParity {
     * kernel makes the fingerprint available before any grouping exists —
     * the prerequisite for streaming use. Contract vs the batch family:
     * high precision (equal fingerprints ⇒ near-identical token
-    * multisets), partial recall (a Hamming-1..3 neighbor passes the
-    * guard) — the honest streaming tradeoff; batch banded pairs +
-    * clustering remain the full-recall ground truth and the spec pins
-    * both sides of it.
+    * multisets), deliberately partial recall (a Hamming-1..3 neighbor
+    * passes the guard) — the honest streaming tradeoff; batch banded
+    * pairs + clustering remain the full-recall ground truth. The spec
+    * pins the precision half (same-fingerprint drops, distinct keeps).
     */
   def streamingNearDupGuard(docs: Dataset[StreamDoc]): DataFrame =
     docs.toDF()
