@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{CacheRegistry, Tables}
 import graft.functions.Parity._
 import graft.functions.TextHashOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -140,51 +140,56 @@ object Dedup {
   def jaccardPrefixPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRel(spark, sfDir)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // One grouped pass per doc builds everything verification needs: the
-    // doc's shingle set, the rare-first prefix, and |X| — so candidates
-    // are verified IN PLACE at the prefix join instead of re-joining the
-    // corpus-sized shingle relation twice and DISTINCT-ing candidates
-    // (the round-3/4 shape; its residual cost was exactly that double
-    // join + distinct shuffle). Rare-first ranking happens per ROW
-    // (sort_array over the doc's own (df, sh) structs) — no corpus-wide
-    // Sort/Window pass; per-doc arrays are small. PPJoin's
-    // verify-on-index tradeoff: exploded prefix rows carry the doc's hash
-    // arrays, so prefix-join shuffle volume is O(prefix_len · doc_len ·
-    // 8 B) per doc — bounded and sequential-read friendly; for extreme
-    // doc lengths the join-the-index-twice form trades back.
-    val docs = sh.join(dfreq, "sh")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc_id"),
-        expr("cast(size(ranked) as bigint)").as("n"),
-        // Set-valued consumers only (array_intersect/array_min) — the
-        // (df, sh) rank order of `full` is irrelevant, so skip re-sorting.
-        expr("transform(ranked, x -> x.sh)").as("full"),
+    // Rare-first ranking happens per ROW (sort_array over the doc's own
+    // (df, sh) structs) — no corpus-wide Sort/Window pass; per-doc arrays
+    // are small. Only |X| and the prefix survive: the round-5 variant
+    // that ALSO kept the full shingle array and carried both arrays onto
+    // every exploded prefix row shuffled O(prefix_len · doc_len) bytes
+    // per doc into the self-join and ran 12.5× slower at sf0.1 — the
+    // exploded index must stay slim.
+    val docs = CacheRegistry.cached(spark, s"dedup.prefixDocs:$sfDir") {
+      sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
         // ⌈n/2⌉ = (n+1) div 2; prefix length = n − ⌈t·n⌉ + 1 at t = 1/2.
-        expr("transform(slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1), x -> x.sh)")
-          .as("pref"))
-      // Both join sides consume the per-doc arrays; persist so the
-      // grouped array build runs once, not once per side.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = docs.select(col("doc_id"), col("n"), col("pref"), col("full"),
-      explode(col("pref")).as("sh"))
-    // Predicate order inside the join condition is evaluation order —
-    // cheap scalar guards (id order, AllPairs length filter: J > 1/2
-    // requires |A| > |B|/2 ∧ |B| > |A|/2) run before the array work.
-    // Exactly-once emission: a pair colliding on k shared prefix shingles
-    // appears k times; keep only the row whose join shingle is the
-    // SMALLEST shared prefix shingle — a scalar predicate over the two
-    // prefix arrays (the minhash/simhash first-band pattern), so no
-    // DISTINCT shuffle of the candidate set.
-    ex.as("a").join(ex.as("b"),
+        // `full` stays HERE, one array per doc in the persisted per-doc
+        // relation — never on exploded join rows (round 5's mistake).
+        .select(col("doc_id"),
+          expr("cast(size(ranked) as bigint)").as("n"),
+          expr("transform(ranked, x -> x.sh)").as("full"),
+          expr("transform(slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1), x -> x.sh)")
+            .as("pref"))
+    }
+    // Slim inverted prefix index: 3 scalar columns per row — the ONLY
+    // relation the candidate self-join shuffles. The AllPairs length
+    // filter (J > 1/2 requires |A| > |B|/2 ∧ |B| > |A|/2) rides in the
+    // join condition as cheap scalar guards; carrying the two lengths
+    // through emission saves the two size-lookup joins at the end.
+    val pre = docs.select(col("doc_id"), col("n"), explode(col("pref")).as("sh"))
+    val cands = pre.as("a").join(pre.as("b"),
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * PrefixJaccDen > col("b.n") * PrefixJaccNum &&
-          col("b.n") * PrefixJaccDen > col("a.n") * PrefixJaccNum &&
-          col("a.sh") === array_min(array_intersect(col("a.pref"), col("b.pref"))))
+          col("b.n") * PrefixJaccDen > col("a.n") * PrefixJaccNum)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        size(array_intersect(col("a.full"), col("b.full"))).cast("long").as("inter"),
-        (col("a.n") + col("b.n")).as("n_sum"))
+        col("a.n").as("na"), col("b.n").as("nb"))
+      // A pair sharing k prefix shingles appears k times; the candidate
+      // set is tiny after the prefix + length filters, so one small
+      // distinct shuffle dedupes it — unlike round 5's array-carrying
+      // first-shared-shingle join predicate, it adds nothing to the
+      // exploded index the join shuffles.
+      .distinct()
+    // PPJoin verify: exact |A∩B| per exactly-once candidate PAIR, from
+    // the persisted per-doc sets — one array_intersect per verified pair
+    // (never per colliding index row, never inside a join condition).
+    // The candidate side is small, so both lookups broadcast it and
+    // stream `docs`; no corpus re-scan, no shingle-key shuffle.
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("full").as("fa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("full").as("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("inter"),
+        (col("na") + col("nb")).as("n_sum"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("n_sum") - col("inter")).as("uni"))
       .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
@@ -234,24 +239,24 @@ object Dedup {
     * comparison instead of array element_at chains / interpreted
     * zip_with lambdas.
     */
-  private def sigCols(spark: SparkSession, sfDir: String): DataFrame = {
-    // One codegen kernel pass per row (MinHashSigs) — no explode, no
-    // 32-aggregate shuffle; the whole signature build is a projection
-    // pipelined into the scan. The array lands in an aliased column
-    // FIRST, then flattens to m0..m31 in a separate select — CollapseProject
-    // keeps the non-cheap kernel single-evaluated because the alias is
-    // referenced 32 times. Empty array = the <w-token docs the grouped
-    // form dropped.
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        TextHashOps.minhashSigs(col("text"), ShingleW).as("sig"))
-      .where(size(col("sig")) > 0)
-      .select(col("doc_id") +:
-        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    (0 until NumBands)
-      .foldLeft(base)((d, b) => d.withColumn(s"bk$b", expr(bandKeyFromCols(b))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def sigCols(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"dedup.sigCols:$sfDir") {
+      // One codegen kernel pass per row (MinHashSigs) — no explode, no
+      // 32-aggregate shuffle; the whole signature build is a projection
+      // pipelined into the scan. The array lands in an aliased column
+      // FIRST, then flattens to m0..m31 in a separate select — CollapseProject
+      // keeps the non-cheap kernel single-evaluated because the alias is
+      // referenced 32 times. Empty array = the <w-token docs the grouped
+      // form dropped.
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          TextHashOps.minhashSigs(col("text"), ShingleW).as("sig"))
+        .where(size(col("sig")) > 0)
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      (0 until NumBands)
+        .foldLeft(base)((d, b) => d.withColumn(s"bk$b", expr(bandKeyFromCols(b))))
+    }
 
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     sigCols(spark, sfDir)
@@ -326,12 +331,13 @@ object Dedup {
     // the explode + 61-aggregate grouped form (KernelParitySpec pins the
     // two bit-for-bit; the DuckDB oracle still computes the grouped form
     // independently). The scalar projection pipelines into the scan: no
-    // shuffle at all to fingerprint the corpus.
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextHashOps.simHash(col("text")).as("simhash"))
-      // Consumed by the d_simhash gate AND (twice, via the band self-join)
-      // by simhashPairs; persist so the kernel pass runs once.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shuffle at all to fingerprint the corpus. Consumed by the d_simhash
+    // gate AND (twice, via the band self-join) by simhashPairs; registry-
+    // persisted so the kernel pass runs once per session.
+    CacheRegistry.cached(spark, s"dedup.simhash:$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), TextHashOps.simHash(col("text")).as("simhash"))
+    }
 
   val simhashSql: String =
     s"""SELECT doc_id, $simhashFromCounts AS simhash FROM (
@@ -340,7 +346,8 @@ object Dedup {
        |        FROM ($docsSql))
        |  GROUP BY doc_id)""".stripMargin
 
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cached(
+    spark, s"dedup.simhashPairs:$sfDir") {
     val sh = simhash(spark, sfDir)
     val bandCols = (0 until SimHashBands).map(i =>
       struct(lit(i).as("band"), expr(simhashBandSpark("simhash", i)).as("bkey")))
@@ -362,11 +369,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
       .where(col("hamming") <= MaxHamming)
-      // The pair OUTPUT is tiny (near-dups are rare by construction) and
-      // has two gated consumers — the pair query itself and the
-      // connected-components clustering — persist so the banded self-join
-      // runs once per session.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registry-persisted (see the wrapper): the pair OUTPUT is tiny
+    // (near-dups are rare by construction) and has two gated consumers —
+    // the pair query itself and the connected-components clustering — so
+    // the banded self-join runs once per session.
   }
 
   val simhashPairsSql: String = {
@@ -493,7 +499,29 @@ object Dedup {
     * (exact, decimal) sum strictly decreases until fixpoint — no
     * old-vs-new self-join needed.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Above this many pair-member vertices the per-round label relation no
+    * longer broadcasts: 10⁷ (doc_id, comp) rows ≈ 160 MB serialized is
+    * already past a sane `autoBroadcastJoinThreshold`, and on a 100 TB
+    * corpus with a few percent near-dups the label relation is 10⁸–10⁹
+    * rows — force-broadcasting that assembles it on the driver and OOMs.
+    */
+  val BroadcastLabelLimit = 10L * 1000 * 1000
+
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, BroadcastLabelLimit)
+
+  /** `broadcastLabelLimit` is the cost-model strategy switch (the analogue
+    * of the reference's per-key partitioner selection,
+    * one-group-stateless/src/main/scala/partitioner/DPartitioner.scala:31-54):
+    * measured once from the vertex count, it picks between the small-graph
+    * plan (labels broadcast into the cached edges, AQE off, few static
+    * shuffle partitions — each round is tiny and re-compiled fresh, so
+    * adaptive re-planning and 32 near-empty reduce tasks are pure
+    * overhead) and the large-graph plan (shuffle joins under AQE with the
+    * session's partitioning — the only shape that survives 10⁸+ labels).
+    * PropertySpec runs the same graphs through both sides of the switch.
+    */
+  def connectedComponents(pairs: DataFrame, broadcastLabelLimit: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -504,35 +532,37 @@ object Dedup {
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .localCheckpoint(false)
+    // The vertex set is fixed across rounds, so one up-front count decides
+    // the strategy for the whole loop (labels.count() reads the checkpoint
+    // blocks just materialized — cheap).
+    val smallGraph = labels.count() <= broadcastLabelLimit
+    def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    // Loop-local session tuning, restored in the finally: AQE off (each
-    // round's plans are tiny and re-compiled fresh, so adaptive
-    // re-planning adds per-round stage jobs without information gain —
-    // the broadcasts are already hinted) and few static shuffle
-    // partitions (the label relation is pair-members only; 32 near-empty
-    // reduce tasks per round are pure scheduling overhead that AQE would
-    // otherwise have coalesced).
+    // Loop-local session tuning, restored in the finally (small graphs
+    // only — see the strategy scaladoc above).
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val shufKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.get(aqeKey, "true")
     val prevShuf = spark.conf.get(shufKey, "200")
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(shufKey, "4")
+    if (smallGraph) {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(shufKey, "4")
+    }
     try {
       while (!converged && rounds < 64) { // bound ≫ log-diameter with jumping
         val nbrMin = edges
-          .join(broadcast(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
+          .join(hinted(labels.select(col("doc_id").as("id_b"), col("comp").as("nc"))),
             "id_b")
           .groupBy("id_a").agg(min("nc").as("min_nbr"))
         val propagated = labels
-          .join(broadcast(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
+          .join(hinted(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
         labels = propagated
-          .join(broadcast(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
+          .join(hinted(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
             col("comp") === col("comp_doc"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
@@ -543,8 +573,10 @@ object Dedup {
         rounds += 1
       }
     } finally {
-      spark.conf.set(aqeKey, prevAqe)
-      spark.conf.set(shufKey, prevShuf)
+      if (smallGraph) {
+        spark.conf.set(aqeKey, prevAqe)
+        spark.conf.set(shufKey, prevShuf)
+      }
     }
     System.err.println(s"[connectedComponents] converged after $rounds rounds")
     edges.unpersist()
@@ -569,8 +601,12 @@ object Dedup {
     // fraction of the corpus (the whole point of dedup); the full doc
     // list joins back in once at the end.
     val key = s"${System.identityHashCode(spark)}:$sfDir"
-    if (clusterMemo.size >= ClusterMemoMax && !clusterMemo.containsKey(key))
-      clusterMemo.clear()
+    while (clusterMemo.size >= ClusterMemoMax && !clusterMemo.containsKey(key)) {
+      // Evict a single arbitrary entry (not the whole memo); its
+      // checkpoint blocks free with the dropped reference.
+      val it = clusterMemo.keySet().iterator()
+      if (it.hasNext) clusterMemo.remove(it.next())
+    }
     val labels = clusterMemo.computeIfAbsent(key,
       _ => connectedComponents(simhashPairs(spark, sfDir)))
     Tables.documents(spark, sfDir).select("doc_id")

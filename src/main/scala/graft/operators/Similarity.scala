@@ -47,14 +47,16 @@ object Similarity {
   /** Quantized (vec_id, v, norm) relation — the shared base of every ANN
     * query here AND the embedding near-dup pair in Dedup; each gated plan
     * consumes it at least twice (corpus + query sides of the same
-    * self-join). Persisted so the embedding scan + quantize + norm runs
-    * once per session, with every consumer picking up the cached subtree.
+    * self-join). Registry-persisted so the embedding scan + quantize +
+    * norm runs once per session, with every consumer picking up the same
+    * cached instance instead of re-registering the plan each call.
     */
   private[operators] def quantized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
-      .withColumn("norm", longDot(col("v"), col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheRegistry.cached(spark, s"similarity.quantized:$sfDir") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
+        .withColumn("norm", longDot(col("v"), col("v")))
+    }
 
   private val quantizedSql: String =
     s"""SELECT vec_id, v, ${dotDuck("v", "v")} AS norm

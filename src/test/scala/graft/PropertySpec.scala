@@ -44,9 +44,15 @@ class PropertySpec extends SparkSpec {
   }
 
   test("connected components equal driver-side union-find on random graphs") {
+    // Both sides of the size-gated strategy switch: the default limit
+    // takes the small-graph plan (labels broadcast, AQE off), limit 0
+    // forces the large-graph shuffle-join plan every round.
     val s = spark
     import s.implicits._
-    for (seed <- 16 to 20) {
+    for {
+      seed <- 16 to 20
+      broadcastLimit <- Seq(graft.operators.Dedup.BroadcastLabelLimit, 0L)
+    } {
       val rnd = new scala.util.Random(seed)
       val n = 40
       // Random sparse graph incl. long chains (the pointer-jumping case).
@@ -65,8 +71,8 @@ class PropertySpec extends SparkSpec {
       val expected = members.map(v => Seq[Any](v,
         members.filter(u => find(u.toInt) == find(v.toInt)).min)).toSet
       val got = rows(graft.operators.Dedup.connectedComponents(
-        pairs.toDF("id_a", "id_b")))
-      assert(got === expected, s"seed $seed")
+        pairs.toDF("id_a", "id_b"), broadcastLimit))
+      assert(got === expected, s"seed $seed limit $broadcastLimit")
     }
   }
 
