@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Bench regression guard: diff this round's per-query bench times against
+the previous round's and fail loudly before the numbers reach the gate.
+
+Usage: python3 tools/bench_guard.py <prev_bench> <new_bench>
+
+Each argument is either a raw graft.Bench output line
+({"metric":"total",...,"queries":{...}}) in a file, or a driver-written
+BENCH_r*.json wrapper whose "tail" embeds that line.
+
+Fails (exit 1) when any query shared by both rounds regressed more than
+2x, or the shared-query total regressed more than 1.25x. Queries only in
+one round are reported but never fail the guard (new operators are
+expected to add time). Absolute floor of 0.5s per query so scheduling
+jitter on sub-second queries doesn't trip the ratio.
+
+Lesson from round 5: a 12.5x single-query regression (67.9s of a 121.4s
+bench) reached the judge because nothing compared BENCH_r05 to _r04
+per-query before the end-of-round commit. Run this before committing.
+"""
+import json, re, sys
+
+PER_QUERY_MAX = 2.0
+TOTAL_MAX = 1.25
+ABS_FLOOR_SEC = 0.5
+
+
+def load_queries(path):
+    text = open(path).read()
+    # Accept the driver wrapper ({"tail": "...{\"metric\"...}..."}) or raw
+    # graft.Bench output. A file may hold SEVERAL metric lines (run Bench
+    # with SPARK_GRAFT_BENCH_RUNS=2): take the per-query MIN across runs —
+    # this machine shows transient external-load spikes of 5-10x on single
+    # sub-second queries, and the min keeps real plan regressions (which
+    # reproduce in every run) while dropping scheduling noise.
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc["queries"]
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+    except json.JSONDecodeError:
+        pass
+    lines = re.findall(r'\{"metric":.*?"queries":\{.*?\}.*?\}', text)
+    if not lines:
+        sys.exit(f"bench_guard: no bench metric line found in {path}")
+    runs = [json.loads(l)["queries"] for l in lines]
+    merged = {}
+    for run in runs:
+        for q, t in run.items():
+            merged[q] = min(merged.get(q, t), t)
+    return merged
+
+
+def main():
+    prev_path, new_path = sys.argv[1], sys.argv[2]
+    prev, new = load_queries(prev_path), load_queries(new_path)
+    shared = sorted(set(prev) & set(new))
+    only_new = sorted(set(new) - set(prev))
+    only_prev = sorted(set(prev) - set(new))
+    failures = []
+    for q in shared:
+        p, n = prev[q], new[q]
+        if p <= 0 or n <= 0:
+            failures.append(f"{q}: errored (prev={p:.2f}s new={n:.2f}s)")
+            continue
+        if n > p * PER_QUERY_MAX and n - p > ABS_FLOOR_SEC:
+            failures.append(f"{q}: {p:.2f}s -> {n:.2f}s ({n / p:.1f}x)")
+    pt = sum(prev[q] for q in shared)
+    nt = sum(new[q] for q in shared)
+    print(f"shared queries: {len(shared)}  total {pt:.1f}s -> {nt:.1f}s "
+          f"({nt / pt:.2f}x)" if shared else "no shared queries")
+    if only_new:
+        print(f"new this round (+{sum(new[q] for q in only_new):.1f}s): "
+              + ", ".join(only_new))
+    if only_prev:
+        print("dropped this round: " + ", ".join(only_prev))
+    for q in sorted(shared, key=lambda q: new[q] - prev[q], reverse=True)[:5]:
+        print(f"  top delta {q}: {prev[q]:.2f}s -> {new[q]:.2f}s")
+    if shared and nt > pt * TOTAL_MAX:
+        failures.append(f"TOTAL: {pt:.1f}s -> {nt:.1f}s ({nt / pt:.2f}x > {TOTAL_MAX}x)")
+    if failures:
+        print("\nBENCH REGRESSION GUARD FAILED:")
+        for f in failures:
+            print(f"  {f}")
+        sys.exit(1)
+    print("bench guard: OK")
+
+
+if __name__ == "__main__":
+    main()
