@@ -168,6 +168,31 @@ object RefQueries {
         lit(0L)).otherwise(lit(1L)).as("strategy"))
   }
 
+  /** Q3c's 100 TB escape hatch (SURVEY §9): when the key domain K
+    * explodes, the exact stats' (ltw, z) pre-aggregation is the first
+    * casualty — this variant estimates K per window with
+    * approx_count_distinct (HLL++, rsd 0.01) in ONE pass over the raw
+    * relation: no per-key grouped relation at all, constant state per
+    * window regardless of K (the reference had no such fallback — it
+    * walked an exact per-key hashmap per batch,
+    * one-group-state/src/main/scala/cluster/APKGrouping.scala:183-235).
+    * M stays exact (a plain count). The oracle compares against DuckDB's
+    * EXACT count(DISTINCT z): both estimators sit in their exact
+    * small-cardinality regime at fixture K (~5 keys/window) — asserted
+    * per-window by RefQueriesSpec, which is the honest contract; at real
+    * scale the column is an estimate with rsd-bounded error.
+    */
+  def q3SkewStatsApprox(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir)
+      .groupBy("ltw")
+      .agg(count(lit(1)).as("m_total"),
+        approx_count_distinct(col("z"), 0.01).as("k_keys_approx"))
+
+  val q3SkewStatsApproxSql: String =
+    s"""SELECT event_time // $slot AS ltw, count(*) AS m_total,
+       |       count(DISTINCT z) AS k_keys_approx
+       |FROM ($zxSql) GROUP BY 1""".stripMargin
+
   val q3SkewStatsSql: String =
     s"""WITH counts AS (
        |  SELECT event_time // $slot AS ltw, z, count(*) AS cnt
@@ -299,6 +324,7 @@ object RefQueries {
     "q3_windowed_sum" -> (q3WindowedSum _),
     "q3_heavy_hitters" -> (q3HeavyHitters _),
     "q3_skew_stats" -> (q3SkewStats _),
+    "q3_skew_stats_approx" -> (q3SkewStatsApprox _),
     "q4_star_cardinality" -> (q4StarCardinality _),
     "q4_windowed_cardinality" -> (q4WindowedCardinality _),
     "q4_star_join" -> (q4StarJoin _),
@@ -312,6 +338,7 @@ object RefQueries {
     "q3_windowed_sum" -> q3SumSql,
     "q3_heavy_hitters" -> q3HeavyHittersSql,
     "q3_skew_stats" -> q3SkewStatsSql,
+    "q3_skew_stats_approx" -> q3SkewStatsApproxSql,
     "q4_star_cardinality" -> q4StarCardinalitySql,
     "q4_windowed_cardinality" -> q4WindowedCardinalitySql,
     "q4_star_join" -> q4StarJoinSql,

@@ -134,4 +134,24 @@ class RefQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("k_keys") === 2L)
     assert(r.getAs[Double]("p1") === 0.8)
   }
+
+  test("q3 approx skew stats agree exactly with the per-key plan at fixture K") {
+    // The HLL++ estimator is exact in its small-cardinality regime, which
+    // is where every fixture window sits (~5 keys) — the gate's oracle
+    // leans on that, so pin it per window against the exact plan on the
+    // real sf0.001 fixture rather than a synthetic one. At real scale the
+    // column is an estimate (rsd 0.01) and only this agreement breaks,
+    // never the one-pass plan shape.
+    val dir = "/root/testdata/sf0.001"
+    val exact = RefQueries.q3SkewStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("ltw") -> (r.getAs[Long]("m_total"), r.getAs[Long]("k_keys")))
+      .toMap
+    val approx = RefQueries.q3SkewStatsApprox(spark, dir).collect()
+      .map(r => r.getAs[Long]("ltw") -> (r.getAs[Long]("m_total"), r.getAs[Long]("k_keys_approx")))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (ltw, (m, k)) =>
+      assert((m, k) === exact(ltw), s"window $ltw")
+    }
+  }
 }
