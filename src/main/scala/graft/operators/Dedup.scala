@@ -594,29 +594,42 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val ClusterMemoMax = 8 // entries pin checkpoint RDD blocks — bound them
 
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // simhashPairs is persisted at source (shared with the gated pair
-    // query). Components run ONLY over docs that appear in some pair — a
-    // singleton's label can never change, and paired docs are a tiny
-    // fraction of the corpus (the whole point of dedup); the full doc
-    // list joins back in once at the end.
-    val key = s"${System.identityHashCode(spark)}:$sfDir"
+  /** Memoized converged labels for one (session, pair source, fixture)
+    * triple; `pairs` is by-name so a memo hit never builds the plan.
+    */
+  private def memoizedLabels(spark: SparkSession, tag: String, sfDir: String)(
+      pairs: => DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}:$tag:$sfDir"
     while (clusterMemo.size >= ClusterMemoMax && !clusterMemo.containsKey(key)) {
       // Evict a single arbitrary entry (not the whole memo); its
       // checkpoint blocks free with the dropped reference.
       val it = clusterMemo.keySet().iterator()
       if (it.hasNext) clusterMemo.remove(it.next())
     }
-    val labels = clusterMemo.computeIfAbsent(key,
-      _ => connectedComponents(simhashPairs(spark, sfDir)))
+    clusterMemo.computeIfAbsent(key, _ => connectedComponents(pairs))
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // simhashPairs is persisted at source (shared with the gated pair
+    // query). Components run ONLY over docs that appear in some pair — a
+    // singleton's label can never change, and paired docs are a tiny
+    // fraction of the corpus (the whole point of dedup); the full doc
+    // list joins back in once at the end.
+    val labels = memoizedLabels(spark, "simhash", sfDir)(simhashPairs(spark, sfDir))
     Tables.documents(spark, sfDir).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
   }
 
-  val dedupClustersSql: String =
+  /** Independent closure oracle shared by every cluster variant: DuckDB's
+    * recursive CTE computes full transitive reachability over the pair
+    * SQL, then every vertex in `vertexSql` takes the min reachable id
+    * (itself if unpaired) — no label propagation, no pointer jumping, so
+    * agreement with [[connectedComponents]] is evidence, not an echo.
+    */
+  private def closureSql(pairsSql: String, vertexSql: String, idCol: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT id_a, id_b FROM ($simhashPairsSql)),
+       |  SELECT id_a, id_b FROM ($pairsSql)),
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -624,11 +637,46 @@ object Dedup {
        |  SELECT a AS src, b AS dst FROM edges
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-       |SELECT d.doc_id,
-       |  CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS canonical_id
-       |FROM (SELECT doc_id FROM documents) d
-       |LEFT JOIN reach r ON r.src = d.doc_id
-       |GROUP BY d.doc_id""".stripMargin
+       |SELECT d.$idCol,
+       |  CAST(least(d.$idCol, coalesce(min(r.dst), d.$idCol)) AS BIGINT) AS canonical_id
+       |FROM ($vertexSql) d
+       |LEFT JOIN reach r ON r.src = d.$idCol
+       |GROUP BY d.$idCol""".stripMargin
+
+  val dedupClustersSql: String =
+    closureSql(simhashPairsSql, "SELECT doc_id FROM documents", "doc_id")
+
+  /** [[dedupClusters]] with the MinHash-LSH pair source swapped in — the
+    * clustering loop is pair-source-agnostic (same `(id_a, id_b)`
+    * contract), so near-dup policy (simhash Hamming vs estimated Jaccard)
+    * is a one-line choice, not a new operator. Docs below the shingle
+    * width have no signature, appear in no pair, and stay singletons.
+    */
+  def minhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = memoizedLabels(spark, "minhash", sfDir)(
+      minhashLshPairs(spark, sfDir).select("id_a", "id_b"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+  }
+
+  val minhashClustersSql: String =
+    closureSql(minhashLshPairsSql, "SELECT doc_id FROM documents", "doc_id")
+
+  /** Clusters over the LSH-bucketed embedding near-dup pairs: the third
+    * instantiation of the pair-source contract, over the embeddings
+    * table's vertex set (`vec_id`) rather than documents.
+    */
+  def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = memoizedLabels(spark, "emb_lsh", sfDir)(
+      embeddingNearDupLsh(spark, sfDir).select("id_a", "id_b"))
+    Tables.embeddings(spark, sfDir).select("vec_id")
+      .join(labels, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+  }
+
+  val embeddingClustersSql: String =
+    closureSql(embeddingNearDupLshSql, "SELECT vec_id FROM embeddings", "vec_id")
 
   /** Near-dedup accounting: per source, how many docs survive cluster
     * collapse (doc == its component's canonical) — the number a curation
@@ -663,6 +711,8 @@ object Dedup {
     "d_embedding_neardup" -> (embeddingNearDup _),
     "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "d_dedup_clusters" -> (dedupClusters _),
+    "d_minhash_clusters" -> (minhashClusters _),
+    "d_embedding_clusters" -> (embeddingClusters _),
     "d_canonical_stats" -> (canonicalStats _))
 
   val oracles: Map[String, String] = Map(
@@ -676,5 +726,7 @@ object Dedup {
     "d_embedding_neardup" -> embeddingNearDupSql,
     "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
     "d_dedup_clusters" -> dedupClustersSql,
+    "d_minhash_clusters" -> minhashClustersSql,
+    "d_embedding_clusters" -> embeddingClustersSql,
     "d_canonical_stats" -> canonicalStatsSql)
 }

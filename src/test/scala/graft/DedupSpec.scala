@@ -77,6 +77,51 @@ class DedupSpec extends SparkSpec {
       Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L), Seq(3L, 3L)))
   }
 
+  /** Driver-side union-find canon: every vertex → min id of its
+    * component (itself if unpaired) — the wiring contract each cluster
+    * variant must satisfy over ITS OWN pair source. (PropertySpec proves
+    * the distributed loop itself on random graphs; these tests prove the
+    * per-source wiring: vertex base, singleton coalesce, min-canonical.)
+    */
+  private def unionFindCanon(pairs: Set[(Long, Long)],
+      vertices: Set[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      vertices.map(v => v -> v)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  test("minhash clusters == union-find over the minhash LSH pair source") {
+    val dir = fixture()
+    val pairs = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val got = Dedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L)) // every doc, paired or not
+    assert(got === unionFindCanon(pairs, got.keySet))
+    assert(got(1L) === 0L) // the identical pair actually collapsed
+  }
+
+  test("embedding clusters collapse the planted near-identical vectors") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val w = v.clone(); w(0) += 0.001f
+    val u = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val dir = writeFixture(embeddings = Seq(
+      EmbRow(0, v, 0), EmbRow(1, w, 0), EmbRow(2, u, 1)))
+    val pairs = Dedup.embeddingNearDupLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val got = Dedup.embeddingClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(got === unionFindCanon(pairs, Set(0L, 1L, 2L)))
+    assert(got(1L) === 0L) // near-identical vectors share a canonical
+    assert(got(2L) === 2L) // the far vector stays a singleton
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val w = v.clone(); w(0) += 0.001f           // near-identical
