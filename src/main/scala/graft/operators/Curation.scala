@@ -162,15 +162,62 @@ object Curation {
        |GROUP BY s.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Context-window sequence packing: lay each shard's documents head to
+  // tail and chop the concatenation into fixed CtxLen-token training
+  // sequences (the GPT-style "concat and chop" packer). Each doc gets
+  // the sequence id and offset where its first token lands; consumers
+  // slice text by (seq_id, seq_off). Packing is SHARD-LOCAL by design:
+  // the running token sum sorts only within (source, doc_id div
+  // ShardSize) — bounded windows that distribute freely — never a
+  // corpus-wide ordering (a global cumsum would serialize 100 TB through
+  // one sort; per-shard boundary waste is at most CtxLen-1 tokens per
+  // shard, negligible at any scale). All outputs are exact integers.
+  // ------------------------------------------------------------------
+  val CtxLen = 2048L
+  val ShardSize = 1000L
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") / lit(ShardSize)).cast("long").as("shard"),
+        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
+          .as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("tok_start"),
+        (col("tok_start") / lit(CtxLen)).cast("long").as("seq_id"),
+        pmod(col("tok_start"), lit(CtxLen)).as("seq_off"))
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, source, shard, n_tokens, tok_start,
+       |  tok_start // $CtxLen AS seq_id, tok_start % $CtxLen AS seq_off
+       |FROM (
+       |  SELECT doc_id, source, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS tok_start
+       |  FROM (
+       |    SELECT doc_id, source, doc_id // $ShardSize AS shard,
+       |      len(${graft.functions.Parity.tokensDuck("text")}) AS n_tokens
+       |    FROM (SELECT doc_id, source, text FROM documents)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
-    "p_contamination" -> (contamination _))
+    "p_contamination" -> (contamination _),
+    "p_pack_sequences" -> (packSequences _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
     "p_vocab_freq" -> vocabFreqSql,
     "p_split_assign" -> splitAssignSql,
-    "p_contamination" -> contaminationSql)
+    "p_contamination" -> contaminationSql,
+    "p_pack_sequences" -> packSequencesSql)
 }

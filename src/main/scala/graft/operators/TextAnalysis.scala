@@ -156,15 +156,55 @@ object TextAnalysis {
        |FROM ($docsSql)""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Intra-document repetition collapse: drop each token that equals its
+  // immediate predecessor ("batch batch batch" → "batch") — the
+  // consecutive-run case of the C4/Gopher repetition filters, the
+  // cleanup a crawl corpus needs BEFORE token counting so pathological
+  // repetition doesn't inflate training mixes. Pure per-row projection
+  // (array filter keyed on the predecessor element), fused into the
+  // scan: no shuffle, linear in corpus size — the same 100 TB shape as
+  // the rest of this module. The CASE guard keeps the predecessor
+  // lookup total (element_at(_, 0) would raise under ANSI).
+  // ------------------------------------------------------------------
+  def collapseRepeats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokensSpark("text")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"filter($toks, (t, i) -> CASE WHEN i = 0 THEN true" +
+          s" ELSE t != element_at($toks, i) END)").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("size(kept)").as("n_kept"),
+        expr("n_tokens - size(kept)").as("n_collapsed"),
+        expr("array_join(kept, ' ')").as("clean_text"))
+  }
+
+  val collapseRepeatsSql: String = {
+    val toks = tokensDuck("text")
+    // DuckDB's lambda index is 1-based where Spark's is 0-based; both
+    // forms read "keep the first token and every token differing from
+    // its predecessor".
+    s"""SELECT doc_id, n_tokens, len(kept) AS n_kept,
+       |  n_tokens - len(kept) AS n_collapsed,
+       |  array_to_string(kept, ' ') AS clean_text
+       |FROM (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]) AS kept
+       |  FROM (SELECT doc_id, $toks AS toks FROM ($docsSql)))""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id" -> (langId _),
-    "t_fingerprint" -> (fingerprint _))
+    "t_fingerprint" -> (fingerprint _),
+    "t_collapse_repeats" -> (collapseRepeats _))
 
   val oracles: Map[String, String] = Map(
     "t_token_stats" -> tokenStatsSql,
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id" -> langIdSql,
-    "t_fingerprint" -> fingerprintSql)
+    "t_fingerprint" -> fingerprintSql,
+    "t_collapse_repeats" -> collapseRepeatsSql)
 }

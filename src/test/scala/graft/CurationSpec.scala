@@ -16,6 +16,25 @@ class CurationSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(got(3L)._2))
   }
 
+  test("sequence packing: shard-local running offsets chopped at CtxLen") {
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = writeFixture(documents = Seq(
+      doc(0, words(1500)),                    // src0 shard 0: starts at 0
+      doc(1, words(1000)),                    // starts at 1500 → still seq 0
+      doc(2, words(10)),                      // starts at 2500 → seq 1 off 452
+      doc(3, words(7), source = "src1"),      // other source: fresh offsets
+      doc(1005, words(5))))                   // src0 shard 1: fresh offsets
+    val got = Curation.packSequences(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off"))).toMap
+    assert(got(0L) === ((0L, 0L, 0L, 0L)))
+    assert(got(1L) === ((0L, 1500L, 0L, 1500L)))
+    assert(got(2L) === ((0L, 2500L, 1L, 452L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))     // source isolation
+    assert(got(1005L) === ((1L, 0L, 0L, 0L)))  // shard isolation
+  }
+
   test("contamination flags only docs sharing shingles with the eval set") {
     // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
     val dir = writeFixture(documents = Seq(

@@ -144,6 +144,18 @@ class DedupSpec extends SparkSpec {
     assert(q.getAs[Long]("stop_cnt") === 3L) // the, and, the
   }
 
+  test("repetition collapse drops consecutive duplicate tokens only") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "a a b b b c a"),   // runs collapse; the non-adjacent 'a' stays
+      doc(1, "x y z")))          // nothing to collapse
+    val got = TextAnalysis.collapseRepeats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+          r.getAs[Int]("n_collapsed"), r.getAs[String]("clean_text"))).toMap
+    assert(got(0L) === ((7, 4, 3, "a b c a")))
+    assert(got(1L) === ((3, 3, 0, "x y z")))
+  }
+
   test("language id picks the profile with the most marker hits") {
     val dir = writeFixture(documents = Seq(
       doc(0, "the cat of the house and a dog", lang = "en"),
