@@ -167,18 +167,22 @@ object TextAnalysis {
   // the rest of this module. The CASE guard keeps the predecessor
   // lookup total (element_at(_, 0) would raise under ANSI).
   // ------------------------------------------------------------------
-  def collapseRepeats(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokensSpark("text")
+  def collapseRepeats(spark: SparkSession, sfDir: String): DataFrame =
+    // Tokenize ONCE into an aliased column — referencing tokensSpark
+    // inline from both `size` and the lambda (and again for the
+    // predecessor lookup inside it) would re-split the text per
+    // reference; the alias keeps the split single-evaluated through
+    // CollapseProject, same pattern as the minhash signature build.
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
       .select(col("doc_id"),
-        expr(s"size($toks)").as("n_tokens"),
-        expr(s"filter($toks, (t, i) -> CASE WHEN i = 0 THEN true" +
-          s" ELSE t != element_at($toks, i) END)").as("kept"))
+        expr("size(toks)").as("n_tokens"),
+        expr("filter(toks, (t, i) -> CASE WHEN i = 0 THEN true" +
+          " ELSE t != element_at(toks, i) END)").as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         expr("size(kept)").as("n_kept"),
         expr("n_tokens - size(kept)").as("n_collapsed"),
         expr("array_join(kept, ' ')").as("clean_text"))
-  }
 
   val collapseRepeatsSql: String = {
     val toks = tokensDuck("text")
