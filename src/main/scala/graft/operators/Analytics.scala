@@ -132,10 +132,11 @@ object Analytics {
   // brute-force top-k (integer hit counts — the measurement a pipeline
   // runs before trusting the approximate path at scale).
   // ------------------------------------------------------------------
-  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  private def recallVsBrute(spark: SparkSession, sfDir: String,
+      approxTopK: (SparkSession, String) => DataFrame): DataFrame = {
     val exact = Similarity.cosineTopK(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(spark, sfDir)
+    val approx = approxTopK(spark, sfDir)
       .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
     exact.join(approx,
         col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
@@ -145,14 +146,28 @@ object Analytics {
         sum(when(col("a_neighbor").isNotNull, 1L).otherwise(0L)).as("hits"))
   }
 
-  val lshRecallSql: String =
+  private def recallVsBruteSql(approxSql: String): String =
     s"""WITH exact AS (${Similarity.cosineTopKSql}),
-       |approx AS (${Similarity.lshTopKSql})
+       |approx AS ($approxSql)
        |SELECT e.query_id, count(*) AS k,
        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
        |FROM exact e LEFT JOIN approx a
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id""".stripMargin
+
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, Similarity.lshTopK)
+
+  val lshRecallSql: String = recallVsBruteSql(Similarity.lshTopKSql)
+
+  /** Recall of the IVF probe path against the same brute-force truth —
+    * the second approximate index needs the same pre-trust measurement
+    * as the LSH one (probing too few cells is IVF's failure mode).
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, Similarity.ivfTopK)
+
+  val ivfRecallSql: String = recallVsBruteSql(Similarity.ivfTopKSql)
 
   // ------------------------------------------------------------------
   // Time-series similarity over the event stream (cf. "Time Series
@@ -423,7 +438,8 @@ object Analytics {
     "a_asof_join" -> (asofJoin _),
     "a_sessionize" -> (sessionize _),
     "a_quantiles" -> (quantiles _),
-    "s_lsh_recall" -> (lshRecall _))
+    "s_lsh_recall" -> (lshRecall _),
+    "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
     "a_json_extract" -> jsonExtractSql,
@@ -435,5 +451,6 @@ object Analytics {
     "a_asof_join" -> asofJoinSql,
     "a_sessionize" -> sessionizeSql,
     "a_quantiles" -> quantilesSql,
-    "s_lsh_recall" -> lshRecallSql)
+    "s_lsh_recall" -> lshRecallSql,
+    "s_ivf_recall" -> ivfRecallSql)
 }
