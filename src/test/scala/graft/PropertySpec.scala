@@ -210,6 +210,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetition collapse equals the driver-side run-length scan on random corpora") {
+    import graft.operators.TextAnalysis
+    for (seed <- 41 to 45) {
+      val rnd = new scala.util.Random(seed)
+      // Small alphabet forces frequent runs; vary lengths incl. 1-token docs.
+      val docs = (0 until 30).map { i =>
+        val toks = List.fill(1 + rnd.nextInt(40))("abc" (rnd.nextInt(3)).toString)
+        i.toLong -> toks
+      }
+      val dir = writeFixture(documents = docs.map { case (id, toks) =>
+        doc(id, toks.mkString(" "))
+      })
+      val expected = docs.map { case (id, toks) =>
+        val kept = toks.zipWithIndex.collect {
+          case (t, 0) => t
+          case (t, i) if t != toks(i - 1) => t
+        }
+        id -> ((toks.size, kept.size, toks.size - kept.size, kept.mkString(" ")))
+      }.toMap
+      val got = TextAnalysis.collapseRepeats(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+            r.getAs[Int]("n_collapsed"), r.getAs[String]("clean_text")))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("amplification scales counts linearly") {
     for (seed <- 11 to 15) {
       val dir = mkDir(genEvents(seed))
