@@ -207,17 +207,65 @@ object Curation {
        |      len(${graft.functions.Parity.tokensDuck("text")}) AS n_tokens
        |    FROM (SELECT doc_id, source, text FROM documents)))""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Training-mix accounting: per-source token totals and the sampling
+  // ratio that caps every source at an equal share of the token budget
+  // (sources under their share keep everything, over-represented ones
+  // down-sample) — the sizing step run before materializing a mix.
+  // Shape: two-phase agg collapses the corpus to |sources| rows; the
+  // window totals run over that tiny grouped relation, so the global
+  // "sort everything" trap never appears. Doubles are single divisions
+  // of exact BIGINTs (IEEE correctly-rounded, bit-equal across engines);
+  // the budget itself stays in integer division.
+  // ------------------------------------------------------------------
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
+          .as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("total_tokens"),
+        expr("CAST(n_tokens AS DOUBLE) / total_tokens").as("token_share"),
+        expr("least(CAST(1.0 AS DOUBLE)," +
+          " CAST(total_tokens div n_sources AS DOUBLE) / n_tokens)")
+          .as("sample_ratio"))
+  }
+
+  val mixWeightsSql: String =
+    s"""SELECT source, n_docs, n_tokens, total_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       |  least(CAST(1.0 AS DOUBLE),
+       |    CAST(total_tokens // n_sources AS DOUBLE) / n_tokens) AS sample_ratio
+       |FROM (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+       |    count(*) OVER () AS n_sources
+       |  FROM (
+       |    SELECT source, count(*) AS n_docs,
+       |      CAST(sum(len(${graft.functions.Parity.tokensDuck("text")})) AS BIGINT)
+       |        AS n_tokens
+       |    FROM (SELECT source, text FROM documents)
+       |    GROUP BY source))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
     "p_contamination" -> (contamination _),
-    "p_pack_sequences" -> (packSequences _))
+    "p_pack_sequences" -> (packSequences _),
+    "p_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
     "p_vocab_freq" -> vocabFreqSql,
     "p_split_assign" -> splitAssignSql,
     "p_contamination" -> contaminationSql,
-    "p_pack_sequences" -> packSequencesSql)
+    "p_pack_sequences" -> packSequencesSql,
+    "p_mix_weights" -> mixWeightsSql)
 }

@@ -35,6 +35,20 @@ class CurationSpec extends SparkSpec {
     assert(got(1005L) === ((1L, 0L, 0L, 0L)))  // shard isolation
   }
 
+  test("mix weights cap over-represented sources at the equal token share") {
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = writeFixture(documents = Seq(
+      doc(0, words(10)), doc(1, words(10)),          // src0: 20 tokens
+      doc(2, words(4), source = "src1")))            // src1: 4 tokens
+    // total 24, budget 24/2 = 12: src0 down-samples to 12/20, src1 keeps all.
+    val got = Curation.mixWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("token_share"), r.getAs[Double]("sample_ratio"))).toMap
+    assert(got("src0") === ((2L, 20L, 20.0 / 24, 12.0 / 20)))
+    assert(got("src1") === ((1L, 4L, 4.0 / 24, 1.0)))
+  }
+
   test("contamination flags only docs sharing shingles with the eval set") {
     // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
     val dir = writeFixture(documents = Seq(
