@@ -253,13 +253,74 @@ object Curation {
        |    FROM (SELECT source, text FROM documents)
        |    GROUP BY source))""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Mix materialization: apply [[mixWeights]]' sampling caps with the
+  // content-fingerprint hash (same dup-stability argument as
+  // [[splitAssign]]: exact duplicates sample identically, re-ingestion
+  // is stable). The per-source threshold stays in INTEGER arithmetic —
+  // thresh = (budget · 10⁶) div source_tokens, keep iff fp mod 10⁶ <
+  // thresh — so both engines make bit-identical keep decisions; a
+  // double ratio would round differently at the boundary. The
+  // |sources|-row threshold relation broadcasts into the corpus scan:
+  // one pass, no corpus shuffle. (Dividing by n_sources BEFORE the
+  // ·10⁶ keeps the intermediate under Long overflow up to ~9×10¹²
+  // budget tokens per source — beyond any practical mix.)
+  // ------------------------------------------------------------------
+  val MixHashMod = 1000000L
+
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val thresholds = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
+          .as("n_tokens"))
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("total_tokens", sum(col("src_tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source").as("t_source"),
+        least(lit(MixHashMod),
+          expr(s"(total_tokens div n_sources) * $MixHashMod div src_tokens"))
+          .as("keep_thresh"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextHashOps.polyHash(col("text")).as("fp"))
+      .join(broadcast(thresholds), col("source") === col("t_source"))
+      .where(pmod(col("fp"), lit(MixHashMod)) < col("keep_thresh"))
+      .select(col("doc_id"), col("source"), col("keep_thresh"))
+  }
+
+  val mixSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    least($MixHashMod,
+       |      (total_tokens // n_sources) * $MixHashMod // src_tokens)
+       |      AS keep_thresh
+       |  FROM (
+       |    SELECT source, src_tokens,
+       |      CAST(sum(src_tokens) OVER () AS BIGINT) AS total_tokens,
+       |      count(*) OVER () AS n_sources
+       |    FROM (
+       |      SELECT source,
+       |        CAST(sum(len(${graft.functions.Parity.tokensDuck("text")})) AS BIGINT)
+       |          AS src_tokens
+       |      FROM (SELECT source, text FROM documents)
+       |      GROUP BY source)))
+       |SELECT doc_id, d.source, keep_thresh
+       |FROM (SELECT doc_id, source, ${charPolyHashDuck("text")} AS fp
+       |      FROM (SELECT doc_id, source, text FROM documents)) d
+       |JOIN t ON d.source = t.source
+       |WHERE fp % $MixHashMod < keep_thresh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
     "p_contamination" -> (contamination _),
     "p_pack_sequences" -> (packSequences _),
-    "p_mix_weights" -> (mixWeights _))
+    "p_mix_weights" -> (mixWeights _),
+    "p_mix_sample" -> (mixSample _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
@@ -267,5 +328,6 @@ object Curation {
     "p_split_assign" -> splitAssignSql,
     "p_contamination" -> contaminationSql,
     "p_pack_sequences" -> packSequencesSql,
-    "p_mix_weights" -> mixWeightsSql)
+    "p_mix_weights" -> mixWeightsSql,
+    "p_mix_sample" -> mixSampleSql)
 }

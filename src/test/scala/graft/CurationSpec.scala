@@ -49,6 +49,24 @@ class CurationSpec extends SparkSpec {
     assert(got("src1") === ((1L, 4L, 4.0 / 24, 1.0)))
   }
 
+  test("mix sample keeps whole under-budget sources and hash-filters the rest") {
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = writeFixture(documents = Seq(
+      doc(0, words(10)), doc(1, words(10)),          // src0: 20 tokens, thresh 600000
+      doc(2, words(4), source = "src1")))            // src1: under budget → keep all
+    val fp = Curation.splitAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    val kept = Curation.mixSample(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_thresh")).toMap
+    assert(kept.get(2L).contains(Curation.MixHashMod)) // uncapped source kept whole
+    // src0 membership must follow the integer hash rule exactly.
+    Seq(0L, 1L).foreach { id =>
+      val expectKeep = fp(id) % Curation.MixHashMod < 600000L
+      assert(kept.contains(id) === expectKeep, s"doc $id")
+      if (expectKeep) assert(kept(id) === 600000L)
+    }
+  }
+
   test("contamination flags only docs sharing shingles with the eval set") {
     // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
     val dir = writeFixture(documents = Seq(
