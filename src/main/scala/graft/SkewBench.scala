@@ -112,6 +112,32 @@ object SkewBench {
     }.mkString("{", ",", "}")
     val maxRatio = results.map { case (_, (u, s)) => s / u }.max
     println(f"""{"metric":"skew_ratio_max","value":$maxRatio%.3f,"unit":"x","queries":$qs,"rows":$n}""")
+
+    // ---- connectedComponents strategy switch, measured both sides ----
+    // Chain graph: ccN vertices in chains of 8 (the shallow-component
+    // shape near-dup clusters take), so both strategies need the same
+    // few pointer-jumped rounds. The broadcast side is the gated default
+    // (vertex count ≪ BroadcastLabelLimit); forcing the limit to 0 runs
+    // the identical loop through AQE shuffle joins — the only plan shape
+    // that survives 10⁸+ labels. Equal label checksums prove the switch
+    // changes the PLAN, never the answer (PropertySpec proves it on
+    // random graphs; this measures the cost of the big-graph insurance).
+    val ccN = sys.env.getOrElse("SPARK_GRAFT_CC_VERTICES", "1000000").toLong
+    val chain = 8L
+    val pairs = spark.range(ccN)
+      .where(pmod(col("id"), lit(chain)) =!= 0L)
+      .select(col("id").as("id_a"), (col("id") - 1L).as("id_b"))
+    def ccChecksum(limit: Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Dedup.connectedComponents(pairs, limit)
+      val sum = labels.agg(org.apache.spark.sql.functions.sum(col("comp")))
+        .head().getLong(0)
+      ((System.nanoTime() - t0) / 1e9, sum)
+    }
+    val (tB, sumB) = ccChecksum(Long.MaxValue) // broadcast side
+    val (tS, sumS) = ccChecksum(0L)            // shuffle side
+    require(sumB == sumS, s"strategy switch changed labels: $sumB != $sumS")
+    println(f"""{"metric":"cc_shuffle_over_broadcast","value":${tS / tB}%.3f,"unit":"x","broadcast_sec":$tB%.3f,"shuffle_sec":$tS%.3f,"vertices":$ccN,"checksum_equal":true}""")
     spark.stop()
   }
 }
