@@ -212,23 +212,36 @@ object Curation {
   // ratio that caps every source at an equal share of the token budget
   // (sources under their share keep everything, over-represented ones
   // down-sample) — the sizing step run before materializing a mix.
-  // Shape: two-phase agg collapses the corpus to |sources| rows; the
-  // window totals run over that tiny grouped relation, so the global
-  // "sort everything" trap never appears. Doubles are single divisions
+  // Shape: two-phase agg collapses the corpus to |sources| rows; corpus
+  // totals are a broadcast 1-row cross join against that tiny grouped
+  // relation, so the global "sort everything" trap never appears.
+  // Doubles are single divisions
   // of exact BIGINTs (IEEE correctly-rounded, bit-equal across engines);
   // the budget itself stays in integer division.
   // ------------------------------------------------------------------
+  /** Per-source (n_docs, n_tokens) — the one corpus pass behind both mix
+    * queries; registry-persisted because each consumer references it
+    * twice (group side + totals side of the cross join) and a re-derived
+    * plan would scan the corpus once per reference.
+    */
+  private def mixPerSource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"curation.mixPerSource:$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("source"),
+          expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
+            .as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }
+
   def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
-    Tables.documents(spark, sfDir)
-      .select(col("source"),
-        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
-          .as("n_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
-      .withColumn("n_sources", count(lit(1)).over(all))
+    // Corpus totals as a broadcast 1-row cross join rather than a
+    // window-over-() (which funnels the grouped relation through a
+    // single partition and logs the WindowExec warning).
+    val perSource = mixPerSource(spark, sfDir)
+    val totals = perSource.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("total_tokens"),
         expr("CAST(n_tokens AS DOUBLE) / total_tokens").as("token_share"),
@@ -269,16 +282,11 @@ object Curation {
   val MixHashMod = 1000000L
 
   def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
-    val thresholds = Tables.documents(spark, sfDir)
-      .select(col("source"),
-        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
-          .as("n_tokens"))
-      .groupBy("source")
-      .agg(sum(col("n_tokens")).as("src_tokens"))
-      .withColumn("total_tokens", sum(col("src_tokens")).over(all))
-      .withColumn("n_sources", count(lit(1)).over(all))
+    val perSource = mixPerSource(spark, sfDir)
+      .select(col("source"), col("n_tokens").as("src_tokens"))
+    val totals = perSource.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val thresholds = perSource.crossJoin(broadcast(totals))
       .select(col("source").as("t_source"),
         least(lit(MixHashMod),
           expr(s"(total_tokens div n_sources) * $MixHashMod div src_tokens"))
