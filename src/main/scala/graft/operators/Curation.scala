@@ -321,6 +321,39 @@ object Curation {
        |JOIN t ON d.source = t.source
        |WHERE fp % $MixHashMod < keep_thresh""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Per-source quality top-k: keep the QualityTopK best-scoring docs in
+  // each source ("best N per domain" curation). Rank runs INSIDE each
+  // source partition — a bounded window, the same
+  // distribute-by-partition-key shape as packSequences — with doc_id as
+  // the deterministic tiebreak (the score is a deterministic rational,
+  // so ties are real and must order identically in both engines).
+  // Catalyst pushes the rank filter down as WindowGroupLimit: each
+  // partition retains a k-row heap instead of fully sorting.
+  // ------------------------------------------------------------------
+  val QualityTopK = 5
+
+  def topQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    TextAnalysis.qualityScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= QualityTopK)
+      .select(col("source"), col("rk"), col("doc_id"), col("quality_score"))
+  }
+
+  val topQualitySql: String =
+    s"""SELECT source, rk, doc_id, quality_score
+       |FROM (
+       |  SELECT d.source, q.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC, q.doc_id) AS rk
+       |  FROM (${TextAnalysis.qualityScoreSql}) q
+       |  JOIN (SELECT doc_id, source FROM documents) d ON q.doc_id = d.doc_id)
+       |WHERE rk <= $QualityTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
@@ -328,7 +361,8 @@ object Curation {
     "p_contamination" -> (contamination _),
     "p_pack_sequences" -> (packSequences _),
     "p_mix_weights" -> (mixWeights _),
-    "p_mix_sample" -> (mixSample _))
+    "p_mix_sample" -> (mixSample _),
+    "p_top_quality" -> (topQuality _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
@@ -337,5 +371,6 @@ object Curation {
     "p_contamination" -> contaminationSql,
     "p_pack_sequences" -> packSequencesSql,
     "p_mix_weights" -> mixWeightsSql,
-    "p_mix_sample" -> mixSampleSql)
+    "p_mix_sample" -> mixSampleSql,
+    "p_top_quality" -> topQualitySql)
 }

@@ -67,6 +67,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("per-source quality top-k ranks within source with doc_id tiebreak") {
+    // Two sources; src0 has 7 docs with identical text (identical score —
+    // tiebreak must be doc_id), src1 has 2 so the rank never reaches k.
+    val text = "one two three four five six seven eight nine ten and the of"
+    val dir = writeFixture(documents =
+      (0L until 7L).map(i => doc(i, text)) ++
+        Seq(doc(10L, text, source = "src1"), doc(11L, text, source = "src1")))
+    val got = Curation.topQuality(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk")) -> r.getAs[Long]("doc_id"))
+      .toMap
+    assert(got.count(_._1._1 == "src0") === Curation.QualityTopK)
+    (1 to Curation.QualityTopK).foreach(k => assert(got(("src0", k)) === (k - 1).toLong))
+    assert(got(("src1", 1)) === 10L && got(("src1", 2)) === 11L)
+    assert(!got.contains(("src1", 3)))
+  }
+
   test("contamination flags only docs sharing shingles with the eval set") {
     // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
     val dir = writeFixture(documents = Seq(
