@@ -237,6 +237,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing equals the driver-side per-shard scan on random corpora") {
+    import graft.operators.Curation
+    for (seed <- 51 to 55) {
+      val rnd = new scala.util.Random(seed)
+      // doc_ids scattered across shards and sources, random token counts.
+      val docs = (0 until 40).map { _ =>
+        (rnd.nextInt(3000).toLong, "src" + rnd.nextInt(3), 1 + rnd.nextInt(500))
+      }.distinctBy(_._1)
+      val dir = writeFixture(documents = docs.map { case (id, src, n) =>
+        doc(id, Seq.fill(n)("w").mkString(" "), source = src)
+      })
+      val expected = docs.groupBy(d => (d._2, d._1 / Curation.ShardSize))
+        .flatMap { case (_, ds) =>
+          ds.sortBy(_._1).foldLeft((0L, List.empty[(Long, Long)])) {
+            case ((start, acc), (id, _, n)) => (start + n, (id, start) :: acc)
+          }._2
+        }
+        .map { case (id, start) =>
+          id -> ((start, start / Curation.CtxLen, start % Curation.CtxLen))
+        }
+      val got = Curation.packSequences(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("tok_start"), r.getAs[Long]("seq_id"),
+            r.getAs[Long]("seq_off")))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("amplification scales counts linearly") {
     for (seed <- 11 to 15) {
       val dir = mkDir(genEvents(seed))
