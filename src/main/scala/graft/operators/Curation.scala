@@ -110,6 +110,34 @@ object Curation {
       |GROUP BY token""".stripMargin
 
   // ------------------------------------------------------------------
+  // Bigram statistics: [[vocabFreq]] at order 2 WITH multiplicity (the
+  // dedup shingles are distinct-per-doc; an n-gram LM / BPE-merge pass
+  // needs every occurrence counted). Same explode + two-phase-agg shape:
+  // the shuffle carries (gram, partial counts), never documents. The
+  // guard keeps sub-w docs out of `sequence`'s backwards-step error.
+  // ------------------------------------------------------------------
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2)," +
+          " i -> concat_ws(' ', slice(toks, i + 1, 2))) ELSE array() END"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+
+  val bigramFreqSql: String =
+    """SELECT gram, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(0, len(toks) - 1),
+      |      i -> array_to_string(toks[i + 1:i + 2], ' '))
+      |    ELSE [] END) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM (SELECT doc_id, text FROM documents)))
+      |GROUP BY gram""".stripMargin
+
+  // ------------------------------------------------------------------
   // Deterministic train/val/test split: assignment from the content
   // fingerprint (NOT the doc_id), so exact duplicates always land in the
   // same split and re-ingestion is stable — the property that prevents
@@ -362,7 +390,8 @@ object Curation {
     "p_pack_sequences" -> (packSequences _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
-    "p_top_quality" -> (topQuality _))
+    "p_top_quality" -> (topQuality _),
+    "p_bigram_freq" -> (bigramFreq _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
@@ -372,5 +401,6 @@ object Curation {
     "p_pack_sequences" -> packSequencesSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
-    "p_top_quality" -> topQualitySql)
+    "p_top_quality" -> topQualitySql,
+    "p_bigram_freq" -> bigramFreqSql)
 }

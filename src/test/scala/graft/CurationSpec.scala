@@ -95,6 +95,18 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(12L))
   }
 
+  test("bigram frequency counts occurrences with multiplicity and df per doc") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "a b a b c"),  // bigrams: "a b"×2, "b a", "b c"
+      doc(1, "a b"),        // "a b" once more, second doc
+      doc(2, "x")))         // sub-w doc contributes nothing
+    val got = Curation.bigramFreq(spark, dir).collect()
+      .map(r => r.getAs[String]("gram") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    assert(got === Map(
+      "a b" -> ((3L, 2L)), "b a" -> ((1L, 1L)), "b c" -> ((1L, 1L))))
+  }
+
   test("vocab frequency counts tf with multiplicity and df per doc") {
     val dir = writeFixture(documents = Seq(
       doc(0, "cat cat dog"), doc(1, "cat bird")))
