@@ -123,6 +123,44 @@ object Dedup {
        |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
 
   // ------------------------------------------------------------------
+  // Duplicate-shingle statistics: per document, how many of its distinct
+  // 3-gram shingles also occur in some OTHER document (df > 1), plus the
+  // resulting duplicate fraction and a >30% quality flag — the standard
+  // corpus-level "fraction of duplicate n-grams" repetition signal a
+  // crawl-curation pass filters on, computed corpus-relative (unlike the
+  // per-doc t_* projections). Shape: two hash-shuffles on the 8-byte
+  // shingle key (df aggregate + join back, the second reuses the first's
+  // partitioning) and one on doc_id — linear in corpus size, text never
+  // shuffled. dup_frac is a double from one division of two exact
+  // integers (bit-identical across engines); the flag is pure integer
+  // arithmetic. Docs with fewer than ShingleW tokens have no shingles
+  // and drop out (nothing to measure).
+  // ------------------------------------------------------------------
+  def dupShingleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("CAST(n_shared AS DOUBLE) / n_shingles").as("dup_frac"),
+        (col("n_shared") * 10 > col("n_shingles") * 3).as("flagged"))
+  }
+
+  val dupShingleStatsSql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+       |SELECT doc_id, n_shingles, n_shared,
+       |  CAST(n_shared AS DOUBLE) / n_shingles AS dup_frac,
+       |  n_shared * 10 > n_shingles * 3 AS flagged
+       |FROM (
+       |  SELECT s.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM sh s JOIN dfreq d ON s.sh = d.sh
+       |  GROUP BY s.doc_id)""".stripMargin
+
+  // ------------------------------------------------------------------
   // Prefix-filtered Jaccard at a production threshold (J > 1/2) — the
   // EXACT scale path for near-dup joins (AllPairs/PPJoin prefix lemma):
   // order every doc's shingles by ascending global document frequency
@@ -704,6 +742,7 @@ object Dedup {
     "d_exact_dedup" -> (exactDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_dup_shingle_stats" -> (dupShingleStats _),
     "d_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
     "d_simhash" -> (simhash _),
@@ -719,6 +758,7 @@ object Dedup {
     "d_exact_dedup" -> exactDedupSql,
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_dup_shingle_stats" -> dupShingleStatsSql,
     "d_jaccard_prefix_pairs" -> jaccardPrefixPairsSql,
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,
     "d_simhash" -> simhashSql,

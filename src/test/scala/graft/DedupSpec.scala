@@ -46,6 +46,21 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("duplicate-shingle stats count corpus-shared shingles per doc") {
+    // doc 0/1 share exactly the shingle "a b c" (1 of each doc's 2); doc 2
+    // shares nothing; doc 3 is below the shingle width and drops out.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "a b c d"), doc(1, "a b c e"), doc(2, "x y z w"), doc(3, "q r")))
+    val got = Dedup.dupShingleStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("dup_frac"), r.getAs[Boolean]("flagged")))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1L, 0.5, true)),
+      1L -> ((2L, 1L, 0.5, true)),
+      2L -> ((2L, 0L, 0.0, false))))
+  }
+
   test("minhash LSH: identical docs match on all signature positions") {
     val dir = fixture()
     val got = Dedup.minhashLshPairs(spark, dir).collect()
