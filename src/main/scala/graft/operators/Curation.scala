@@ -138,6 +138,37 @@ object Curation {
       |GROUP BY gram""".stripMargin
 
   // ------------------------------------------------------------------
+  // Distribution-relative length trim: keep documents whose length lies
+  // within [p5, p95] of their OWN source's n_chars distribution — the
+  // C4-style length filter, but corpus-relative instead of a hard-coded
+  // constant (each source has its own length profile). Per-source type-7
+  // quantiles (the a_quantiles parity contract: percentile() and
+  // quantile_cont() agree bit-for-bit on BIGINT inputs), then the tiny
+  // one-row-per-source bounds relation broadcast-joins back onto the
+  // corpus — one agg pass + one map-side filter, no corpus shuffle.
+  // ------------------------------------------------------------------
+  def lengthTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val bounds = docs.groupBy("source").agg(
+      expr("percentile(n_chars, 0.05D)").as("lo"),
+      expr("percentile(n_chars, 0.95D)").as("hi"))
+    docs.join(broadcast(bounds), "source")
+      .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select("doc_id", "source", "n_chars", "lo", "hi")
+  }
+
+  val lengthTrimSql: String =
+    """WITH bounds AS (
+      |  SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+      |    quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi
+      |FROM (SELECT doc_id, source, n_chars FROM documents) d
+      |JOIN bounds b ON d.source = b.source
+      |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin
+
+  // ------------------------------------------------------------------
   // Deterministic train/val/test split: assignment from the content
   // fingerprint (NOT the doc_id), so exact duplicates always land in the
   // same split and re-ingestion is stable — the property that prevents
@@ -391,7 +422,8 @@ object Curation {
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
-    "p_bigram_freq" -> (bigramFreq _))
+    "p_bigram_freq" -> (bigramFreq _),
+    "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
     "p_corpus_curation" -> corpusCurationSql,
@@ -402,5 +434,6 @@ object Curation {
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,
-    "p_bigram_freq" -> bigramFreqSql)
+    "p_bigram_freq" -> bigramFreqSql,
+    "p_length_trim" -> lengthTrimSql)
 }

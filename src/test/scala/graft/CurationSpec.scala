@@ -107,6 +107,18 @@ class CurationSpec extends SparkSpec {
       "a b" -> ((3L, 2L)), "b a" -> ((1L, 1L)), "b c" -> ((1L, 1L))))
   }
 
+  test("length trim keeps docs within per-source p5..p95 of n_chars") {
+    // srcA lengths 1..21 (text of k chars): p5 = 2.0, p95 = 20.0 under
+    // type-7 ((n-1)·p rank, linear interpolation) — so exactly the two
+    // extreme docs fall outside. srcB is uniform; nothing trims.
+    val dir = writeFixture(documents =
+      (1 to 21).map(k => doc(k.toLong, "x" * k, source = "srcA")) ++
+        Seq(doc(100, "yyyy", source = "srcB"), doc(101, "zzzz", source = "srcB")))
+    val got = Curation.lengthTrim(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(got === ((2L to 20L).toSet ++ Set(100L, 101L)))
+  }
+
   test("vocab frequency counts tf with multiplicity and df per doc") {
     val dir = writeFixture(documents = Seq(
       doc(0, "cat cat dog"), doc(1, "cat bird")))
