@@ -72,6 +72,29 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 2L)) > graft.functions.Parity.NumHashes / 2L)
   }
 
+  test("minhash jaccard eval reports true inter/union next to the estimate") {
+    val dir = fixture()
+    val eval = Dedup.minhashJaccardEval(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("sig_matches"), r.getAs[Long]("inter"),
+          r.getAs[Long]("uni"), r.getAs[Double]("est_j"),
+          r.getAs[Double]("true_j")))).toMap
+    // Identical docs: full signature agreement AND true J = 1.
+    val (sm01, i01, u01, est01, true01) = eval((0L, 1L))
+    assert(sm01 === graft.functions.Parity.NumHashes.toLong)
+    assert(i01 === u01 && est01 === 1.0 && true01 === 1.0)
+    // Every eval row's (inter, uni) must agree with the brute-force
+    // jaccardPairs numbers where that pair clears the J > 0.1 gate.
+    val brute = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("uni")))).toMap
+    eval.foreach { case (pair, (_, inter, uni, _, _)) =>
+      brute.get(pair).foreach { case (bi, bu) =>
+        assert((bi, bu) === ((inter, uni)), s"pair $pair")
+      }
+    }
+  }
+
   test("simhash: identical docs at Hamming 0; near-dups within radius") {
     val dir = fixture()
     val got = Dedup.simhashPairs(spark, dir).collect()
