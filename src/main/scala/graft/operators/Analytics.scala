@@ -428,7 +428,55 @@ object Analytics {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Column profiling (data-quality audit): per profiled column, row/null/
+  // distinct counts and min/max — the schema-health pass a pipeline runs
+  // before trusting a new data drop. ONE scan: all 20 aggregates compute
+  // in a single agg (Catalyst expands the multi-DISTINCT into one
+  // Expand + two-phase HashAggregate — rows × 5 in the map side, still a
+  // single job, no join); the wide one-row result then unpivots via
+  // stack(), a pure projection. At 100 TB swap the exact countDistinct
+  // for approx_count_distinct to drop the Expand (the gated form keeps
+  // exactness for the oracle). All profiled columns cast to BIGINT so the
+  // stack rows share one type.
+  // ------------------------------------------------------------------
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity_floor")
+
+  def profileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      floor(col("l_quantity")).cast("long").as("l_quantity_floor"))
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max")))
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', ${c}_nnull, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+  }
+
+  val profileLineitemSql: String = {
+    val branches = ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct, min($c) AS min_v, max($c) AS max_v
+         |FROM li""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    CAST(floor(l_quantity) AS BIGINT) AS l_quantity_floor
+       |  FROM lineitem)
+       |$branches""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_profile" -> (profileLineitem _),
     "a_json_extract" -> (jsonExtract _),
     "a_shipping_priority" -> (shippingPriority _),
     "a_pricing_summary" -> (pricingSummary _),
@@ -442,6 +490,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_profile" -> profileLineitemSql,
     "a_json_extract" -> jsonExtractSql,
     "a_shipping_priority" -> shippingPrioritySql,
     "a_pricing_summary" -> pricingSummarySql,

@@ -94,6 +94,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(relErr <= 3 * rsd, s"approx $approx vs exact $exact: relErr $relErr")
   }
 
+  test("column profile reports invariant-consistent stats per profiled column") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.profileLineitem(spark, sfDir).collect()
+    val nRows = graft.Tables.lineitem(spark, sfDir).count()
+    assert(got.map(_.getAs[String]("col_name")).toSet === Set(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity_floor"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nRows)
+      assert(r.getAs[Long]("n_null") === 0L)
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd > 0L && nd <= nRows)
+      assert(r.getAs[Long]("min_v") <= r.getAs[Long]("max_v"))
+    }
+    // Exact anchor: line numbers start at 1 and stay a tiny domain.
+    val ln = got.find(_.getAs[String]("col_name") == "l_linenumber").get
+    assert(ln.getAs[Long]("min_v") === 1L)
+    assert(ln.getAs[Long]("n_distinct") <= 7L)
+  }
+
   test("exact quantiles interpolate type-7 on a known distribution") {
     // Not the gated relation — a direct check of the percentile contract
     // on values 1..5: p25 = 2.0, p50 = 3.0, p75 = 4.0.
