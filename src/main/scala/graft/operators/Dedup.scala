@@ -123,6 +123,41 @@ object Dedup {
        |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental-ingest dedup: a NEW batch of documents lands next to an
+  // EXISTING corpus, and only batch docs whose content is genuinely novel
+  // survive — dropped if their fingerprint exists anywhere in the corpus
+  // (cross-batch dup) OR an earlier batch doc claimed it (intra-batch
+  // dup, keep-lowest-id). Modeled inside one table by the deterministic
+  // doc_id-parity split (even = corpus, odd = batch). Shape: LEFT ANTI
+  // join on the 62-bit fingerprint (an 8-byte key — text never shuffles;
+  // AQE broadcasts whichever side is small, typically the batch's
+  // distinct fingerprints at 100 TB) + the same min-id groupBy as
+  // exactDedup within the batch.
+  // ------------------------------------------------------------------
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
+    val corpus = fps.where(col("doc_id") % 2 === 0)
+    val batch = fps.where(col("doc_id") % 2 === 1)
+    batch
+      .join(corpus.select("fp"), Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+      .select("doc_id", "batch_dups")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql)),
+       |batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+       |novel AS (
+       |  SELECT b.fp, b.doc_id FROM batch b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM fps c WHERE c.doc_id % 2 = 0 AND c.fp = b.fp))
+       |SELECT min(doc_id) AS doc_id, count(*) AS batch_dups
+       |FROM novel GROUP BY fp""".stripMargin
+
+  // ------------------------------------------------------------------
   // Duplicate-shingle statistics: per document, how many of its distinct
   // 3-gram shingles also occur in some OTHER document (df > 1), plus the
   // resulting duplicate fraction and a >30% quality flag — the standard
@@ -791,6 +826,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
+    "d_incremental_dedup" -> (incrementalDedup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_dup_shingle_stats" -> (dupShingleStats _),
@@ -808,6 +844,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
+    "d_incremental_dedup" -> incrementalDedupSql,
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_dup_shingle_stats" -> dupShingleStatsSql,

@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("incremental dedup keeps only batch docs novel vs corpus and batch") {
+    // Corpus (even ids): texts A, B. Batch (odd ids): 1=A (cross-batch
+    // dup, dropped), 3=C and 5=C (intra-batch dup pair → keep 3 with
+    // batch_dups=2), 7=D (novel singleton).
+    val dir = writeFixture(documents = Seq(
+      doc(0, "text A"), doc(2, "text B"),
+      doc(1, "text A"), doc(3, "text C"), doc(5, "text C"), doc(7, "text D")))
+    val got = rows(Dedup.incrementalDedup(spark, dir))
+    assert(got === Set(Seq(3L, 2L), Seq(7L, 1L)))
+  }
+
   test("duplicate-shingle stats count corpus-shared shingles per doc") {
     // doc 0/1 share exactly the shingle "a b c" (1 of each doc's 2); doc 2
     // shares nothing; doc 3 is below the shingle width and drops out.
