@@ -475,7 +475,99 @@ object Analytics {
        |$branches""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // TPC-H Q5-shaped regional revenue: lineitem ⋈ orders ⋈ customer ⋈
+  // supplier ⋈ nation ⋈ region, local-supplier condition (customer and
+  // supplier in the same nation), one-year date slice, revenue per
+  // nation. The 100 TB plan this declares: the date filter pushes into
+  // the orders scan (PushedFilters), the 25-row nation⋈region product
+  // broadcasts, and the two fact joins (lineitem⋈orders on orderkey,
+  // +customer/+supplier on their keys) are the only shuffles — AQE picks
+  // shuffle-hash vs broadcast for customer/supplier by actual size, which
+  // is the right call at both sf0.01 (broadcast) and SF 100k (shuffle).
+  // Revenue sums are DECIMAL-exact end to end (class scaladoc).
+  // ------------------------------------------------------------------
+  def regionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("disc_price"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("disc_price").cast("decimal(38,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Time-based moving aggregate over the event stream: per user, the
+  // rolling sum/count/mean of the last 5 seconds of integer measures —
+  // a RANGE frame keyed on epoch-ms, not a ROWS frame: with duplicate
+  // timestamps a ROWS frame's content depends on the engine's tie order
+  // (non-deterministic across engines AND across Spark shuffles), while
+  // a RANGE frame is a pure function of the key value. Scale shape: one
+  // hash-shuffle on user_id + per-partition sort — the standard windowed
+  // plan; sums are exact integers, the mean is one division to double.
+  // ------------------------------------------------------------------
+  val MovingWindowMs = 5000L
+
+  def movingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val ev = evRaw.select(col("user_id"),
+      graft.Shapes.eventTimeMs(evRaw).as("tms"),
+      expr("CAST(floor(value) AS BIGINT)").as("x"))
+    val w = Window.partitionBy("user_id").orderBy("tms")
+      .rangeBetween(-MovingWindowMs, 0)
+    ev.select(col("user_id"), col("tms"), col("x"),
+      sum("x").over(w).as("win_sum"),
+      count(lit(1)).over(w).as("win_n"))
+      .withColumn("win_avg", expr("CAST(win_sum AS DOUBLE) / win_n"))
+  }
+
+  val movingWindowSql: String =
+    s"""SELECT user_id, tms, x,
+       |  CAST(sum(x) OVER w AS BIGINT) AS win_sum,
+       |  count(*) OVER w AS win_n,
+       |  CAST(CAST(sum(x) OVER w AS BIGINT) AS DOUBLE) / (count(*) OVER w) AS win_avg
+       |FROM (SELECT user_id, epoch_ms(ts) AS tms,
+       |        CAST(floor(value) AS BIGINT) AS x FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+       |  RANGE BETWEEN $MovingWindowMs PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_regional_revenue" -> (regionalRevenue _),
+    "a_moving_window" -> (movingWindow _),
     "a_profile" -> (profileLineitem _),
     "a_json_extract" -> (jsonExtract _),
     "a_shipping_priority" -> (shippingPriority _),
@@ -490,6 +582,8 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_regional_revenue" -> regionalRevenueSql,
+    "a_moving_window" -> movingWindowSql,
     "a_profile" -> profileLineitemSql,
     "a_json_extract" -> jsonExtractSql,
     "a_shipping_priority" -> shippingPrioritySql,

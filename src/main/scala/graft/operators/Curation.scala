@@ -413,7 +413,37 @@ object Curation {
        |  JOIN (SELECT doc_id, source FROM documents) d ON q.doc_id = d.doc_id)
        |WHERE rk <= $QualityTopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Cross-source overlap matrix: for every pair of sources, how many
+  // DISTINCT texts (by 62-bit fingerprint) appear in both — the
+  // provenance diagnostic behind dedup policy ("is crawl-B a re-crawl of
+  // crawl-A?") and mix design (double-counted content skews sampling
+  // weights). Shape: one distinct-shuffle on the 8-byte (source, fp)
+  // pair, then a fp-key self-join whose per-key fan-out is bounded by the
+  // NUMBER OF SOURCES (each source contributes a fp at most once after
+  // the distinct) — at 100 TB the join is linear in corpus size with a
+  // ≤ |sources|² row multiplier, never df². Text never shuffles.
+  // ------------------------------------------------------------------
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = Tables.documents(spark, sfDir)
+      .select(col("source"), TextHashOps.polyHash(col("text")).as("fp"))
+      .distinct()
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH sf AS (
+       |  SELECT DISTINCT source, ${charPolyHashDuck("text")} AS fp
+       |  FROM (SELECT source, text FROM documents))
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+       |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_source_overlap" -> (sourceOverlap _),
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
@@ -426,6 +456,7 @@ object Curation {
     "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "p_source_overlap" -> sourceOverlapSql,
     "p_corpus_curation" -> corpusCurationSql,
     "p_vocab_freq" -> vocabFreqSql,
     "p_split_assign" -> splitAssignSql,

@@ -263,17 +263,106 @@ object Similarity {
        |    ON p.cell = c.label AND p.query_id <> c.vec_id)
        |WHERE rnk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // k-means training (Lloyd iterations) over the quantized embeddings —
+  // the coarse-quantizer TRAINER the IVF path above presupposes ("at
+  // 100 TB you'd train cells offline the same way"). Two unrolled Lloyd
+  // iterations, every step exact-integer so Spark and DuckDB agree
+  // bit-for-bit:
+  //   - seeds = the first KmeansK vectors (deterministic, no RNG);
+  //   - assignment = argmin over ||x − c||² = xx − 2·x·c + cc, all Long
+  //     (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ per vector — far inside Long range);
+  //     ties break to the lowest centroid id via the (dist2, cid) struct
+  //     min — one codegen'd partial/final HashAggregate, no window sort;
+  //   - update = per-dimension Long sums (64 grouped aggregates in ONE
+  //     HashAggregate pass over k groups) floor-divided by the cluster
+  //     count: fdiv(s,n) = (s − pmod(s,n)) div n is an exact integer both
+  //     engines compute identically. A cluster that loses all points
+  //     drops out (same semantics both sides).
+  // Scale shape: each iteration is one corpus scan with a BROADCAST of k
+  // centroid rows (k·dim longs — bytes), one k-group aggregate, and one
+  // k-row driver-free join; nothing quadratic, no corpus re-shuffle. At
+  // extreme corpus sizes the per-dimension Long sums would be the first
+  // overflow (10¹² rows · 10⁶ quantized units ≈ 10¹⁸ ≈ Long.Max) — the
+  // documented swap is sum(CAST AS DECIMAL(38,0)), same plan shape.
+  // ------------------------------------------------------------------
+  val KmeansK = 8L
+
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val seeds = q.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    // argmin_{cid} ||x − c||² as a grouped struct-min: (dist2, cid) pairs
+    // order lexicographically, so min = smallest distance, ties to the
+    // smallest centroid id.
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(
+            (col("norm") - lit(2L) * longDot(col("v"), col("cv")) + col("cnorm"))
+              .as("dist2"),
+            col("cid")).as("sc"))
+        .groupBy("vec_id").agg(min("sc").as("sc"))
+        .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist2").as("dist2"))
+    // New centroids: one HashAggregate pass over k groups — 64 Long sums
+    // as flat columns (same flat-scalar pattern as the minhash signature
+    // build), then exact floor-division and reassembly into the array.
+    def update(asg: DataFrame): DataFrame = {
+      val joined = q.join(asg.select("vec_id", "cluster"), "vec_id")
+      val aggs = count(lit(1)).as("n") +:
+        (0 until EmbeddingDim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      joined.groupBy(col("cluster").as("cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cid"),
+          array((0 until EmbeddingDim)
+            .map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
+        .withColumn("cnorm", longDot(col("cv"), col("cv")))
+    }
+    assign(update(assign(seeds)))
+  }
+
+  val kmeansTrainSql: String = {
+    def assignSql(corpus: String, cents: String): String =
+      s"""SELECT vec_id, cid AS cluster, dist2 FROM (
+         |  SELECT vec_id, cid, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      q.norm - 2 * ${dotDuck("q.v", "c.cv")} + c.cnorm AS dist2
+         |    FROM $corpus q CROSS JOIN $cents c))
+         |WHERE rn = 1""".stripMargin
+    val dimSums = (0 until EmbeddingDim)
+      .map(i => s"CAST(sum(q.v[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+    val fdivArr = (0 until EmbeddingDim)
+      .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
+    s"""WITH corpus AS ($quantizedSql),
+       |seeds AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM corpus
+       |  WHERE vec_id < $KmeansK),
+       |a1 AS (${assignSql("corpus", "seeds")}),
+       |sums AS (
+       |  SELECT a.cluster AS cid, count(*) AS n, $dimSums
+       |  FROM corpus q JOIN a1 a ON q.vec_id = a.vec_id
+       |  GROUP BY a.cluster),
+       |c1 AS (
+       |  SELECT cid, cv, ${dotDuck("cv", "cv")} AS cnorm
+       |  FROM (SELECT cid, $fdivArr AS cv FROM sums))
+       |${assignSql("corpus", "c1")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> (cosineTopK _),
     "s_lsh_bucket_stats" -> (lshBucketStats _),
     "s_lsh_topk" -> (lshTopK _),
     "s_lsh_multiprobe_topk" -> (lshMultiprobeTopK _),
-    "s_ivf_topk" -> (ivfTopK _))
+    "s_ivf_topk" -> (ivfTopK _),
+    "s_kmeans_train" -> (kmeansTrain _))
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKSql,
     "s_lsh_bucket_stats" -> lshBucketStatsSql,
     "s_lsh_topk" -> lshTopKSql,
     "s_lsh_multiprobe_topk" -> lshMultiprobeTopKSql,
-    "s_ivf_topk" -> ivfTopKSql)
+    "s_ivf_topk" -> ivfTopKSql,
+    "s_kmeans_train" -> kmeansTrainSql)
 }

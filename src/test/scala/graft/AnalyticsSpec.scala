@@ -123,4 +123,89 @@ class AnalyticsSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Double]]("qs").toSeq
     assert(got === Seq(2.0, 3.0, 4.0))
   }
+
+  test("regional revenue matches a driver-side recomputation on sf0.001") {
+    // Independent reference: collect the five joined tables and redo the
+    // Q5 join + decimal sum imperatively (hash maps, BigDecimal), then
+    // compare the full (nation → revenue, count) maps.
+    val sfDir = "/root/testdata/sf0.001"
+    val nationsInAsia = graft.Tables.nation(spark, sfDir)
+      .join(graft.Tables.region(spark, sfDir).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custNation = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppNation = graft.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ordCust = graft.Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+    val acc = scala.collection.mutable.Map[String, (BigDecimal, Long)]()
+    li.foreach { r =>
+      for {
+        custkey <- ordCust.get(r.getLong(0))
+        cNation <- custNation.get(custkey)
+        sNation <- suppNation.get(r.getLong(1))
+        if cNation == sNation
+        name <- nationsInAsia.get(sNation)
+      } {
+        val price = BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val disc = BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val rev = price * (BigDecimal(1) - disc)
+        val (s, n) = acc.getOrElse(name, (BigDecimal(0), 0L))
+        acc(name) = (s + rev, n + 1)
+      }
+    }
+    val want = acc.map { case (name, (s, n)) =>
+      Seq[Any](name, s.toDouble, n)
+    }.toSet
+    assert(want.nonEmpty) // the slice is non-trivial at sf0.001
+    assert(rows(Analytics.regionalRevenue(spark, sfDir)) === want)
+  }
+
+  test("regional revenue plan: date slice pushed to the orders scan, dims broadcast") {
+    val sfDir = "/root/testdata/sf0.001"
+    val plan = Analytics.regionalRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The one-year slice must reach the parquet reader as a pushed filter
+    // (at 100 TB this is the difference between scanning one year and
+    // scanning the table), and the nation⋈region product must broadcast.
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate lower bound must push into the scan:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate upper bound must push into the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim chain must broadcast:\n$plan")
+  }
+
+  test("moving window is a 5s range frame: sums follow timestamps, not row order") {
+    // user 1: t=0 (x=1), t=4000 (x=2), t=5000 (x=4), t=9500 (x=8),
+    //   t=20000 (x=16). Frames ([t-5000, t] inclusive):
+    //   t=0     → {1}          sum 1
+    //   t=4000  → {1,2}        sum 3
+    //   t=5000  → {1,2,4}      sum 7   (0 is inclusive at -5000)
+    //   t=9500  → {4,8}        sum 12  (4000 just aged out at 9500? 9500-5000=4500 → 4000 < 4500 → out)
+    //   t=20000 → {16}         sum 16
+    // user 2 at t=0 is untouched by user 1's rows.
+    val dir = writeFixture(events = Seq(
+      event(1, 0, 1, "e", 1.0), event(2, 4000, 1, "e", 2.0),
+      event(3, 5000, 1, "e", 4.0), event(4, 9500, 1, "e", 8.0),
+      event(5, 20000, 1, "e", 16.0), event(6, 0, 2, "e", 32.0)))
+    val got = Analytics.movingWindow(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tms")) ->
+        (r.getAs[Long]("win_sum"), r.getAs[Long]("win_n"))).toMap
+    assert(got((1L, 0L)) === (1L, 1L))
+    assert(got((1L, 4000L)) === (3L, 2L))
+    assert(got((1L, 5000L)) === (7L, 3L))
+    assert(got((1L, 9500L)) === (12L, 2L))
+    assert(got((1L, 20000L)) === (16L, 1L))
+    assert(got((2L, 0L)) === (32L, 1L))
+  }
 }

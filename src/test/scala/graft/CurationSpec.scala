@@ -83,6 +83,18 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(("src1", 3)))
   }
 
+  test("source overlap counts distinct shared texts once per source pair") {
+    // "dup one" is in src A twice (distinct collapses it) and src B once;
+    // "dup two" spans A and C; "only a" is unshared. Expected matrix:
+    // (A,B) → 1, (A,C) → 1, no (B,C) row.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "dup one", source = "srcA"), doc(1, "dup one", source = "srcA"),
+      doc(2, "dup one", source = "srcB"), doc(3, "dup two", source = "srcA"),
+      doc(4, "dup two", source = "srcC"), doc(5, "only a", source = "srcA")))
+    assert(rows(Curation.sourceOverlap(spark, dir)) === Set(
+      Seq("srcA", "srcB", 1L), Seq("srcA", "srcC", 1L)))
+  }
+
   test("contamination flags only docs sharing shingles with the eval set") {
     // doc 0 is "eval"; doc 11 copies a 3-gram from it; doc 12 does not.
     val dir = writeFixture(documents = Seq(

@@ -53,4 +53,46 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getAs[Long]("neighbor_id")).toSet
     assert(topk.contains(1L))
   }
+
+  test("k-means training matches a driver-side Lloyd run on the same integers") {
+    import graft.functions.Parity
+    // 32 vectors in 4 well-separated 64-dim groups (plus jitter), so the
+    // second iteration genuinely moves centroids; seeds are vec 0..7 —
+    // two seeds per group, which forces at least one cluster to lose all
+    // its points (the empty-cluster-drops contract) on this geometry.
+    val dim = Parity.EmbeddingDim
+    val n = 32
+    val vecs = (0 until n).map { i =>
+      val group = i % 4
+      Array.tabulate(dim) { d =>
+        val base = if (d / (dim / 4) == group) 1.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) * 0.01f
+      }
+    }
+    val dir = writeFixture(embeddings =
+      (0 until n).map(i => EmbRow(i.toLong, vecs(i), 0)))
+    // Independent driver-side Lloyd over the SAME quantized integers.
+    val q: Map[Long, Array[Long]] = vecs.zipWithIndex.map { case (v, i) =>
+      i.toLong -> v.map(x => math.floor(x.toDouble * Parity.QScale).toLong)
+    }.toMap
+    def dist2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      q.map { case (id, v) =>
+        val (d, cid) = cents.map { case (c, cv) => (dist2(v, cv), c) }.min
+        id -> (cid, d)
+      }
+    val seeds = (0L until Similarity.KmeansK).map(c => c -> q(c))
+    val a1 = assign(seeds)
+    val cents1 = a1.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+      val vs = members.keys.toSeq.map(q)
+      val cnt = vs.size.toLong
+      cid -> Array.tabulate(dim) { d =>
+        val s = vs.map(_(d)).sum
+        (s - ((s % cnt) + cnt) % cnt) / cnt
+      }
+    }
+    val want = assign(cents1).map { case (id, (cid, d)) => Seq[Any](id, cid, d) }.toSet
+    assert(rows(Similarity.kmeansTrain(spark, dir)) === want)
+  }
 }
