@@ -565,9 +565,214 @@ object Analytics {
        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
        |  RANGE BETWEEN $MovingWindowMs PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Sequential funnel over the event stream: per user, the earliest
+  // view, the earliest click AT OR AFTER that view, and the earliest
+  // purchase at or after that click — then the user count per stage
+  // (the classic ordered-conversion funnel; >= keeps same-timestamp
+  // progressions, matching typical at-least-once event clocks). Shape:
+  // three min-aggregates + two user-key joins; every join reuses the
+  // user_id hash partitioning of the aggregate before it, so the whole
+  // funnel is effectively ONE shuffle of the (filtered) event stream at
+  // scale, and each stage's relation only shrinks.
+  // ------------------------------------------------------------------
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val ev = evRaw.select(col("user_id"),
+      graft.Shapes.eventTimeMs(evRaw).as("tms"), col("event_type"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("t1"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("tms") >= col("t1"))
+      .groupBy("user_id").agg(min("tms").as("t2"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("tms") >= col("t2"))
+      .groupBy("user_id").agg(min("tms").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("stage"), lit("click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("stage"), lit("purchase").as("step"), col("n_users")))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events),
+      |v AS (SELECT user_id, min(tms) AS t1 FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.tms) AS t2 FROM ev e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.tms >= v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.tms) AS t3 FROM ev e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.tms >= c.t2 GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM v
+      |UNION ALL SELECT 2, 'click', count(*) FROM c
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cohort retention: users bucketed by first-active day; for each
+  // (cohort_day, day_offset), how many of that cohort were active again
+  // offset days later. Day ids are exact integer epoch-day divisions.
+  // Shape: one distinct on the (user, day) pair, one min-aggregate on
+  // the user key, one join that reuses its partitioning, one final
+  // grouped count — all linear, the classic retention-triangle build.
+  // ------------------------------------------------------------------
+  val DayMs = 86400000L
+
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val days = evRaw.select(col("user_id"),
+      graft.Shapes.ltw(graft.Shapes.eventTimeMs(evRaw), DayMs).as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val retentionSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+       |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+       |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       |  count(*) AS n_users
+       |FROM days d JOIN first f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Market share (TPC-H Q8 shape): per order-year inside the ASIA
+  // region, each supplier nation's revenue and its share of the year's
+  // total. The share is ONE division of two exact decimal sums cast to
+  // double (deterministic both engines); the share window runs over the
+  // tiny (year × nation) grouped relation, not the facts. Same fact-join
+  // scale shape as regionalRevenue (pushed date slice, broadcast dims,
+  // AQE-planned fact joins), minus the local-supplier condition — here
+  // customers buy cross-nation and supplier nationality attributes the
+  // revenue.
+  // ------------------------------------------------------------------
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("disc_price"))
+    val byNation = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("o_year", "n_name")
+      .agg(sum("disc_price").cast("decimal(38,4)").as("rev_dec"))
+    byNation
+      .withColumn("total_dec",
+        sum("rev_dec").over(Window.partitionBy("o_year")).cast("decimal(38,4)"))
+      .select(col("o_year").cast("long").as("o_year"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("total_dec").cast("double")).as("share"))
+  }
+
+  val marketShareSql: String =
+    """WITH by_nation AS (
+      |  SELECT year(o_orderdate) AS o_year, n_name,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS DECIMAL(38,4)) AS rev_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT CAST(o_year AS BIGINT) AS o_year, n_name,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(rev_dec AS DOUBLE) /
+      |    CAST(CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DECIMAL(38,4)) AS DOUBLE)
+      |    AS share
+      |FROM by_nation""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Brand revenue: lineitem ⋈ part (the product dimension), revenue and
+  // quantity per brand. The part side is the canonical broadcast dim —
+  // hinted explicitly; the fact table aggregates after ONE broadcast
+  // join, no fact shuffle before the final 25-ish-group aggregate
+  // (partial agg collapses it map-side). Decimal-exact money; quantity
+  // sums stay integral (the fixture writes whole-unit quantities — floor
+  // makes that explicit rather than trusting the double).
+  // ------------------------------------------------------------------
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("disc_price"))
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum("disc_price").cast("decimal(38,4)").cast("double").as("revenue"),
+        sum("qty").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  val brandRevenueSql: String =
+    """SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Late-order priority count (TPC-H Q4 shape): orders with AT LEAST ONE
+  // line item shipped more than 60 days after the order date, counted
+  // per order priority. The existence test is a LEFT SEMI join — the
+  // probe emits each order at most once with no post-join dedup, the
+  // shape Catalyst turns EXISTS into and the right 100× plan (a plain
+  // inner join + distinct would shuffle every late line). The date
+  // arithmetic is timestamp + literal interval: deterministic, and the
+  // join condition evaluates on already-joined rows (no pushdown loss —
+  // the orderkey equi-condition still drives the hash join).
+  // ------------------------------------------------------------------
+  val LateDays = 60
+
+  def orderPriorityLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  val orderPriorityLateSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_late_orders
+       |FROM orders o
+       |WHERE EXISTS (
+       |  SELECT 1 FROM lineitem l
+       |  WHERE l.l_orderkey = o.o_orderkey
+       |    AND l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+       |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_brand_revenue" -> (brandRevenue _),
+    "a_order_priority_late" -> (orderPriorityLate _),
     "a_regional_revenue" -> (regionalRevenue _),
+    "a_market_share" -> (marketShare _),
     "a_moving_window" -> (movingWindow _),
+    "a_funnel" -> (funnel _),
+    "a_retention" -> (retention _),
     "a_profile" -> (profileLineitem _),
     "a_json_extract" -> (jsonExtract _),
     "a_shipping_priority" -> (shippingPriority _),
@@ -582,8 +787,13 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_brand_revenue" -> brandRevenueSql,
+    "a_order_priority_late" -> orderPriorityLateSql,
     "a_regional_revenue" -> regionalRevenueSql,
+    "a_market_share" -> marketShareSql,
     "a_moving_window" -> movingWindowSql,
+    "a_funnel" -> funnelSql,
+    "a_retention" -> retentionSql,
     "a_profile" -> profileLineitemSql,
     "a_json_extract" -> jsonExtractSql,
     "a_shipping_priority" -> shippingPrioritySql,

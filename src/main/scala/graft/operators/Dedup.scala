@@ -196,6 +196,42 @@ object Dedup {
        |  GROUP BY s.doc_id)""".stripMargin
 
   // ------------------------------------------------------------------
+  // Ordered-ingest shingle novelty: treating doc_id as ingest order, how
+  // much of each document's shingle set is NEW relative to everything
+  // ingested before it — the marginal-content signal an incremental
+  // crawl pass uses to decide whether a batch adds anything (the ordered
+  // complement of dupShingleStats' order-free df > 1). first-seen =
+  // min(doc_id) per shingle; a doc's shingle is novel iff the doc IS its
+  // first observer. Shape: one hash-shuffle on the 8-byte shingle key
+  // (min aggregate), a join back that reuses that partitioning, one
+  // doc_id aggregate — linear in corpus size, text never shuffles.
+  // novel_frac is one division of two exact integers.
+  // ------------------------------------------------------------------
+  def shingleNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("CAST(n_novel AS DOUBLE) / n_shingles").as("novel_frac"))
+  }
+
+  val shingleNoveltySql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / n_shingles AS novel_frac
+       |FROM (
+       |  SELECT s.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM sh s JOIN first_seen f ON s.sh = f.sh
+       |  GROUP BY s.doc_id)""".stripMargin
+
+  // ------------------------------------------------------------------
   // Prefix-filtered Jaccard at a production threshold (J > 1/2) — the
   // EXACT scale path for near-dup joins (AllPairs/PPJoin prefix lemma):
   // order every doc's shingles by ascending global document frequency
@@ -830,6 +866,7 @@ object Dedup {
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_dup_shingle_stats" -> (dupShingleStats _),
+    "d_shingle_novelty" -> (shingleNovelty _),
     "d_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
     "d_minhash_jaccard_eval" -> (minhashJaccardEval _),
@@ -848,6 +885,7 @@ object Dedup {
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_dup_shingle_stats" -> dupShingleStatsSql,
+    "d_shingle_novelty" -> shingleNoveltySql,
     "d_jaccard_prefix_pairs" -> jaccardPrefixPairsSql,
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,
     "d_minhash_jaccard_eval" -> minhashJaccardEvalSql,

@@ -288,7 +288,16 @@ object Similarity {
   // ------------------------------------------------------------------
   val KmeansK = 8L
 
-  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame =
+    // Registry-persisted: the (vec_id, cluster, dist2) assignment is 3
+    // scalar columns per vector and has two gated consumers (the train
+    // query itself and the ivfKmeansTopK search below) — the two-pass
+    // training plan runs once per session.
+    graft.CacheRegistry.cached(spark, s"similarity.kmeansAsg:$sfDir") {
+      kmeansTrainPlan(spark, sfDir)
+    }
+
+  private def kmeansTrainPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
     val seeds = q.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
@@ -350,13 +359,57 @@ object Similarity {
        |${assignSql("corpus", "c1")}""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // IVF search over the TRAINED k-means cells — the composition the two
+  // pieces above exist for: kmeansTrain is the offline coarse-quantizer
+  // build, and search probes one cell. The probe needs no centroid
+  // distance at query time: a corpus query's own `cluster` label IS its
+  // argmin-centroid cell (that is what the final assignment computed),
+  // so the plan is assignments ⋈ corpus, then exact top-k inside the
+  // query's cell — touching 1/k of the corpus per query, exactly the
+  // IVF cost model, with cells that now ADAPT to the data instead of
+  // the fixture's static labels (s_ivf_topk keeps that variant).
+  // ------------------------------------------------------------------
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val labeled = quantized(spark, sfDir)
+      .join(kmeansTrain(spark, sfDir).select("vec_id", "cluster"), "vec_id")
+    val qs = labeled.where(col("vec_id") < NumQueries)
+    broadcast(qs.as("q")).join(labeled.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val ivfKmeansTopKSql: String =
+    s"""WITH corpus AS ($quantizedSql),
+       |asg AS (SELECT vec_id, cluster FROM ($kmeansTrainSql)),
+       |labeled AS (
+       |  SELECT c.vec_id, c.v, c.norm, a.cluster
+       |  FROM corpus c JOIN asg a USING (vec_id))
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} DESC,
+       |        c.vec_id) AS rnk
+       |  FROM (SELECT * FROM labeled WHERE vec_id < $NumQueries) q
+       |  JOIN labeled c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
+       |WHERE rnk <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> (cosineTopK _),
     "s_lsh_bucket_stats" -> (lshBucketStats _),
     "s_lsh_topk" -> (lshTopK _),
     "s_lsh_multiprobe_topk" -> (lshMultiprobeTopK _),
     "s_ivf_topk" -> (ivfTopK _),
-    "s_kmeans_train" -> (kmeansTrain _))
+    "s_kmeans_train" -> (kmeansTrain _),
+    "s_ivf_kmeans_topk" -> (ivfKmeansTopK _))
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> cosineTopKSql,
@@ -364,5 +417,6 @@ object Similarity {
     "s_lsh_topk" -> lshTopKSql,
     "s_lsh_multiprobe_topk" -> lshMultiprobeTopKSql,
     "s_ivf_topk" -> ivfTopKSql,
-    "s_kmeans_train" -> kmeansTrainSql)
+    "s_kmeans_train" -> kmeansTrainSql,
+    "s_ivf_kmeans_topk" -> ivfKmeansTopKSql)
 }

@@ -380,6 +380,71 @@ object StreamingParity {
         count(lit(1)).as("n_events"))
       .select(col("word"), col("session_start"), col("session_end"), col("n_events"))
 
+  // ------------------------------------------------------------------
+  // Streaming conversion funnel — the streaming twin of
+  // Analytics.funnel's ordered view → click → purchase semantics, as
+  // keyed arbitrary state: per user, the earliest view, the earliest
+  // click at-or-after it, the earliest purchase at-or-after that.
+  //
+  // Exactness contract (documented, spec-pinned): within a micro-batch
+  // the per-user iterator is SORTED by (event_time, event_type) before
+  // folding, so intra-batch disorder is harmless; ACROSS batches the
+  // fold is exact when batches arrive in event-time order (each batch's
+  // events no earlier than the last — the same per-source in-order
+  // assumption as the q2 parity's 0 ms watermark). A late cross-batch
+  // view below the recorded t1 could admit clicks that were already
+  // discarded; an engine replaying history would need the batch operator
+  // (the same honest partial contract as streamingNearDupGuard).
+  // Update mode: each batch re-emits the user's deepest reached stage
+  // (0 = nothing yet) — consumers read the latest row per user.
+  // ------------------------------------------------------------------
+
+  /** A streaming user event: arrival event time + type. */
+  case class UserEvent(event_time: Long, user_id: Long, event_type: String)
+
+  /** Funnel state: earliest qualifying ms per stage. */
+  case class FunnelTimes(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Emitted per user per batch: deepest stage reached so far. */
+  case class FunnelProgress(user_id: Long, stage: Long)
+
+  def funnelStream(events: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelTimes, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelTimes]) =>
+          var s = state.getOption.getOrElse(FunnelTimes(None, None, None))
+          // Sort the batch's rows by (time, stage rank): the fold below is
+          // then identical to the batch operator's min-with-ordering
+          // semantics within this batch. Ties fold earlier stages FIRST —
+          // the batch >= contract admits a click at the exact timestamp of
+          // the first view, so the view must land in state before the
+          // click is judged (and likewise click before purchase).
+          val stageRank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+          rows.toSeq.sortBy(e => (e.event_time, stageRank.getOrElse(e.event_type, 9)))
+            .foreach { e =>
+            e.event_type match {
+              case "view" =>
+                if (s.t1.forall(e.event_time < _)) s = s.copy(t1 = Some(e.event_time))
+              case "click" =>
+                if (s.t1.exists(_ <= e.event_time) && s.t2.forall(e.event_time < _))
+                  s = s.copy(t2 = Some(e.event_time))
+              case "purchase" =>
+                if (s.t2.exists(_ <= e.event_time) && s.t3.forall(e.event_time < _))
+                  s = s.copy(t3 = Some(e.event_time))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage: Long =
+            if (s.t3.isDefined) 3L else if (s.t2.isDefined) 2L
+            else if (s.t1.isDefined) 1L else 0L
+          FunnelProgress(user, stage)
+      }
+  }
+
   /** The batch-mode contract both streaming forms must match (same CASE
     * as RefQueries.q2WindowedMinComplete, over the same records).
     */

@@ -170,6 +170,90 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(Analytics.regionalRevenue(spark, sfDir)) === want)
   }
 
+  test("funnel counts only ordered view -> click -> purchase progressions") {
+    // user 1 completes the funnel in order; user 2 clicks BEFORE its first
+    // view (click must not count); user 3 views only; user 4 purchases
+    // with no view at all (no stage). Same-timestamp progression (user 1's
+    // purchase at the click's exact ms) counts — the >= contract.
+    val dir = writeFixture(events = Seq(
+      event(1, 100, 1, "view"), event(2, 200, 1, "click"),
+      event(3, 200, 1, "purchase"),
+      event(4, 100, 2, "click"), event(5, 200, 2, "view"),
+      event(6, 300, 3, "view"),
+      event(7, 100, 4, "purchase")))
+    assert(rows(Analytics.funnel(spark, dir)) === Set(
+      Seq(1L, "view", 3L), Seq(2L, "click", 1L), Seq(3L, "purchase", 1L)))
+  }
+
+  test("retention buckets users by first-active day and counts comebacks") {
+    val day = Analytics.DayMs
+    // users 1,2 first active day 0; user 1 returns day 1 and day 3;
+    // user 2 never returns; user 3 first active day 1, returns day 2.
+    val dir = writeFixture(events = Seq(
+      event(1, 10, 1, "e"), event(2, day + 5, 1, "e"),
+      event(3, 3 * day + 1, 1, "e"), event(4, day - 1, 1, "e"),
+      event(5, 20, 2, "e"),
+      event(6, day + 7, 3, "e"), event(7, 2 * day + 7, 3, "e")))
+    assert(rows(Analytics.retention(spark, dir)) === Set(
+      Seq(0L, 0L, 2L), Seq(0L, 1L, 1L), Seq(0L, 3L, 1L),
+      Seq(1L, 0L, 1L), Seq(1L, 1L, 1L)))
+  }
+
+  test("late-order priority count: semi-join emits each order once") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.orderPriorityLate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n_late_orders"))
+      .toMap
+    // Independent recount: inner join + distinct orderkey, driver-side.
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val lateOrders = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("sd_ms")).collect()
+      .flatMap { r =>
+        o.get(r.getLong(0)).collect {
+          case (odMs, prio) if r.getLong(1) >
+            odMs + Analytics.LateDays * 86400000L => (r.getLong(0), prio)
+        }
+      }.toSet
+    val want = lateOrders.groupBy(_._2).map { case (p, s) => p -> s.size.toLong }
+    assert(want.values.sum > 0)
+    assert(got === want)
+    // Plan shape: the existence test must be a semi join, not join+distinct.
+    val plan = Analytics.orderPriorityLate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+  }
+
+  test("brand revenue covers every brand with positive exact revenue") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.brandRevenue(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0.0)
+      assert(r.getAs[Long]("sum_qty") > 0L)
+    }
+    // Items must conserve: every lineitem has exactly one part.
+    val totalItems = got.map(_.getAs[Long]("n_items")).sum
+    assert(totalItems === graft.Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("market share: per-year shares sum to 1 and revenues match regional slices") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.marketShare(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byYear = got.groupBy(_.getAs[Long]("o_year"))
+    byYear.foreach { case (_, rs) =>
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9)
+      rs.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+    }
+    assert(byYear.keySet === Set(1996L, 1997L))
+  }
+
   test("regional revenue plan: date slice pushed to the orders scan, dims broadcast") {
     val sfDir = "/root/testdata/sf0.001"
     val plan = Analytics.regionalRevenue(spark, sfDir)

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
       2L -> ((2L, 0L, 0.0, false))))
   }
 
+  test("shingle novelty credits first observers in doc_id ingest order") {
+    // doc 0 introduces both its shingles (fully novel); doc 1 repeats
+    // "a b c" (half novel); doc 2 repeats doc 0's ENTIRE set (zero novel);
+    // doc 3 is all-new content (fully novel again, later id).
+    val dir = writeFixture(documents = Seq(
+      doc(0, "a b c d"), doc(1, "a b c e"), doc(2, "a b c d"),
+      doc(3, "x y z w")))
+    val got = Dedup.shingleNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novel_frac")))).toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 1.0)),
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((2L, 2L, 1.0))))
+  }
+
   test("minhash LSH: identical docs match on all signature positions") {
     val dir = fixture()
     val got = Dedup.minhashLshPairs(spark, dir).collect()

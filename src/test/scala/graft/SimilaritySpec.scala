@@ -94,5 +94,30 @@ class SimilaritySpec extends SparkSpec {
     }
     val want = assign(cents1).map { case (id, (cid, d)) => Seq[Any](id, cid, d) }.toSet
     assert(rows(Similarity.kmeansTrain(spark, dir)) === want)
+
+    // IVF search over the trained cells: every reported neighbor shares
+    // the query's trained cluster, and within that cell the ranking is
+    // the exact cosine order (checked against the brute-force top-k
+    // restricted to the cell).
+    val clusters = assign(cents1).map { case (id, (cid, _)) => id -> cid }
+    val got = Similarity.ivfKmeansTopK(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(clusters(r.getAs[Long]("query_id")) ===
+        clusters(r.getAs[Long]("neighbor_id")))
+    }
+    // rnk=1 for query 0 must be its nearest in-cell neighbor by cosine
+    // (exact doubles from integer dots — recompute driver-side).
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(dist2(a, Array.fill(a.length)(0L)).toDouble) *
+        math.sqrt(dist2(b, Array.fill(b.length)(0L)).toDouble))
+    }
+    val q0Cell = clusters(0L)
+    val wantTop = clusters.collect { case (id, c) if c == q0Cell && id != 0L => id }
+      .map(id => (-cos(q(0L), q(id)), id)).toSeq.min._2
+    val gotTop = got.filter(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Int]("rnk") == 1).head.getAs[Long]("neighbor_id")
+    assert(gotTop === wantTop)
   }
 }

@@ -560,4 +560,45 @@ class StreamingParitySpec extends SparkSpec {
     val closed = batch.filter(_.ltw < 10L)
     assert(closed === expectedClosed)
   }
+
+  test("streaming funnel matches the batch funnel on in-order batches") {
+    import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Intra-batch disorder (click arrives before its view in the batch;
+    // the same-timestamp click/view tie for user 2 must admit the click,
+    // per the batch >= contract); batch 2 is later in event time.
+    val b1 = Seq(
+      UserEvent(200, 1, "click"), UserEvent(100, 1, "view"),
+      UserEvent(200, 1, "purchase"),
+      UserEvent(100, 2, "click"), UserEvent(100, 2, "view"),
+      UserEvent(300, 3, "view"),
+      UserEvent(100, 4, "purchase"))
+    val b2 = Seq(
+      UserEvent(400, 3, "purchase"), UserEvent(500, 4, "view"),
+      UserEvent(600, 2, "purchase"))
+    val input = MemoryStream[UserEvent]
+    val query = StreamingParity.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update()).start()
+    val finalStages = try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      // Stage is monotone per user, so the latest emission = the max.
+      s.table("funnel_stream").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.map(_.stage).max }
+    } finally query.stop()
+    assert(finalStages === Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+    // Twin contract: cumulative stage counts equal the BATCH funnel run
+    // over the same events written as a fixture.
+    val dir = writeFixture(events = (b1 ++ b2).zipWithIndex.map { case (e, i) =>
+      event(i.toLong, e.event_time, e.user_id, e.event_type)
+    })
+    val batchCounts = graft.operators.Analytics.funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    val streamCounts = (1L to 3L).map(st =>
+      st -> finalStages.values.count(_ >= st).toLong).toMap
+    assert(streamCounts === batchCounts)
+  }
 }
