@@ -765,7 +765,44 @@ object Analytics {
        |    AND l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
        |GROUP BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Per-user outlier detection, exactly: flag events whose integer
+  // measure deviates from the user's mean by more than 2 population
+  // standard deviations — WITHOUT ever computing a mean or a stddev.
+  // (x − S/n)² > 4·(nQ − S²)/n²  ⟺  (x·n − S)² > 4·(n·Q − S²), all
+  // 64-bit integers (x ≤ ~10³; even at 10⁶ events/user both sides stay
+  // ≤ ~10¹⁸ < Long.Max), so the flag is bit-identical across engines —
+  // the FP-free formulation of the classic z-score rule. Shape: one
+  // grouped (n, Σx, Σx²) aggregate + a user-key join back that reuses
+  // its partitioning + a map-side filter; no window sort.
+  // ------------------------------------------------------------------
+  def outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(floor(value) AS BIGINT)").as("x"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    ev.join(stats, "user_id")
+      .where((col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s")) >
+        lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select("user_id", "event_id", "x", "n")
+  }
+
+  val outliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS x FROM events),
+      |stats AS (
+      |  SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q
+      |  FROM ev GROUP BY user_id)
+      |SELECT e.user_id, e.event_id, e.x, st.n
+      |FROM ev e JOIN stats st USING (user_id)
+      |WHERE (e.x * st.n - st.s) * (e.x * st.n - st.s) >
+      |  4 * (st.n * st.q - st.s * st.s)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_outliers" -> (outliers _),
     "a_brand_revenue" -> (brandRevenue _),
     "a_order_priority_late" -> (orderPriorityLate _),
     "a_regional_revenue" -> (regionalRevenue _),
@@ -787,6 +824,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_outliers" -> outliersSql,
     "a_brand_revenue" -> brandRevenueSql,
     "a_order_priority_late" -> orderPriorityLateSql,
     "a_regional_revenue" -> regionalRevenueSql,

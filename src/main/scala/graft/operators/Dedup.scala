@@ -371,7 +371,16 @@ object Dedup {
     sigCols(spark, sfDir)
       .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
 
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cached(
+    spark, s"dedup.minhashLshPairs:$sfDir") {
+    // Registry-persisted like simhashPairs: the pair OUTPUT is tiny and
+    // has three gated consumers (the pair query, the Jaccard-estimate
+    // eval, and the minhash clustering) — the banded self-join runs once
+    // per session instead of three times.
+    minhashLshPairsPlan(spark, sfDir)
+  }
+
+  private def minhashLshPairsPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val s = sigCols(spark, sfDir)
     // The band self-join carries ONLY doc_id + the 8 band keys — the 32
     // signature columns would quadruple the exploded relation and push
@@ -838,6 +847,24 @@ object Dedup {
   val embeddingClustersSql: String =
     closureSql(embeddingNearDupLshSql, "SELECT vec_id FROM embeddings", "vec_id")
 
+  /** Cluster-size histogram over the simhash near-dup components: how
+    * many clusters of each size the corpus holds (singletons included —
+    * every unpaired doc is its own canonical). The shape a dedup run
+    * reports to spot pathological mega-clusters (template spam) before
+    * collapsing: two tiny grouped counts over the cluster relation.
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  val clusterSizesSql: String =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT cluster_size, count(*) AS n_clusters FROM (
+       |  SELECT canonical_id, count(*) AS cluster_size
+       |  FROM clusters GROUP BY canonical_id)
+       |GROUP BY cluster_size""".stripMargin
+
   /** Near-dedup accounting: per source, how many docs survive cluster
     * collapse (doc == its component's canonical) — the number a curation
     * run reports after near-dedup, composed directly from
@@ -875,6 +902,7 @@ object Dedup {
     "d_embedding_neardup" -> (embeddingNearDup _),
     "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "d_dedup_clusters" -> (dedupClusters _),
+    "d_cluster_sizes" -> (clusterSizes _),
     "d_minhash_clusters" -> (minhashClusters _),
     "d_embedding_clusters" -> (embeddingClusters _),
     "d_canonical_stats" -> (canonicalStats _))
@@ -894,6 +922,7 @@ object Dedup {
     "d_embedding_neardup" -> embeddingNearDupSql,
     "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
     "d_dedup_clusters" -> dedupClustersSql,
+    "d_cluster_sizes" -> clusterSizesSql,
     "d_minhash_clusters" -> minhashClustersSql,
     "d_embedding_clusters" -> embeddingClustersSql,
     "d_canonical_stats" -> canonicalStatsSql)

@@ -199,6 +199,20 @@ class AnalyticsSpec extends SparkSpec {
       Seq(1L, 0L, 1L), Seq(1L, 1L, 1L)))
   }
 
+  test("outliers flag only >2-sigma deviations, integer-exactly") {
+    // user 1: five x=10 and one x=100 → mean 25, population sigma ≈ 33.5;
+    // only the 100 exceeds 2 sigma ((100·6−150)² = 202500 > 4·(6·10500−150²)
+    // = 162000; the 10s give 8100). user 2 is constant → zero variance,
+    // nothing can exceed it (0 > 0 is false).
+    val dir = writeFixture(events = Seq(
+      event(1, 100, 1, "e", 10.0), event(2, 200, 1, "e", 10.0),
+      event(3, 300, 1, "e", 10.0), event(4, 400, 1, "e", 10.0),
+      event(5, 500, 1, "e", 10.0), event(6, 600, 1, "e", 100.0),
+      event(7, 100, 2, "e", 7.0), event(8, 200, 2, "e", 7.0)))
+    assert(rows(Analytics.outliers(spark, dir)) === Set(
+      Seq(1L, 6L, 100L, 6L)))
+  }
+
   test("late-order priority count: semi-join emits each order once") {
     val sfDir = "/root/testdata/sf0.001"
     val got = Analytics.orderPriorityLate(spark, sfDir).collect()

@@ -72,6 +72,14 @@ class DedupSpec extends SparkSpec {
       2L -> ((2L, 0L, 0.0, false))))
   }
 
+  test("cluster-size histogram counts the near-dup component and singletons") {
+    val dir = fixture()
+    // Fixture geometry (see the clustering test): docs 0 and 1 collapse
+    // into one 2-cluster; 2 and 3 stay singletons → sizes {2: 1, 1: 2}.
+    assert(rows(Dedup.clusterSizes(spark, dir)) === Set(
+      Seq(2L, 1L), Seq(1L, 2L)))
+  }
+
   test("shingle novelty credits first observers in doc_id ingest order") {
     // doc 0 introduces both its shingles (fully novel); doc 1 repeats
     // "a b c" (half novel); doc 2 repeats doc 0's ENTIRE set (zero novel);
