@@ -442,7 +442,55 @@ object Curation {
        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Quality-vs-duplication calibration: bucket every doc by its quality
+  // score (decile of the score VALUE — a pure projection, deliberately
+  // not ntile(), whose global sort is the one thing this must not do at
+  // 100 TB) and report how much of each bucket is exact-duplicated
+  // content. The diagnostic behind "does the quality filter also remove
+  // the duplicated mass?" when tuning curation thresholds. Exact-integer
+  // counts; dup membership = LEFT SEMI against the >1-occurrence
+  // fingerprints; dup_rate is one division.
+  // ------------------------------------------------------------------
+  def qualityDupCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"),
+        expr("least(CAST(floor(quality_score * 10) AS BIGINT), 9)").as("bucket"))
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
+    val dupFps = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("fp")
+    val dupDocs = fps.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    buckets.join(dupDocs, Seq("doc_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
+        expr("CAST(n_dup_docs AS DOUBLE) / n_docs").as("dup_rate"))
+  }
+
+  val qualityDupCalibrationSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+       |buckets AS (
+       |  SELECT doc_id, least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bucket
+       |  FROM q),
+       |fps AS (
+       |  SELECT doc_id, ${charPolyHashDuck("text")} AS fp
+       |  FROM (SELECT doc_id, text FROM documents)),
+       |dup_fps AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+       |dup_docs AS (
+       |  SELECT doc_id FROM fps WHERE fp IN (SELECT fp FROM dup_fps))
+       |SELECT b.bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / count(*) AS dup_rate
+       |FROM buckets b LEFT JOIN dup_docs d ON b.doc_id = d.doc_id
+       |GROUP BY b.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
     "p_corpus_curation" -> (corpusCuration _),
     "p_vocab_freq" -> (vocabFreq _),
@@ -456,6 +504,7 @@ object Curation {
     "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,
     "p_corpus_curation" -> corpusCurationSql,
     "p_vocab_freq" -> vocabFreqSql,

@@ -83,6 +83,24 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(("src1", 3)))
   }
 
+  test("quality calibration buckets by score value and counts duplicated docs") {
+    // Two identical docs (duplicated pair) + one unique doc. All three
+    // land in some bucket; the duplicated pair contributes n_dup_docs = 2
+    // to its bucket, the unique doc 0 to its own.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "dup text dup text dup text"),
+      doc(1, "dup text dup text dup text"),
+      doc(2, "a unique document with several distinct words here")))
+    val got = Curation.qualityDupCalibration(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs")))).toMap
+    assert(got.values.map(_._1).sum === 3L)
+    assert(got.values.map(_._2).sum === 2L)
+    // The dup pair shares one bucket (identical text -> identical score).
+    assert(got.values.exists { case (n, d) => d === 2L && n >= 2L })
+    got.keys.foreach(b => assert(b >= 0L && b <= 9L))
+  }
+
   test("source overlap counts distinct shared texts once per source pair") {
     // "dup one" is in src A twice (distinct collapses it) and src B once;
     // "dup two" spans A and C; "only a" is unshared. Expected matrix:

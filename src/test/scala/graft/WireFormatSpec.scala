@@ -58,6 +58,30 @@ class WireFormatSpec extends SparkSpec {
       rows(graft.operators.RefQueries.q1Plan(ev)))
   }
 
+  test("documents from JSON lines run the same dedup plan as parquet") {
+    val s = spark
+    import s.implicits._
+    // Format breadth, document side: a JSONL copy of the documents table
+    // feeds the same fingerprint-groupBy dedup logic (the operators are
+    // plans over relations; only the scan differs). Spark's JSON reader
+    // with an explicit schema is the 100 TB shape (schema inference would
+    // be a second full scan).
+    val dir = writeFixture(documents = Seq(
+      doc(0, "same text"), doc(1, "same text"), doc(2, "other text")))
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-docs-json").toString
+    graft.Tables.documents(s, dir).write.mode("overwrite").json(jsonDir)
+    val fromJson = s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(jsonDir)
+    val dedupOverJson = fromJson
+      .select(col("doc_id"), graft.functions.TextHashOps.polyHash(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+    assert(rows(dedupOverJson) === rows(graft.operators.Dedup.exactDedup(s, dir)))
+    assert(rows(dedupOverJson) === Set(Seq(0L, 2L), Seq(2L, 1L)))
+  }
+
   test("keyed zx wire parsing: relation id from the message key") {
     val s = spark
     import s.implicits._
