@@ -445,6 +445,42 @@ object StreamingParity {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Streaming daily-active-users: distinct users per event-time day as a
+  // CHAINED stateful aggregation — dropDuplicates on (user, day) under
+  // the watermark (state = one row per live (user, day), evicted when
+  // the day closes), then a windowed count. The streaming arm of
+  // Analytics.retention's activity relation; append mode emits each
+  // closed day exactly once. At 100 TB/day the distinct state is bounded
+  // by |active users| per live day — the exact-DAU formulation; the
+  // documented overflow swap is approx_count_distinct in update mode.
+  // ------------------------------------------------------------------
+  def dailyActiveStream(events: Dataset[UserEvent]): DataFrame = {
+    val dayMs = graft.operators.Analytics.DayMs
+    events.toDF()
+      // Day-truncated event time as THE watermark column: streaming
+      // dropDuplicates only evicts state when an event-time column is
+      // among the dedup keys, so deduping on (user, day_ts) — not a
+      // derived integer day — is what bounds the state to live days.
+      .withColumn("day_ts",
+        timestamp_millis(expr(s"(event_time div $dayMs) * $dayMs")))
+      .withWatermark("day_ts", "0 milliseconds")
+      .dropDuplicates("user_id", "day_ts")
+      .groupBy(window(col("day_ts"), s"$dayMs milliseconds"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(expr(s"unix_millis(window.start) div $dayMs").as("day"),
+        col("n_users"))
+  }
+
+  /** The batch contract for [[dailyActiveStream]] over the same events. */
+  def dailyActiveBatch(events: Dataset[UserEvent]): DataFrame = {
+    val dayMs = graft.operators.Analytics.DayMs
+    events.toDF()
+      .withColumn("day", expr(s"event_time div $dayMs"))
+      .select("user_id", "day").distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_users"))
+  }
+
   /** The batch-mode contract both streaming forms must match (same CASE
     * as RefQueries.q2WindowedMinComplete, over the same records).
     */

@@ -151,6 +151,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("k-means training equals driver-side Lloyd on random vectors") {
+    import graft.functions.Parity
+    import graft.operators.Similarity
+    val dim = Parity.EmbeddingDim
+    def dist2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (seed <- 41 to 43) {
+      val rnd = new scala.util.Random(seed)
+      // Uniform random floats — no planted geometry, so ties, empty
+      // clusters, and centroid crossings arise (or not) arbitrarily;
+      // the distributed plan must match the reference fold regardless.
+      val n = 24 + rnd.nextInt(16)
+      val vecs = (0 until n).map(_ => Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+      val dir = writeFixture(embeddings =
+        vecs.zipWithIndex.map { case (v, i) => EmbRow(i.toLong, v, 0) })
+      val q: Map[Long, Array[Long]] = vecs.zipWithIndex.map { case (v, i) =>
+        i.toLong -> v.map(x => math.floor(x.toDouble * Parity.QScale).toLong)
+      }.toMap
+      def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+        q.map { case (id, v) =>
+          val (d, cid) = cents.map { case (c, cv) => (dist2(v, cv), c) }.min
+          id -> (cid, d)
+        }
+      val a1 = assign((0L until Similarity.KmeansK).map(c => c -> q(c)))
+      val cents1 = a1.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+        val vs = members.keys.toSeq.map(q)
+        val cnt = vs.size.toLong
+        cid -> Array.tabulate(dim) { d =>
+          val s = vs.map(_(d)).sum
+          (s - ((s % cnt) + cnt) % cnt) / cnt
+        }
+      }
+      val want = assign(cents1).map { case (id, (cid, d)) => Seq[Any](id, cid, d) }.toSet
+      assert(rows(Similarity.kmeansTrain(spark, dir)) === want, s"seed $seed")
+    }
+  }
+
   test("minhash banding recall guarantee: >=29/32 signature matches always collide") {
     import graft.operators.Dedup
     import graft.functions.Parity

@@ -561,6 +561,41 @@ class StreamingParitySpec extends SparkSpec {
     assert(closed === expectedClosed)
   }
 
+  test("streaming daily-active-users emits each closed day once, equal to batch") {
+    import graft.streaming.StreamingParity.UserEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val day = graft.operators.Analytics.DayMs
+    // day 1: users 1,1,2 (dup collapses) → 2; day 2: users 2,3 → 2;
+    // sentinel on day 4 closes them both (watermark 0 ms). Day 1, not
+    // day 0: a day_ts of exactly epoch 0 collides with the initial
+    // watermark value and the engine's late filter drops it — epoch 0
+    // is a test artifact, not a production timestamp.
+    val b1 = Seq(
+      UserEvent(day + 10, 1, "e"), UserEvent(day + 20, 1, "e"),
+      UserEvent(day + 30, 2, "e"))
+    val b2 = Seq(UserEvent(2 * day + 10, 2, "e"), UserEvent(2 * day + 20, 3, "e"))
+    val sentinelB = Seq(UserEvent(4 * day, 99, "e"))
+    val input = MemoryStream[UserEvent]
+    val query = StreamingParity.dailyActiveStream(input.toDS())
+      .writeStream.format("memory").queryName("dau_stream")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      input.addData(sentinelB); query.processAllAvailable()
+      s.table("dau_stream").collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_users")))
+    } finally query.stop()
+    assert(got.length === got.toSet.size, "duplicate day emissions")
+    val batch = StreamingParity.dailyActiveBatch((b1 ++ b2 ++ sentinelB).toDS())
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_users"))).toSet
+    // Closed days only (the sentinel's own day stays open).
+    assert(got.toSet === batch.filter(_._1 < 4L))
+    assert(got.toSet === Set((1L, 2L), (2L, 2L)))
+  }
+
   test("streaming funnel matches the batch funnel on in-order batches") {
     import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
     val s = spark
