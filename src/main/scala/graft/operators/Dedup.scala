@@ -865,6 +865,39 @@ object Dedup {
        |  FROM clusters GROUP BY canonical_id)
        |GROUP BY cluster_size""".stripMargin
 
+  /** Cross-modality agreement: for every simhash TEXT near-dup pair, the
+    * embedding-space cosine of the same two ids (doc_id ≡ vec_id in the
+    * shared fixtures) — the evaluation a pipeline runs before trusting
+    * one modality's dedup decisions to stand in for the other's. Pure
+    * composition: the persisted pair relation joined twice against the
+    * persisted quantized vectors (both already cached for their own
+    * gates); the pair side is tiny, so both joins broadcast it. Exact
+    * integer dot/norms; cosine is the deterministic double.
+    */
+  def modalityAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.longDot
+    val pairs = simhashPairs(spark, sfDir)
+    val q = Similarity.quantized(spark, sfDir)
+    pairs
+      .join(q.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        longDot(col("va"), col("vb")).as("dot"), col("na"), col("nb"))
+      .withColumn("cos", expr(cosineSpark("dot", "na", "nb")))
+  }
+
+  val modalityAgreementSql: String =
+    s"""WITH pairs AS ($simhashPairsSql),
+       |q AS (
+       |  SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
+       |  FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings))
+       |SELECT p.id_a, p.id_b, p.hamming,
+       |  ${dotDuck("a.v", "b.v")} AS dot, a.norm AS na, b.norm AS nb,
+       |  ${cosineDuck(dotDuck("a.v", "b.v"), "a.norm", "b.norm")} AS cos
+       |FROM pairs p
+       |JOIN q a ON a.vec_id = p.id_a
+       |JOIN q b ON b.vec_id = p.id_b""".stripMargin
+
   /** Near-dedup accounting: per source, how many docs survive cluster
     * collapse (doc == its component's canonical) — the number a curation
     * run reports after near-dedup, composed directly from
@@ -903,6 +936,7 @@ object Dedup {
     "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "d_dedup_clusters" -> (dedupClusters _),
     "d_cluster_sizes" -> (clusterSizes _),
+    "d_modality_agreement" -> (modalityAgreement _),
     "d_minhash_clusters" -> (minhashClusters _),
     "d_embedding_clusters" -> (embeddingClusters _),
     "d_canonical_stats" -> (canonicalStats _))
@@ -923,6 +957,7 @@ object Dedup {
     "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
     "d_dedup_clusters" -> dedupClustersSql,
     "d_cluster_sizes" -> clusterSizesSql,
+    "d_modality_agreement" -> modalityAgreementSql,
     "d_minhash_clusters" -> minhashClustersSql,
     "d_embedding_clusters" -> embeddingClustersSql,
     "d_canonical_stats" -> canonicalStatsSql)

@@ -72,6 +72,25 @@ class DedupSpec extends SparkSpec {
       2L -> ((2L, 0L, 0.0, false))))
   }
 
+  test("modality agreement reports embedding cosine per text near-dup pair") {
+    // Docs 0 and 1: identical text (simhash pair at hamming 0) AND
+    // identical embeddings → the pair must surface with cos ≈ 1 and
+    // dot == both norms. Doc 2 is unrelated in both modalities.
+    val v = Array.tabulate(16)(i => 0.1f * (i % 3 + 1))
+    val dir = writeFixture(
+      documents = Seq(
+        doc(0, "same text here okay"), doc(1, "same text here okay"),
+        doc(2, "something entirely different indeed")),
+      embeddings = Seq(
+        EmbRow(0, v, 0), EmbRow(1, v.clone(), 0), EmbRow(2, v.map(-_), 1)))
+    val got = Dedup.modalityAgreement(spark, dir).collect()
+    val p01 = got.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(p01.isDefined, s"pair (0,1) missing from ${got.mkString(",")}")
+    assert(p01.get.getAs[Long]("hamming") === 0L)
+    assert(p01.get.getAs[Long]("dot") === p01.get.getAs[Long]("na"))
+    assert(math.abs(p01.get.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
   test("cluster-size histogram counts the near-dup component and singletons") {
     val dir = fixture()
     // Fixture geometry (see the clustering test): docs 0 and 1 collapse
