@@ -151,6 +151,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel stage counts equal the driver-side ordered scan on random streams") {
+    import graft.operators.Analytics
+    for (seed <- 51 to 55) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("view", "click", "purchase", "error", "signup")
+      val evs = (0 until 80).map { i =>
+        event(i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(8).toLong,
+          types(rnd.nextInt(types.size)))
+      }
+      val dir = writeFixture(events = evs)
+      // Reference: per user, t1 = earliest view; t2 = earliest click >= t1;
+      // t3 = earliest purchase >= t2 — straight from the definitions, no
+      // join plan shared with the operator.
+      val byUser = evs.groupBy(_.user_id)
+      def minAtOrAfter(u: Seq[EventRow], typ: String, lo: Long): Option[Long] = {
+        val c = u.filter(e => e.event_type == typ && e.ts.getTime >= lo).map(_.ts.getTime)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val stages = byUser.values.map { u =>
+        val t1 = minAtOrAfter(u.toSeq, "view", Long.MinValue)
+        val t2 = t1.flatMap(minAtOrAfter(u.toSeq, "click", _))
+        val t3 = t2.flatMap(minAtOrAfter(u.toSeq, "purchase", _))
+        (t1.isDefined, t2.isDefined, t3.isDefined)
+      }.toSeq
+      val want = Map(
+        1L -> stages.count(_._1).toLong,
+        2L -> stages.count(_._2).toLong,
+        3L -> stages.count(_._3).toLong).filter(_._2 > 0)
+      val got = Analytics.funnel(spark, dir).collect()
+        .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users"))
+        .filter(_._2 > 0).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("k-means training equals driver-side Lloyd on random vectors") {
     import graft.functions.Parity
     import graft.operators.Similarity
