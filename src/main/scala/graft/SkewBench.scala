@@ -47,6 +47,29 @@ object SkewBench {
         lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  /** User-keyed fixture for the event-analytics family (funnel/outliers/
+    * retention/moving window): real event types, user_id uniform over
+    * 1000 users vs one user holding ~50% of all rows. The moving window
+    * is the interesting case — a RANGE frame is a per-key sort, which no
+    * partial aggregation can split, so a 50%-hot user is the honest
+    * worst case for windowed plans (AQE can split the skewed SHUFFLE
+    * partition, but the frame itself is sequential per key).
+    */
+  private def writeUserEvents(spark: SparkSession, dir: String, skewed: Boolean, n: Long): Unit = {
+    val types = array(Seq("view", "click", "purchase", "error", "signup").map(lit): _*)
+    val uniformUid = pmod(col("id"), lit(1000L))
+    val uid = if (skewed) when(pmod(col("id"), lit(2L)) === 0L, 0L).otherwise(uniformUid)
+      else uniformUid
+    spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(Epoch) + pmod(col("id") * 2654435761L, lit(30L * DayMs))).as("ts"),
+        uid.as("user_id"),
+        element_at(types, (pmod(col("id") * 13L, lit(5L)) + 1L).cast("int")).as("event_type"),
+        pmod(col("id"), lit(100L)).cast("double").as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
   /** Star tables: lineitem 1:40 orders 1:10 customer. Skewed form puts one
     * orderkey on 50% of lineitem rows and one custkey on 50% of orders.
     */
@@ -112,6 +135,25 @@ object SkewBench {
     }.mkString("{", ",", "}")
     val maxRatio = results.map { case (_, (u, s)) => s / u }.max
     println(f"""{"metric":"skew_ratio_max","value":$maxRatio%.3f,"unit":"x","queries":$qs,"rows":$n}""")
+
+    // ---- user-key skew over the event-analytics family ----
+    val userDirs = Map("uniform" -> s"$base/user_uniform", "skewed" -> s"$base/user_skewed")
+    userDirs.foreach { case (kind, dir) =>
+      writeUserEvents(spark, dir, kind == "skewed", n)
+    }
+    val userQueries = Seq("a_funnel", "a_outliers", "a_retention", "a_moving_window")
+    userDirs.values.foreach(d => SparkEntry.queries("a_funnel")(spark, d).count())
+    val userResults = userQueries.map { q =>
+      val fn = SparkEntry.queries(q)
+      val u = time(fn(spark, userDirs("uniform")))
+      val s = time(fn(spark, userDirs("skewed")))
+      q -> (u, s)
+    }
+    val uqs = userResults.map { case (q, (u, s)) =>
+      f"""\"$q\":{\"uniform\":$u%.3f,\"skewed\":$s%.3f,\"ratio\":${s / u}%.3f}"""
+    }.mkString("{", ",", "}")
+    val userMax = userResults.map { case (_, (u, s)) => s / u }.max
+    println(f"""{"metric":"user_skew_ratio_max","value":$userMax%.3f,"unit":"x","queries":$uqs,"rows":$n}""")
 
     // ---- connectedComponents strategy switch, measured both sides ----
     // Chain graph: ccN vertices in chains of 8 (the shallow-component

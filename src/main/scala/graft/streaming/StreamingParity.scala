@@ -446,7 +446,47 @@ object StreamingParity {
   }
 
   // ------------------------------------------------------------------
-  // Streaming daily-active-users: distinct users per event-time day as a
+  // Online per-user anomaly detection — the streaming arm of
+  // Analytics.outliers' exact-integer 2-sigma rule, as running moments
+  // in keyed state: each event is judged against the (n, Σx, Σx²) of
+  // everything its user has sent UP TO AND INCLUDING it (prefix
+  // population stats — the batch rule's formula over the prefix).
+  // Honest contract, spec-pinned: prefix flags converge to the batch
+  // flags as history accumulates but are not equal to them (the batch
+  // rule sees the full corpus; an online detector cannot) — the same
+  // documented-divergence pattern as streamingNearDupGuard. All state is
+  // three Longs per user; all arithmetic stays exact 64-bit.
+  // ------------------------------------------------------------------
+
+  /** A measured streaming event. */
+  case class MeasuredEvent(event_time: Long, user_id: Long, x: Long)
+
+  /** Running per-user moments. */
+  case class Moments(n: Long, s: Long, q: Long)
+
+  /** An event flagged at arrival: deviation beyond 2 prefix-sigmas. */
+  case class Flagged(user_id: Long, event_time: Long, x: Long, n: Long)
+
+  def outlierStream(events: Dataset[MeasuredEvent]): Dataset[Flagged] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Moments, Flagged](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Moments]) =>
+          var m = state.getOption.getOrElse(Moments(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[Flagged]()
+          // Deterministic intra-batch order; event_id-free ties break on x.
+          rows.toSeq.sortBy(e => (e.event_time, e.x)).foreach { e =>
+            m = Moments(m.n + 1, m.s + e.x, m.q + e.x * e.x)
+            val dev = e.x * m.n - m.s
+            if (dev * dev > 4L * (m.n * m.q - m.s * m.s))
+              out += Flagged(user, e.event_time, e.x, m.n)
+          }
+          state.update(m)
+          out.iterator
+      }
+  }
   // CHAINED stateful aggregation — dropDuplicates on (user, day) under
   // the watermark (state = one row per live (user, day), evicted when
   // the day closes), then a windowed count. The streaming arm of

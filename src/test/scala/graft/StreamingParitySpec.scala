@@ -561,6 +561,52 @@ class StreamingParitySpec extends SparkSpec {
     assert(closed === expectedClosed)
   }
 
+  test("online outliers flag against prefix moments, exactly as a driver fold") {
+    import graft.streaming.StreamingParity.{MeasuredEvent, Flagged}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // user 1: a stable run of FIVE 10s (a single deviant among n−1
+    // constants sits at z = sqrt(n−1), so 4 constants put the spike at
+    // exactly 2 sigma — NOT flagged under the strict rule; 5 put it at
+    // sqrt(5) sigma), then a spike of 100 in batch 2, then another 10
+    // (not an outlier against the grown prefix). user 2: only two
+    // constant events — zero variance, 0 > 0 never flags.
+    val b1 = Seq(
+      MeasuredEvent(100, 1, 10), MeasuredEvent(200, 1, 10),
+      MeasuredEvent(300, 1, 10), MeasuredEvent(400, 1, 10),
+      MeasuredEvent(450, 1, 10),
+      MeasuredEvent(100, 2, 7), MeasuredEvent(200, 2, 7))
+    val b2 = Seq(MeasuredEvent(500, 1, 100), MeasuredEvent(600, 1, 10))
+    val input = MemoryStream[MeasuredEvent]
+    val query = StreamingParity.outlierStream(input.toDS())
+      .writeStream.format("memory").queryName("outlier_stream")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      s.table("outlier_stream").as[Flagged].collect().toSet
+    } finally query.stop()
+    // Driver fold over the same (time, x)-sorted prefix.
+    def fold(evs: Seq[MeasuredEvent]): Set[Flagged] = {
+      val out = scala.collection.mutable.Set[Flagged]()
+      evs.groupBy(_.user_id).foreach { case (u, es) =>
+        var (n, sm, q) = (0L, 0L, 0L)
+        es.sortBy(e => (e.event_time, e.x)).foreach { e =>
+          n += 1; sm += e.x; q += e.x * e.x
+          val dev = e.x * n - sm
+          if (dev * dev > 4L * (n * q - sm * sm)) out += Flagged(u, e.event_time, e.x, n)
+        }
+      }
+      out.toSet
+    }
+    assert(got === fold(b1 ++ b2))
+    // The spike is flagged at arrival; the post-spike 10 is not.
+    assert(got.exists(f => f.user_id == 1L && f.x == 100L))
+    assert(!got.exists(f => f.user_id == 1L && f.event_time == 600L))
+    assert(!got.exists(_.user_id == 2L))
+  }
+
   test("streaming daily-active-users emits each closed day once, equal to batch") {
     import graft.streaming.StreamingParity.UserEvent
     val s = spark
