@@ -609,6 +609,50 @@ object Analytics {
       |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin
 
   // ------------------------------------------------------------------
+  // Time-bounded funnel: same ordered stages, but each conversion must
+  // land within a window of the previous stage (click within a day of
+  // the first view, purchase within a day of that click) — the form
+  // product analytics actually reports ("1-day conversion"), and a
+  // different answer from the unbounded funnel whenever a user converts
+  // late. Same one-effective-shuffle scale shape as `funnel`.
+  // ------------------------------------------------------------------
+  val FunnelWindowMs: Long = DayMs
+
+  def funnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val ev = evRaw.select(col("user_id"),
+      graft.Shapes.eventTimeMs(evRaw).as("tms"), col("event_type"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("t1"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("tms") >= col("t1") && col("tms") <= col("t1") + FunnelWindowMs)
+      .groupBy("user_id").agg(min("tms").as("t2"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("tms") >= col("t2") && col("tms") <= col("t2") + FunnelWindowMs)
+      .groupBy("user_id").agg(min("tms").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("stage"), lit("click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("stage"), lit("purchase").as("step"), col("n_users")))
+  }
+
+  val funnelWindowedSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events),
+       |v AS (SELECT user_id, min(tms) AS t1 FROM ev
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(e.tms) AS t2 FROM ev e JOIN v USING (user_id)
+       |      WHERE e.event_type = 'click' AND e.tms >= v.t1
+       |        AND e.tms <= v.t1 + $FunnelWindowMs GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(e.tms) AS t3 FROM ev e JOIN c USING (user_id)
+       |      WHERE e.event_type = 'purchase' AND e.tms >= c.t2
+       |        AND e.tms <= c.t2 + $FunnelWindowMs GROUP BY e.user_id)
+       |SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM v
+       |UNION ALL SELECT 2, 'click', count(*) FROM c
+       |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin
+
+  // ------------------------------------------------------------------
   // Cohort retention: users bucketed by first-active day; for each
   // (cohort_day, day_offset), how many of that cohort were active again
   // offset days later. Day ids are exact integer epoch-day divisions.
@@ -809,6 +853,7 @@ object Analytics {
     "a_market_share" -> (marketShare _),
     "a_moving_window" -> (movingWindow _),
     "a_funnel" -> (funnel _),
+    "a_funnel_windowed" -> (funnelWindowed _),
     "a_retention" -> (retention _),
     "a_profile" -> (profileLineitem _),
     "a_json_extract" -> (jsonExtract _),
@@ -831,6 +876,7 @@ object Analytics {
     "a_market_share" -> marketShareSql,
     "a_moving_window" -> movingWindowSql,
     "a_funnel" -> funnelSql,
+    "a_funnel_windowed" -> funnelWindowedSql,
     "a_retention" -> retentionSql,
     "a_profile" -> profileLineitemSql,
     "a_json_extract" -> jsonExtractSql,

@@ -185,6 +185,26 @@ class AnalyticsSpec extends SparkSpec {
       Seq(1L, "view", 3L), Seq(2L, "click", 1L), Seq(3L, "purchase", 1L)))
   }
 
+  test("windowed funnel drops conversions outside the stage window") {
+    val w = Analytics.FunnelWindowMs
+    // user 1 converts inside both windows; user 2's click comes a window
+    // and a bit after its first view (dropped at stage 2, so its
+    // in-window purchase can't count either); user 3's click is
+    // in-window but the purchase is late.
+    val dir = writeFixture(events = Seq(
+      event(1, 0, 1, "view"), event(2, w, 1, "click"),
+      event(3, 2 * w, 1, "purchase"),
+      event(4, 0, 2, "view"), event(5, w + 1, 2, "click"),
+      event(6, w + 2, 2, "purchase"),
+      event(7, 0, 3, "view"), event(8, 10, 3, "click"),
+      event(9, w + 11, 3, "purchase")))
+    assert(rows(Analytics.funnelWindowed(spark, dir)) === Set(
+      Seq(1L, "view", 3L), Seq(2L, "click", 2L), Seq(3L, "purchase", 1L)))
+    // The unbounded funnel admits all three full conversions.
+    assert(rows(Analytics.funnel(spark, dir)) === Set(
+      Seq(1L, "view", 3L), Seq(2L, "click", 3L), Seq(3L, "purchase", 3L)))
+  }
+
   test("retention buckets users by first-active day and counts comebacks") {
     val day = Analytics.DayMs
     // users 1,2 first active day 0; user 1 returns day 1 and day 3;
