@@ -489,7 +489,69 @@ object Curation {
        |FROM buckets b LEFT JOIN dup_docs d ON b.doc_id = d.doc_id
        |GROUP BY b.bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Curation cascade accounting: the survivor funnel a corpus report
+  // leads with — per source, raw docs → exact-dedup survivors (global
+  // keep-lowest-id) → near-dedup canonicals (simhash components, among
+  // exact survivors) → quality-pass finals (corpusCuration's filter) —
+  // each stage applied ON TOP of the previous, so the four columns are
+  // monotonically non-increasing (spec-asserted). Composes three
+  // already-gated relations; all flags are 0/1 integers summed exactly,
+  // and the quality join is LEFT (a doc the scorer drops still counts
+  // as raw, it just can't pass quality).
+  // ------------------------------------------------------------------
+  def curationCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), TextHashOps.polyHash(col("text")).as("fp"))
+    val keep = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val flagged = fps.join(keep, "fp")
+      .withColumn("is_exact", (col("doc_id") === col("keep_id")).cast("long"))
+      .select("doc_id", "source", "is_exact")
+    val canon = Dedup.dedupClusters(spark, sfDir)
+    val qual = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"),
+        (col("quality_score") > 0.5 && col("n_tokens") >= 10).cast("long")
+          .as("is_quality"))
+    flagged
+      .join(canon, "doc_id")
+      .join(qual, Seq("doc_id"), "left")
+      .withColumn("is_canon",
+        col("is_exact") * (col("doc_id") === col("canonical_id")).cast("long"))
+      .withColumn("is_final", col("is_canon") * coalesce(col("is_quality"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum("is_exact").as("n_exact"),
+        sum("is_canon").as("n_canonical"),
+        sum("is_final").as("n_final"))
+  }
+
+  val curationCascadeSql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, source, ${charPolyHashDuck("text")} AS fp
+       |  FROM (SELECT doc_id, source, text FROM documents)),
+       |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+       |clusters AS (${Dedup.dedupClustersSql}),
+       |q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality_score > 0.5 AND n_tokens >= 10 THEN 1 ELSE 0 END
+       |      AS is_quality
+       |  FROM (${TextAnalysis.qualityScoreSql}))
+       |SELECT f.source, count(*) AS n_raw,
+       |  CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(sum(CASE WHEN f.doc_id = k.keep_id AND f.doc_id = c.canonical_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  CAST(sum(CASE WHEN f.doc_id = k.keep_id AND f.doc_id = c.canonical_id
+       |    AND coalesce(q.is_quality, 0) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_final
+       |FROM fps f
+       |JOIN keep k USING (fp)
+       |JOIN clusters c ON c.doc_id = f.doc_id
+       |LEFT JOIN q ON q.doc_id = f.doc_id
+       |GROUP BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
     "p_corpus_curation" -> (corpusCuration _),
@@ -504,6 +566,7 @@ object Curation {
     "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,
     "p_corpus_curation" -> corpusCurationSql,

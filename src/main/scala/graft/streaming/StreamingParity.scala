@@ -446,6 +446,35 @@ object StreamingParity {
   }
 
   // ------------------------------------------------------------------
+  // Stream-static enrichment join: a live event stream joined against a
+  // STATIC dimension (user → segment), then windowed-counted per
+  // segment — the canonical "enrich the stream against reference data"
+  // shape. The static side is a plain batch DataFrame: the engine
+  // re-plans it per micro-batch (picking broadcast for a small dim) and
+  // requires no state for the join itself; the only streaming state is
+  // the downstream windowed count, evicted by the watermark. At 100 TB/
+  // day the static dim is the thing you'd bucket or broadcast; the
+  // stream never shuffles for the join when the dim broadcasts.
+  // ------------------------------------------------------------------
+  def segmentWindowCounts(events: Dataset[UserEvent], userSegments: DataFrame): DataFrame =
+    events.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withWatermark("event_ts", "0 milliseconds")
+      .join(userSegments, "user_id") // stream-static: stateless, per-batch planned
+      .groupBy(window(col("event_ts"), s"$SlotMs milliseconds"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("segment"),
+        expr(s"unix_millis(window.start) div $SlotMs").as("ltw"),
+        col("n_events"))
+
+  /** The batch contract for [[segmentWindowCounts]]. */
+  def segmentWindowCountsBatch(events: Dataset[UserEvent], userSegments: DataFrame): DataFrame =
+    events.toDF()
+      .join(userSegments, "user_id")
+      .withColumn("ltw", expr(s"event_time div $SlotMs"))
+      .groupBy("segment", "ltw").agg(count(lit(1)).as("n_events"))
+
+  // ------------------------------------------------------------------
   // Online per-user anomaly detection — the streaming arm of
   // Analytics.outliers' exact-integer 2-sigma rule, as running moments
   // in keyed state: each event is judged against the (n, Σx, Σx²) of

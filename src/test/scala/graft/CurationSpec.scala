@@ -83,6 +83,23 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(("src1", 3)))
   }
 
+  test("curation cascade stages are monotone and match the live-data invariants") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Curation.curationCascade(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    var totalRaw = 0L
+    got.foreach { r =>
+      val (raw, exact, canon, fin) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_canonical"),
+        r.getAs[Long]("n_final"))
+      assert(raw >= exact && exact >= canon && canon >= fin,
+        s"funnel must be monotone: $raw >= $exact >= $canon >= $fin")
+      assert(raw > 0L)
+      totalRaw += raw
+    }
+    assert(totalRaw === graft.Tables.documents(spark, sfDir).count())
+  }
+
   test("quality calibration buckets by score value and counts duplicated docs") {
     // Two identical docs (duplicated pair) + one unique doc. All three
     // land in some bucket; the duplicated pair contributes n_dup_docs = 2

@@ -561,6 +561,41 @@ class StreamingParitySpec extends SparkSpec {
     assert(closed === expectedClosed)
   }
 
+  test("stream-static segment enrichment matches the batch join on closed windows") {
+    import graft.streaming.StreamingParity.UserEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val segments = Seq((1L, "gold"), (2L, "gold"), (3L, "silver"))
+      .toDF("user_id", "segment") // user 4 absent: inner join drops it
+    val slot = StreamingParity.SlotMs
+    val b1 = Seq(
+      UserEvent(slot + 10, 1, "e"), UserEvent(slot + 20, 2, "e"),
+      UserEvent(slot + 30, 3, "e"), UserEvent(slot + 40, 4, "e"))
+    val b2 = Seq(UserEvent(2 * slot + 10, 1, "e"), UserEvent(2 * slot + 20, 3, "e"))
+    val sentinelB = Seq(UserEvent(5 * slot, 1, "e"))
+    val input = MemoryStream[UserEvent]
+    val query = StreamingParity.segmentWindowCounts(input.toDS(), segments)
+      .writeStream.format("memory").queryName("seg_stream")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      input.addData(sentinelB); query.processAllAvailable()
+      s.table("seg_stream").collect()
+        .map(r => (r.getAs[String]("segment"), r.getAs[Long]("ltw"),
+          r.getAs[Long]("n_events"))).toSet
+    } finally query.stop()
+    val batch = StreamingParity
+      .segmentWindowCountsBatch((b1 ++ b2 ++ sentinelB).toDS(), segments)
+      .collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("ltw"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(got === batch.filter(_._2 < 5L)) // sentinel's own window stays open
+    assert(got === Set(("gold", 1L, 2L), ("silver", 1L, 1L),
+      ("gold", 2L, 1L), ("silver", 2L, 1L)))
+  }
+
   test("online outliers flag against prefix moments, exactly as a driver fold") {
     import graft.streaming.StreamingParity.{MeasuredEvent, Flagged}
     val s = spark
