@@ -63,6 +63,16 @@ object Analytics {
     */
   val TopN = 5L
 
+  /** Epoch-day width, used by retention / funnels. Declared ahead of
+    * every val that derives from it: a Scala object initializes vals in
+    * declaration order, and a forward reference silently reads 0 — which
+    * is exactly how the first cut of FunnelWindowMs shipped as a
+    * zero-width window (caught by the spec, not the oracle: the SQL
+    * interpolates the same runtime value, so both engines agreed on the
+    * wrong semantics).
+    */
+  val DayMs = 86400000L
+
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"),
@@ -660,8 +670,6 @@ object Analytics {
   // the user key, one join that reuses its partitioning, one final
   // grouped count — all linear, the classic retention-triangle build.
   // ------------------------------------------------------------------
-  val DayMs = 86400000L
-
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val evRaw = Tables.events(spark, sfDir)
     val days = evRaw.select(col("user_id"),
@@ -810,6 +818,41 @@ object Analytics {
        |GROUP BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------------------
+  // Per-user event deltas: each event paired with the time gap and
+  // measure change from the user's PREVIOUS event — the inter-arrival
+  // relation whose distribution picks sessionization gaps and retention
+  // day widths. lag() over (tms, event_id) — the unique id makes the
+  // order total, so ties cannot reorder across engines; first events
+  // (no predecessor) are dropped rather than emitted with NULL deltas.
+  // Shape: the standard one-exchange-per-user windowed sort, same as
+  // sessionize/movingWindow.
+  // ------------------------------------------------------------------
+  def eventDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val ev = evRaw.select(col("user_id"), col("event_id"),
+      graft.Shapes.eventTimeMs(evRaw).as("tms"),
+      expr("CAST(floor(value) AS BIGINT)").as("x"))
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    ev.select(col("user_id"), col("event_id"), col("tms"), col("x"),
+        lag("tms", 1).over(w).as("prev_tms"),
+        lag("x", 1).over(w).as("prev_x"))
+      .where(col("prev_tms").isNotNull)
+      .select(col("user_id"), col("event_id"), col("tms"), col("x"),
+        (col("tms") - col("prev_tms")).as("dt"),
+        (col("x") - col("prev_x")).as("dx"))
+  }
+
+  val eventDeltasSql: String =
+    """SELECT user_id, event_id, tms, x, tms - prev_tms AS dt, x - prev_x AS dx
+      |FROM (
+      |  SELECT user_id, event_id, tms, x,
+      |    lag(tms) OVER w AS prev_tms, lag(x) OVER w AS prev_x
+      |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |          CAST(floor(value) AS BIGINT) AS x FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+      |WHERE prev_tms IS NOT NULL""".stripMargin
+
+  // ------------------------------------------------------------------
   // Per-user outlier detection, exactly: flag events whose integer
   // measure deviates from the user's mean by more than 2 population
   // standard deviations — WITHOUT ever computing a mean or a stddev.
@@ -846,6 +889,7 @@ object Analytics {
       |  4 * (st.n * st.q - st.s * st.s)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_event_deltas" -> (eventDeltas _),
     "a_outliers" -> (outliers _),
     "a_brand_revenue" -> (brandRevenue _),
     "a_order_priority_late" -> (orderPriorityLate _),
@@ -869,6 +913,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_event_deltas" -> eventDeltasSql,
     "a_outliers" -> outliersSql,
     "a_brand_revenue" -> brandRevenueSql,
     "a_order_priority_late" -> orderPriorityLateSql,

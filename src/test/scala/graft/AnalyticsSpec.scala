@@ -219,6 +219,20 @@ class AnalyticsSpec extends SparkSpec {
       Seq(1L, 0L, 1L), Seq(1L, 1L, 1L)))
   }
 
+  test("event deltas pair each event with its per-user predecessor") {
+    // user 1: events at t=100 (x=5), t=300 (x=2), t=300 (x=9, higher id
+    // breaks the tie AFTER id 3), t=900 (x=9). user 2: single event, no
+    // predecessor, emits nothing.
+    val dir = writeFixture(events = Seq(
+      event(1, 100, 1, "e", 5.0), event(3, 300, 1, "e", 2.0),
+      event(4, 300, 1, "e", 9.0), event(5, 900, 1, "e", 9.0),
+      event(9, 50, 2, "e", 1.0)))
+    assert(rows(Analytics.eventDeltas(spark, dir)) === Set(
+      Seq(1L, 3L, 300L, 2L, 200L, -3L),
+      Seq(1L, 4L, 300L, 9L, 0L, 7L),
+      Seq(1L, 5L, 900L, 9L, 600L, 0L)))
+  }
+
   test("outliers flag only >2-sigma deviations, integer-exactly") {
     // user 1: five x=10 and one x=100 → mean 25, population sigma ≈ 33.5;
     // only the 100 exceeds 2 sigma ((100·6−150)² = 202500 > 4·(6·10500−150²)
