@@ -254,6 +254,40 @@ class StreamingParitySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("funnel state survives a checkpointed restart") {
+    import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-funnel-out").toString
+    val input = MemoryStream[UserEvent]
+    // foreachBatch: the memory sink refuses checkpoint recovery and the
+    // file sink refuses Update mode — foreachBatch is the standard
+    // recovery-capable sink for a stateful update stream.
+    def start() = StreamingParity.funnelStream(input.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    // Incarnation 1: user 1 views. Stage 1 lands in the state store.
+    val q1 = start()
+    try { input.addData(Seq(UserEvent(100, 1, "view"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // Incarnation 2 (fresh query, same checkpoint): the click must find
+    // the RESTORED t1 — without state recovery it would be rejected (no
+    // prior view) and the user would report stage 0.
+    val q2 = start()
+    val stages = try {
+      input.addData(Seq(UserEvent(200, 1, "click"))); q2.processAllAvailable()
+      s.read.parquet(out).as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, ps) => u -> ps.map(_.stage).max }
+    } finally q2.stop()
+    assert(stages === Map(1L -> 2L))
+  }
+
   test("two-source q2: a laggard source holds back emission (trigger = min over sources, C3)") {
     val s = spark
     import s.implicits._
