@@ -446,6 +446,65 @@ object StreamingParity {
   }
 
   // ------------------------------------------------------------------
+  // Funnel on transformWithState (Spark 4's typed-state successor to
+  // mapGroupsWithState) — same fold and exactness contract as
+  // funnelStream, with the three stage times in a typed ValueState
+  // handle instead of the whole-state case class. TimeMode.None: the
+  // fold is arrival-driven and the funnel never closes, only deepens —
+  // no timers of either kind (ProcessingTime mode measured as a
+  // continuous empty-batch trigger loop under processAllAvailable; None
+  // quiesces). Matches funnelStream's NoTimeout contract; the spec runs
+  // both implementations to identical per-user stages.
+  // ------------------------------------------------------------------
+  class FunnelStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, FunnelProgress] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var times: streaming.ValueState[FunnelTimes] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      times = getHandle.getValueState[FunnelTimes](
+        "funnelTimes", Encoders.product[FunnelTimes], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
+      var s = Option(times.get()).getOrElse(FunnelTimes(None, None, None))
+      val stageRank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+      rows.toSeq.sortBy(e => (e.event_time, stageRank.getOrElse(e.event_type, 9)))
+        .foreach { e =>
+          e.event_type match {
+            case "view" =>
+              if (s.t1.forall(e.event_time < _)) s = s.copy(t1 = Some(e.event_time))
+            case "click" =>
+              if (s.t1.exists(_ <= e.event_time) && s.t2.forall(e.event_time < _))
+                s = s.copy(t2 = Some(e.event_time))
+            case "purchase" =>
+              if (s.t2.exists(_ <= e.event_time) && s.t3.forall(e.event_time < _))
+                s = s.copy(t3 = Some(e.event_time))
+            case _ => ()
+          }
+        }
+      times.update(s)
+      val stage: Long =
+        if (s.t3.isDefined) 3L else if (s.t2.isDefined) 2L
+        else if (s.t1.isDefined) 1L else 0L
+      Iterator.single(FunnelProgress(key, stage))
+    }
+  }
+
+  def funnelTransformWithState(events: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelStatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  // ------------------------------------------------------------------
   // Stream-static enrichment join: a live event stream joined against a
   // STATIC dimension (user → segment), then windowed-counted per
   // segment — the canonical "enrich the stream against reference data"

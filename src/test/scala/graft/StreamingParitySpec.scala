@@ -254,6 +254,42 @@ class StreamingParitySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("transformWithState funnel matches the mapGroupsWithState funnel") {
+    import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        UserEvent(200, 1, "click"), UserEvent(100, 1, "view"),
+        UserEvent(200, 1, "purchase"),
+        UserEvent(100, 2, "click"), UserEvent(100, 2, "view"),
+        UserEvent(300, 3, "view"))
+      val b2 = Seq(UserEvent(600, 2, "purchase"), UserEvent(500, 4, "view"))
+      val input = MemoryStream[UserEvent]
+      val query = StreamingParity.funnelTransformWithState(input.toDS())
+        .writeStream.format("memory").queryName("funnel_tws")
+        .outputMode(OutputMode.Update()).start()
+      val got = try {
+        input.addData(b1); query.processAllAvailable()
+        input.addData(b2); query.processAllAvailable()
+        s.table("funnel_tws").as[FunnelProgress].collect()
+          .groupBy(_.user_id).map { case (u, ps) => u -> ps.map(_.stage).max }
+      } finally query.stop()
+      // Same per-user stages as the mapGroupsWithState fold on this data:
+      // user 1 full conversion (same-ts tie admitted), user 2 clicks at
+      // its first-view timestamp then purchases late-batch, users 3/4
+      // view only.
+      assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnel state survives a checkpointed restart") {
     import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
     val s = spark
