@@ -121,8 +121,10 @@ object SkewBench {
     val queries = Seq(
       "q3_windowed_count", "q3_windowed_count_salted",
       "q4_star_cardinality", "q4_star_join")
-    // Warmup both fixtures (reader + codegen paths), untimed.
-    dirs.values.foreach(d => SparkEntry.queries("q3_windowed_count")(spark, d).count())
+    // Warm EVERY timed query on BOTH fixtures, untimed: the uniform/skewed
+    // comparison assumes equal cache state, so first-touch costs (file
+    // listing, codegen) must not land inside any one timed cell.
+    for (d <- dirs.values; q <- queries) SparkEntry.queries(q)(spark, d).count()
 
     val results = queries.map { q =>
       val fn = SparkEntry.queries(q)
@@ -142,7 +144,9 @@ object SkewBench {
       writeUserEvents(spark, dir, kind == "skewed", n)
     }
     val userQueries = Seq("a_funnel", "a_outliers", "a_retention", "a_moving_window")
-    userDirs.values.foreach(d => SparkEntry.queries("a_funnel")(spark, d).count())
+    // Same warm-everything rule as above: each timed query touches both
+    // fixtures once untimed before any timing starts.
+    for (d <- userDirs.values; q <- userQueries) SparkEntry.queries(q)(spark, d).count()
     val userResults = userQueries.map { q =>
       val fn = SparkEntry.queries(q)
       val u = time(fn(spark, userDirs("uniform")))

@@ -408,6 +408,49 @@ object StreamingParity {
   /** Emitted per user per batch: deepest stage reached so far. */
   case class FunnelProgress(user_id: Long, stage: Long)
 
+  /** The one funnel fold shared by BOTH state-API twins (mapGroupsWithState
+   * and transformWithState) so the two can't silently drift.
+   *
+   * Sorts the batch's rows by (time, stage rank): the fold is then
+   * identical to the batch operator's min-with-ordering semantics within
+   * this batch. Ties fold earlier stages FIRST — the batch >= contract
+   * admits a click at the exact timestamp of the first view, so the view
+   * must land in state before the click is judged (and likewise click
+   * before purchase).
+   *
+   * Memory contract: `rows.toSeq.sortBy` materializes ONE KEY's share of
+   * ONE micro-batch in task memory. That is bounded by the trigger
+   * interval × that key's event rate — not by total state or corpus size —
+   * so even a 50%-hot user (the SkewBench scenario) holds as long as
+   * triggers are sized sanely. A deployment with pathological single-key
+   * micro-batches should pre-sort via sortWithinPartitions upstream and
+   * fold incrementally instead.
+   *
+   * Returns (new state, deepest stage reached: 0–3). */
+  private[graft] def foldFunnel(
+      init: FunnelTimes, rows: Iterator[UserEvent]): (FunnelTimes, Long) = {
+    val stageRank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    var s = init
+    rows.toSeq.sortBy(e => (e.event_time, stageRank.getOrElse(e.event_type, 9)))
+      .foreach { e =>
+        e.event_type match {
+          case "view" =>
+            if (s.t1.forall(e.event_time < _)) s = s.copy(t1 = Some(e.event_time))
+          case "click" =>
+            if (s.t1.exists(_ <= e.event_time) && s.t2.forall(e.event_time < _))
+              s = s.copy(t2 = Some(e.event_time))
+          case "purchase" =>
+            if (s.t2.exists(_ <= e.event_time) && s.t3.forall(e.event_time < _))
+              s = s.copy(t3 = Some(e.event_time))
+          case _ => ()
+        }
+      }
+    val stage: Long =
+      if (s.t3.isDefined) 3L else if (s.t2.isDefined) 2L
+      else if (s.t1.isDefined) 1L else 0L
+    (s, stage)
+  }
+
   def funnelStream(events: Dataset[UserEvent]): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -415,32 +458,9 @@ object StreamingParity {
       .mapGroupsWithState[FunnelTimes, FunnelProgress](
         GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[FunnelTimes]) =>
-          var s = state.getOption.getOrElse(FunnelTimes(None, None, None))
-          // Sort the batch's rows by (time, stage rank): the fold below is
-          // then identical to the batch operator's min-with-ordering
-          // semantics within this batch. Ties fold earlier stages FIRST —
-          // the batch >= contract admits a click at the exact timestamp of
-          // the first view, so the view must land in state before the
-          // click is judged (and likewise click before purchase).
-          val stageRank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
-          rows.toSeq.sortBy(e => (e.event_time, stageRank.getOrElse(e.event_type, 9)))
-            .foreach { e =>
-            e.event_type match {
-              case "view" =>
-                if (s.t1.forall(e.event_time < _)) s = s.copy(t1 = Some(e.event_time))
-              case "click" =>
-                if (s.t1.exists(_ <= e.event_time) && s.t2.forall(e.event_time < _))
-                  s = s.copy(t2 = Some(e.event_time))
-              case "purchase" =>
-                if (s.t2.exists(_ <= e.event_time) && s.t3.forall(e.event_time < _))
-                  s = s.copy(t3 = Some(e.event_time))
-              case _ => ()
-            }
-          }
+          val (s, stage) = foldFunnel(
+            state.getOption.getOrElse(FunnelTimes(None, None, None)), rows)
           state.update(s)
-          val stage: Long =
-            if (s.t3.isDefined) 3L else if (s.t2.isDefined) 2L
-            else if (s.t1.isDefined) 1L else 0L
           FunnelProgress(user, stage)
       }
   }
@@ -472,26 +492,9 @@ object StreamingParity {
         key: Long,
         rows: Iterator[UserEvent],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
-      var s = Option(times.get()).getOrElse(FunnelTimes(None, None, None))
-      val stageRank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
-      rows.toSeq.sortBy(e => (e.event_time, stageRank.getOrElse(e.event_type, 9)))
-        .foreach { e =>
-          e.event_type match {
-            case "view" =>
-              if (s.t1.forall(e.event_time < _)) s = s.copy(t1 = Some(e.event_time))
-            case "click" =>
-              if (s.t1.exists(_ <= e.event_time) && s.t2.forall(e.event_time < _))
-                s = s.copy(t2 = Some(e.event_time))
-            case "purchase" =>
-              if (s.t2.exists(_ <= e.event_time) && s.t3.forall(e.event_time < _))
-                s = s.copy(t3 = Some(e.event_time))
-            case _ => ()
-          }
-        }
+      val (s, stage) = foldFunnel(
+        Option(times.get()).getOrElse(FunnelTimes(None, None, None)), rows)
       times.update(s)
-      val stage: Long =
-        if (s.t3.isDefined) 3L else if (s.t2.isDefined) 2L
-        else if (s.t1.isDefined) 1L else 0L
       Iterator.single(FunnelProgress(key, stage))
     }
   }
@@ -565,6 +568,7 @@ object StreamingParity {
           var m = state.getOption.getOrElse(Moments(0L, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Flagged]()
           // Deterministic intra-batch order; event_id-free ties break on x.
+          // Same per-key micro-batch memory contract as foldFunnel above.
           rows.toSeq.sortBy(e => (e.event_time, e.x)).foreach { e =>
             m = Moments(m.n + 1, m.s + e.x, m.q + e.x * e.x)
             val dev = e.x * m.n - m.s
