@@ -416,6 +416,47 @@ object Analytics {
       |  GROUP BY l_returnflag)""".stripMargin
 
   // ------------------------------------------------------------------
+  // a_quantiles' 100 TB escape hatch (SURVEY §9, same contract as
+  // q3_skew_stats_approx): the exact type-7 percentile() holds every
+  // group's values; on a high-cardinality value domain that per-group
+  // state is the first casualty at scale. approx_percentile is the
+  // Greenwald-Khanna sketch — bounded state at ANY cardinality, with
+  // `accuracy` the error/state knob (1e4 default ≈ 1e-4 relative rank
+  // error). Gated in its EXACT regime: with accuracy (1e6) above the
+  // fixture group sizes the summary never compresses (any merge would
+  // need a rank-error budget 2·n/accuracy < 1, impossible for integer
+  // ranks), so query() deterministically returns the value at rank
+  // ceil(p·n) regardless of partial-merge order — and the oracle
+  // computes that exact rank explicitly (row_number + ceil(p·n), NOT
+  // quantile_disc, whose index convention is floor(p·(n-1))+1 and
+  // diverges e.g. at p=0.75, n=6). At real scale you lower accuracy and
+  // the column becomes an estimate with rsd-bounded rank error.
+  // ------------------------------------------------------------------
+  def quantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(q, array(0.25D, 0.5D, 0.75D), 1000000)").as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q_val")))
+      .withColumn("q_idx", col("q_idx").cast("long"))
+      .select("l_returnflag", "q_idx", "q_val")
+
+  val quantilesApproxSql: String =
+    """WITH vals AS (
+      |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q FROM lineitem),
+      |counts AS (SELECT l_returnflag, count(*) AS n FROM vals GROUP BY 1),
+      |ranked AS (
+      |  SELECT l_returnflag, q,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY q) AS r
+      |  FROM vals),
+      |ps AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(q_idx, p))
+      |SELECT ranked.l_returnflag, CAST(ps.q_idx AS BIGINT) AS q_idx,
+      |       ranked.q AS q_val
+      |FROM ranked
+      |JOIN counts ON ranked.l_returnflag = counts.l_returnflag
+      |JOIN ps ON ranked.r = CAST(ceil(ps.p * counts.n) AS BIGINT)""".stripMargin
+
+  // ------------------------------------------------------------------
   // Semi-structured extraction: pull typed fields out of the events'
   // JSON `props` column and aggregate on them — the schema-on-read path
   // every telemetry pipeline needs. get_json_object is a pure projection
@@ -909,6 +950,7 @@ object Analytics {
     "a_asof_join" -> (asofJoin _),
     "a_sessionize" -> (sessionize _),
     "a_quantiles" -> (quantiles _),
+    "a_quantiles_approx" -> (quantilesApprox _),
     "s_lsh_recall" -> (lshRecall _),
     "s_ivf_recall" -> (ivfRecall _))
 
@@ -933,6 +975,7 @@ object Analytics {
     "a_asof_join" -> asofJoinSql,
     "a_sessionize" -> sessionizeSql,
     "a_quantiles" -> quantilesSql,
+    "a_quantiles_approx" -> quantilesApproxSql,
     "s_lsh_recall" -> lshRecallSql,
     "s_ivf_recall" -> ivfRecallSql)
 }

@@ -108,6 +108,29 @@ object RefQueries {
        |FROM ($zxSql) GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // Q3d — SLIDING (hopping) windowed count per key: window size 2×slot,
+  // hop 1×slot. The reference has tumbling windows only (SURVEY §2.9);
+  // this is the overlapping-window form a real event-analytics user
+  // needs in week one. An event in day-window d belongs to exactly the
+  // hop windows [h·slot, h·slot+2·slot) with h ∈ {d-1, d} — so the plan
+  // is explode(sequence(ltw-1, ltw)) then ONE grouped count: row
+  // amplification is exactly size/hop = 2× (the inherent sliding-window
+  // cost), the shuffle stays 8-byte keys after map-side partial agg,
+  // and no window-function sort exists anywhere. `hop` is the window's
+  // START slot; integer arithmetic end-to-end (Parity rules).
+  // --------------------------------------------------------------------
+  def q3SlidingCount(spark: SparkSession, sfDir: String): DataFrame =
+    zxLtw(spark, sfDir)
+      .select(col("z"), explode(sequence(col("ltw") - 1, col("ltw"))).as("hop"))
+      .groupBy("z", "hop").agg(count(lit(1)).as("cnt"))
+
+  val q3SlidingCountSql: String =
+    s"""SELECT z, hop, count(*) AS cnt FROM (
+       |  SELECT z, unnest([event_time // $slot - 1, event_time // $slot]) AS hop
+       |  FROM ($zxSql))
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
   // Q3b — per-window heavy-hitter detection: keys whose share of the
   // window load exceeds 0.2/m (APKGrouping.scala:94-100;
   // one-group-state/cluster/DGrouping.scala:225-240). 0.2/12 = 1/60 →
@@ -322,6 +345,7 @@ object RefQueries {
     "q3_windowed_count" -> (q3WindowedCount _),
     "q3_windowed_max" -> (q3WindowedMax _),
     "q3_windowed_sum" -> (q3WindowedSum _),
+    "q3_sliding_count" -> (q3SlidingCount _),
     "q3_heavy_hitters" -> (q3HeavyHitters _),
     "q3_skew_stats" -> (q3SkewStats _),
     "q3_skew_stats_approx" -> (q3SkewStatsApprox _),
@@ -336,6 +360,7 @@ object RefQueries {
     "q3_windowed_count" -> q3CountSql,
     "q3_windowed_max" -> q3MaxSql,
     "q3_windowed_sum" -> q3SumSql,
+    "q3_sliding_count" -> q3SlidingCountSql,
     "q3_heavy_hitters" -> q3HeavyHittersSql,
     "q3_skew_stats" -> q3SkewStatsSql,
     "q3_skew_stats_approx" -> q3SkewStatsApproxSql,

@@ -344,6 +344,39 @@ object StreamingParity {
         col("x_a"), col("x_b"), col("x_c"))
   }
 
+  /** Streaming twin of q3_sliding_count: the engine's native HOPPING
+    * window — window(ts, 2×slot, 1×slot) assigns each event to its two
+    * covering windows and keeps ONE windowed count in append mode, state
+    * bounded by open windows × keys and evicted as the watermark passes
+    * each window's end. Same output key as the batch explode form:
+    * hop = window-start div slot. The batch plan amplifies rows 2× then
+    * partial-aggregates; the stream amortizes the same 2× into its
+    * state updates — both are the inherent size/hop cost and nothing
+    * else.
+    */
+  def slidingCountStream(events: Dataset[ZxEvent]): DataFrame =
+    events.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withWatermark("event_ts", "0 milliseconds")
+      .groupBy(
+        window(col("event_ts"), s"${2 * SlotMs} milliseconds", s"$SlotMs milliseconds"),
+        col("z"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("z"),
+        expr(s"unix_millis(window.start) div $SlotMs").as("hop"),
+        col("cnt"))
+
+  /** The batch contract for [[slidingCountStream]] — RefQueries'
+    * explode(sequence) plan over the same in-memory rows, slot = SlotMs.
+    */
+  def slidingCountBatch(events: Dataset[ZxEvent]): DataFrame =
+    events.toDF()
+      .select(col("z"),
+        explode(sequence(
+          expr(s"event_time div $SlotMs") - 1,
+          expr(s"event_time div $SlotMs"))).as("hop"))
+      .groupBy("z", "hop").agg(count(lit(1)).as("cnt"))
+
   /** Per-window streaming star cardinality — the stateful reference
     * variant's shape (per (key, window) count product, emitted once when
     * the window closes): watermark + ONE windowed conditional aggregation

@@ -124,6 +124,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(2.0, 3.0, 4.0))
   }
 
+  test("approx quantiles are exact type-1 when accuracy exceeds group size") {
+    // The a_quantiles_approx contract (its exact regime): with accuracy
+    // above n, the GK summary never compresses, so approx_percentile
+    // returns precisely the value at rank ceil(p·n). Values 10,20,30,40,
+    // 50,60 (n=6): ceil ranks 2,3,5 → 20,30,50. Note rank 5 at p=0.75 —
+    // a lower-index convention (floor(p·(n-1))+1 = 4 → 40) would differ,
+    // which is why the oracle computes ceil(p·n) explicitly.
+    val s = spark
+    import s.implicits._
+    val got = Seq(10L, 20L, 30L, 40L, 50L, 60L).toDF("q")
+      .selectExpr("approx_percentile(q, array(0.25D, 0.5D, 0.75D), 1000000) AS qs")
+      .head().getAs[scala.collection.Seq[Long]]("qs").toSeq
+    assert(got === Seq(20L, 30L, 50L))
+    // And on the gated relation at sf0.001: approx ≡ the oracle's rank
+    // formula per (group, p) — the whole-query exactness the gate hashes.
+    val sfDir = "/root/testdata/sf0.001"
+    val approx = rows(Analytics.quantilesApprox(spark, sfDir))
+    val vals = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = vals.groupBy(_._1).flatMap { case (flag, xs) =>
+      val sorted = xs.map(_._2).sorted
+      Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (p, i) =>
+        Seq[Any](flag, i.toLong, sorted(math.ceil(p * sorted.length).toInt - 1))
+      }
+    }.toSet
+    assert(approx === expected)
+  }
+
   test("regional revenue matches a driver-side recomputation on sf0.001") {
     // Independent reference: collect the five joined tables and redo the
     // Q5 join + decimal sum imperatively (hash maps, BigDecimal), then

@@ -115,6 +115,39 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("sliding hopping-window count stream matches the batch explode form on closed windows") {
+    import graft.streaming.StreamingParity.ZxEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[ZxEvent]
+    val query = StreamingParity.slidingCountStream(input.toDS())
+      .writeStream.format("memory").queryName("slide_cnt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window [0,2000) closes after batch1 (wm 2100 ≥ 2000) with the two
+      // "a" rows; window [1000,3000) spans both batches (2100 + nothing
+      // from batch2); the sentinel closes everything below 99s.
+      val batch1 = Seq(ZxEvent(1100, "a", 1), ZxEvent(1900, "a", 2), ZxEvent(2100, "b", 3))
+      val batch2 = Seq(ZxEvent(3100, "a", 4), ZxEvent(3200, "b", 5))
+      val sentinel = Seq(ZxEvent(99000, "zz", 0))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable()
+      val got = s.table("slide_cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // Batch contract over the same rows, restricted to closed windows:
+      // window end (hop+2)·slot ≤ final watermark (= max event time).
+      val wm = 99000L
+      val expected = StreamingParity
+        .slidingCountBatch((batch1 ++ batch2 ++ sentinel).toDS()).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter { case (_, hop, _) => (hop + 2) * StreamingParity.SlotMs <= wm }
+        .toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per fingerprint") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
