@@ -194,12 +194,22 @@ object Similarity {
   // IVF-style ANN: coarse partitions (the `label` column stands in for
   // k-means cell ids — at 100 TB you'd train cells offline the same way),
   // centroid = exact integer SUM vector + count per cell (no FP until the
-  // final, deterministic dot/count scoring), probe = best cell by mean
-  // similarity, then exact top-k inside that cell only. The corpus is
-  // scanned once for centroids (tiny aggregate: cells × dim) and candidate
-  // scoring touches 1/|cells| of the data per query.
+  // final, deterministic dot/count scoring), probe = the NProbe best
+  // cells by mean similarity, then exact top-k inside those cells only.
+  // The corpus is scanned once for centroids (tiny aggregate: cells ×
+  // dim) and candidate scoring touches NProbe/|cells| of the data per
+  // query. nprobe is IVF's recall/latency dial (the analogue of LSH's
+  // multiprobe offsets above): cells partition the corpus, so the
+  // nprobe=3 candidate set strictly contains the nprobe=1 set — recall
+  // is monotone in nprobe (SimilaritySpec asserts the lift; s_ivf_recall
+  // gauges it against brute force).
   // ------------------------------------------------------------------
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  val NProbe = 3
+
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKNprobe(spark, sfDir, NProbe)
+
+  def ivfTopKNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), graft.functions.VectorOps.quantize(col("embedding")).as("v"))
       .withColumn("norm", longDot(col("v"), col("v")))
@@ -220,9 +230,10 @@ object Similarity {
         (longDot(col("q.v"), col("ce.sumv")).cast("double") / col("ce.cnt")).as("score"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))))
-      .where(col("crnk") === 1)
+      .where(col("crnk") <= nprobe)
       .select("query_id", "qv", "qn", "cell")
-    // Exact top-k within the probed cell.
+    // Exact top-k within the probed cells (disjoint — cells partition
+    // the corpus, so no candidate dedup is needed).
     broadcast(probed.as("p")).join(corpus.as("c"),
         col("p.cell") === col("c.label") && col("p.query_id") =!= col("c.vec_id"))
       .select(col("p.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -253,7 +264,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY CAST(${dotDuck("q.v", "ce.sumv")} AS DOUBLE) / ce.cnt DESC, ce.label) AS crnk
        |    FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q CROSS JOIN cents ce)
-       |  WHERE crnk = 1)
+       |  WHERE crnk <= $NProbe)
        |SELECT query_id, neighbor_id, rnk, dot FROM (
        |  SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
        |    ${dotDuck("p.qv", "c.v")} AS dot,
@@ -297,7 +308,20 @@ object Similarity {
       kmeansTrainPlan(spark, sfDir)
     }
 
-  private def kmeansTrainPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The trained centroids (cid, cv, cnorm) — k rows; exposed (and
+    * registry-persisted) because multi-cell probing needs centroid
+    * DISTANCES at query time, not just the corpus assignment.
+    */
+  private[operators] def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"similarity.kmeansC1:$sfDir") {
+      kmeansParts(spark, sfDir)._1
+    }
+
+  private def kmeansTrainPlan(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansParts(spark, sfDir)._2
+
+  /** (final centroids c1, final assignment over c1). */
+  private def kmeansParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val q = quantized(spark, sfDir)
     val seeds = q.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
@@ -327,58 +351,81 @@ object Similarity {
             .map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
         .withColumn("cnorm", longDot(col("cv"), col("cv")))
     }
-    assign(update(assign(seeds)))
+    val c1 = update(assign(seeds))
+    (c1, assign(c1))
   }
 
-  val kmeansTrainSql: String = {
-    def assignSql(corpus: String, cents: String): String =
-      s"""SELECT vec_id, cid AS cluster, dist2 FROM (
-         |  SELECT vec_id, cid, dist2,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-         |  FROM (
-         |    SELECT q.vec_id, c.cid,
-         |      q.norm - 2 * ${dotDuck("q.v", "c.cv")} + c.cnorm AS dist2
-         |    FROM $corpus q CROSS JOIN $cents c))
-         |WHERE rn = 1""".stripMargin
+  private def kmeansAssignSql(corpus: String, cents: String): String =
+    s"""SELECT vec_id, cid AS cluster, dist2 FROM (
+       |  SELECT vec_id, cid, dist2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+       |  FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      q.norm - 2 * ${dotDuck("q.v", "c.cv")} + c.cnorm AS dist2
+       |    FROM $corpus q CROSS JOIN $cents c))
+       |WHERE rn = 1""".stripMargin
+
+  /** The training CTE chain up to the final centroids `c1` — shared by
+    * the train oracle and the kmeans-IVF search oracle (which probes c1
+    * distances). No leading WITH so callers can append CTEs.
+    */
+  private val kmeansCtesSql: String = {
     val dimSums = (0 until EmbeddingDim)
       .map(i => s"CAST(sum(q.v[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
     val fdivArr = (0 until EmbeddingDim)
       .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
-    s"""WITH corpus AS ($quantizedSql),
+    s"""corpus AS ($quantizedSql),
        |seeds AS (
        |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM corpus
        |  WHERE vec_id < $KmeansK),
-       |a1 AS (${assignSql("corpus", "seeds")}),
+       |a1 AS (${kmeansAssignSql("corpus", "seeds")}),
        |sums AS (
        |  SELECT a.cluster AS cid, count(*) AS n, $dimSums
        |  FROM corpus q JOIN a1 a ON q.vec_id = a.vec_id
        |  GROUP BY a.cluster),
        |c1 AS (
        |  SELECT cid, cv, ${dotDuck("cv", "cv")} AS cnorm
-       |  FROM (SELECT cid, $fdivArr AS cv FROM sums))
-       |${assignSql("corpus", "c1")}""".stripMargin
+       |  FROM (SELECT cid, $fdivArr AS cv FROM sums))""".stripMargin
   }
+
+  val kmeansTrainSql: String =
+    s"""WITH $kmeansCtesSql
+       |${kmeansAssignSql("corpus", "c1")}""".stripMargin
 
   // ------------------------------------------------------------------
   // IVF search over the TRAINED k-means cells — the composition the two
   // pieces above exist for: kmeansTrain is the offline coarse-quantizer
-  // build, and search probes one cell. The probe needs no centroid
-  // distance at query time: a corpus query's own `cluster` label IS its
-  // argmin-centroid cell (that is what the final assignment computed),
-  // so the plan is assignments ⋈ corpus, then exact top-k inside the
-  // query's cell — touching 1/k of the corpus per query, exactly the
-  // IVF cost model, with cells that now ADAPT to the data instead of
-  // the fixture's static labels (s_ivf_topk keeps that variant).
+  // build, and search probes the query's NProbe nearest cells by exact
+  // integer centroid distance (dist2 = qq − 2·q·c + cc — the same
+  // arithmetic the assignment used, so the nearest probed cell IS the
+  // query's own cell and nprobe=1 reproduces the old single-cell
+  // search). The plan touches nprobe/k of the corpus per query — the
+  // IVF cost model with its recall dial, over cells that ADAPT to the
+  // data instead of the fixture's static labels (s_ivf_topk keeps that
+  // variant).
   // ------------------------------------------------------------------
-  def ivfKmeansTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfKmeansTopKNprobe(spark, sfDir, NProbe)
+
+  def ivfKmeansTopKNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val labeled = quantized(spark, sfDir)
       .join(kmeansTrain(spark, sfDir).select("vec_id", "cluster"), "vec_id")
-    val qs = labeled.where(col("vec_id") < NumQueries)
-    broadcast(qs.as("q")).join(labeled.as("c"),
-        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        longDot(col("q.v"), col("c.v")).as("dot"),
-        col("q.norm").as("qn"), col("c.norm").as("cn"))
+    val qs = quantized(spark, sfDir).where(col("vec_id") < NumQueries)
+    val probed = broadcast(qs.as("q"))
+      .join(broadcast(kmeansCentroids(spark, sfDir).as("ce")))
+      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
+        col("q.norm").as("qn"), col("ce.cid").as("cell"),
+        (col("q.norm") - lit(2L) * longDot(col("q.v"), col("ce.cv")) + col("ce.cnorm"))
+          .as("dist2"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2"), col("cell"))))
+      .where(col("crnk") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    broadcast(probed.as("p")).join(labeled.as("c"),
+        col("p.cell") === col("c.cluster") && col("p.query_id") =!= col("c.vec_id"))
+      .select(col("p.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        longDot(col("p.qv"), col("c.v")).as("dot"),
+        col("p.qn").as("qn"), col("c.norm").as("cn"))
       .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
@@ -387,19 +434,26 @@ object Similarity {
   }
 
   val ivfKmeansTopKSql: String =
-    s"""WITH corpus AS ($quantizedSql),
-       |asg AS (SELECT vec_id, cluster FROM ($kmeansTrainSql)),
+    s"""WITH $kmeansCtesSql,
+       |asg AS (SELECT vec_id, cluster FROM (${kmeansAssignSql("corpus", "c1")})),
        |labeled AS (
        |  SELECT c.vec_id, c.v, c.norm, a.cluster
-       |  FROM corpus c JOIN asg a USING (vec_id))
+       |  FROM corpus c JOIN asg a USING (vec_id)),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qn, ce.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.norm - 2 * ${dotDuck("q.v", "ce.cv")} + ce.cnorm, ce.cid) AS crnk
+       |    FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q CROSS JOIN c1 ce)
+       |  WHERE crnk <= $NProbe)
        |SELECT query_id, neighbor_id, rnk, dot FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    ${dotDuck("q.v", "c.v")} AS dot,
-       |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} DESC,
+       |  SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("p.qv", "c.v")} AS dot,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosineDuck(dotDuck("p.qv", "c.v"), "p.qn", "c.norm")} DESC,
        |        c.vec_id) AS rnk
-       |  FROM (SELECT * FROM labeled WHERE vec_id < $NumQueries) q
-       |  JOIN labeled c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
+       |  FROM probes p
+       |  JOIN labeled c ON p.cell = c.cluster AND p.query_id <> c.vec_id)
        |WHERE rnk <= $TopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
