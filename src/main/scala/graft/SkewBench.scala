@@ -143,7 +143,8 @@ object SkewBench {
     userDirs.foreach { case (kind, dir) =>
       writeUserEvents(spark, dir, kind == "skewed", n)
     }
-    val userQueries = Seq("a_funnel", "a_outliers", "a_retention", "a_moving_window")
+    val userQueries = Seq("a_funnel", "a_outliers", "a_retention",
+      "a_moving_window", "a_moving_window_bucketed")
     // Same warm-everything rule as above: each timed query touches both
     // fixtures once untimed before any timing starts.
     for (d <- userDirs.values; q <- userQueries) SparkEntry.queries(q)(spark, d).count()

@@ -617,6 +617,47 @@ object Analytics {
        |  RANGE BETWEEN $MovingWindowMs PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ------------------------------------------------------------------
+  // The moving window's HOT-KEY mitigation — the one family where
+  // partitionBy(user_id) concentrates a skewed key's entire sort on one
+  // task (SKEWBENCH measured 4.53× under a 50%-hot user; the reference's
+  // skew thesis, one-group-stateless/src/main/scala/partitioner/
+  // DPartitioner.scala:31-54). Two-level form: partition by (user_id,
+  // time-bucket) with bucket width = the window size, and replicate each
+  // row into its own bucket AND the next one (explode — 2× map-side
+  // amplification, the salting analogue where the salt is TIME, so it is
+  // deterministic and exact). For a row at t in bucket b, every frame
+  // member lies in [t−W, t] ⊆ buckets {b−1, b}, and both kinds appear
+  // exactly once in partition (user, b): native-b rows via their own
+  // copy, native-(b−1) rows via their +1 copy. The RANGE frame over the
+  // partition therefore equals the global frame, and filtering back to
+  // pb = native bucket emits each row once — identical output to
+  // movingWindow (same oracle), but the hot user's sort now spreads
+  // across all its time buckets instead of one task. Cost: 2× rows into
+  // the same single shuffle; per-task sorts shrink from |user's events|
+  // to |user's events per bucket|.
+  // ------------------------------------------------------------------
+  def movingWindowBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val evRaw = Tables.events(spark, sfDir)
+    val ev = evRaw.select(col("user_id"),
+      graft.Shapes.eventTimeMs(evRaw).as("tms"),
+      expr("CAST(floor(value) AS BIGINT)").as("x"))
+      .withColumn("bkt", expr(s"tms div $MovingWindowMs"))
+    val spread = ev.select(col("user_id"), col("tms"), col("x"), col("bkt"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("pb"))
+    val w = Window.partitionBy("user_id", "pb").orderBy("tms")
+      .rangeBetween(-MovingWindowMs, 0)
+    spread.select(col("user_id"), col("tms"), col("x"), col("bkt"), col("pb"),
+        sum("x").over(w).as("win_sum"),
+        count(lit(1)).over(w).as("win_n"))
+      .where(col("pb") === col("bkt"))
+      .withColumn("win_avg", expr("CAST(win_sum AS DOUBLE) / win_n"))
+      .select("user_id", "tms", "x", "win_sum", "win_n", "win_avg")
+  }
+
+  /** Same result contract as movingWindow — the oracle is shared. */
+  val movingWindowBucketedSql: String = movingWindowSql
+
+  // ------------------------------------------------------------------
   // Sequential funnel over the event stream: per user, the earliest
   // view, the earliest click AT OR AFTER that view, and the earliest
   // purchase at or after that click — then the user count per stage
@@ -937,6 +978,7 @@ object Analytics {
     "a_regional_revenue" -> (regionalRevenue _),
     "a_market_share" -> (marketShare _),
     "a_moving_window" -> (movingWindow _),
+    "a_moving_window_bucketed" -> (movingWindowBucketed _),
     "a_funnel" -> (funnel _),
     "a_funnel_windowed" -> (funnelWindowed _),
     "a_retention" -> (retention _),
@@ -962,6 +1004,7 @@ object Analytics {
     "a_regional_revenue" -> regionalRevenueSql,
     "a_market_share" -> marketShareSql,
     "a_moving_window" -> movingWindowSql,
+    "a_moving_window_bucketed" -> movingWindowBucketedSql,
     "a_funnel" -> funnelSql,
     "a_funnel_windowed" -> funnelWindowedSql,
     "a_retention" -> retentionSql,

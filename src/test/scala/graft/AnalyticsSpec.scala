@@ -124,6 +124,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(2.0, 3.0, 4.0))
   }
 
+  test("bucketed moving window equals the single-partition RANGE form") {
+    // The hot-key mitigation must be a pure plan change: same rows out.
+    val sfDir = "/root/testdata/sf0.001"
+    val a = rows(Analytics.movingWindow(spark, sfDir))
+    val b = rows(Analytics.movingWindowBucketed(spark, sfDir))
+    assert(a === b)
+    // And each input row emits exactly once (the explode+filter round trip).
+    assert(Analytics.movingWindowBucketed(spark, sfDir).count() ===
+      Analytics.movingWindow(spark, sfDir).count())
+  }
+
   test("approx quantiles are exact type-1 when accuracy exceeds group size") {
     // The a_quantiles_approx contract (its exact regime): with accuracy
     // above n, the GK summary never compresses, so approx_percentile
