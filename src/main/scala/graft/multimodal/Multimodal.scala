@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   * Pandas UDF: one JVM call per partition, row batches streamed through
   * an iterator, no per-row SerDe).
   *
-  * The container has no image/audio codecs, so [[FakeCodec.decode]] is a
+  * The decode boundary dispatches: payloads that are complete, valid
+  * binary Netpbm files (PPM `P6` / PGM `P5` — a public format simple
+  * enough to parse in pure JVM code, no codec library needed) go through
+  * [[PpmCodec]], a REAL decoder that reads the header geometry and the
+  * raster bytes; everything else falls back to [[FakeCodec]], a
   * clearly-marked deterministic STUB standing in for e.g. a JNI/ImageIO
-  * decode; everything around it — binary schema, typed Encoders, the
+  * decode of the formats this container has no libraries for. The
+  * surrounding plumbing — binary schema, typed Encoders, the
   * mapPartitions batch shape, partitioning behavior, metadata pushdown —
-  * is the real production plumbing and is what the tests exercise.
+  * is identical for both paths.
   *
   * The media relation is derived deterministically from `documents`
-  * (bytes := utf8(text)), so the DuckDB oracle can replicate the stub
-  * decode arithmetic exactly.
+  * (bytes := utf8(text); every 21st doc carries a planted, valid P6
+  * whose geometry derives from doc_id), so the DuckDB oracle replicates
+  * BOTH branches exactly and the gate exercises the real parser, not
+  * just the stub.
   */
 object Multimodal {
 
@@ -38,8 +45,26 @@ object Multimodal {
 
   val Kinds: Seq[String] = Seq("image", "audio", "video")
 
-  /** documents → media relation: payload = utf8(text), kind cycles by id.
-    * Pure projection — pipelines into the scan.
+  /** Planted-payload geometry: every 21st doc (21 = 3×7, so its cycled
+    * kind is already "image") carries a small, VALID binary PPM instead
+    * of its text bytes — giving the gated decode a real file to parse.
+    * Width/height derive from the id; pixel bytes are the deterministic
+    * ramp (id·7 + i·31) mod 256.
+    */
+  val PlantedEvery = 21L
+
+  private[multimodal] def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 13).toInt
+    val h = (3 + id % 11).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val px = Array.tabulate(3 * w * h)(i => ((id * 7 + i.toLong * 31) % 256).toByte)
+    header ++ px
+  }
+
+  /** documents → media relation: payload = utf8(text), kind cycles by id;
+    * planted rows (see above) swap in a real P6 payload. The projection
+    * pipelines into the scan; the planted swap is one typed map at the
+    * decode boundary (where the rows become objects anyway).
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
@@ -50,11 +75,66 @@ object Multimodal {
           .as("kind"),
         col("text").cast("binary").as("payload"))
       .as[MediaFile]
+      .map(m => if (m.media_id % PlantedEvery == 0L)
+        m.copy(payload = syntheticPpm(m.media_id)) else m)
+  }
+
+  /** REAL decoder for binary Netpbm images — PPM (`P6`, RGB) and PGM
+    * (`P5`, grayscale). Public format (netpbm.sourceforge.net spec):
+    * ASCII header `magic <ws> width <ws> height <ws> maxval`, where
+    * whitespace runs may contain `#`-to-end-of-line comments, then ONE
+    * whitespace byte, then exactly width·height·channels raster bytes
+    * (channels 3 for P6, 1 for P5; maxval ≤ 255 for the 1-byte-per-sample
+    * form parsed here). Returns None unless the payload is a complete,
+    * valid file — anything else falls through to the stub, so a text
+    * that merely starts with "P6" can never half-decode. The checksum
+    * for decoded media is the additive byte sum of the RASTER (pixel
+    * data only, header excluded).
+    */
+  object PpmCodec {
+    def tryDecode(m: MediaFile): Option[DecodedMedia] = {
+      val b = m.payload
+      if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+      val channels = if (b(1) == '6') 3L else 1L
+      var i = 2
+      // Whitespace/comment run; returns false if nothing was consumed
+      // (the header requires at least one separator before each token).
+      def skipWs(): Boolean = {
+        val start = i
+        var cont = true
+        while (cont && i < b.length) {
+          val c = b(i).toChar
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u000b' || c == '\f') i += 1
+          else if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else cont = false
+        }
+        i > start
+      }
+      def readInt(): Long = { // -1 = malformed
+        if (!skipWs()) return -1L
+        var v = 0L
+        var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+          v = v * 10 + (b(i) - '0'); any = true; i += 1
+        }
+        if (any && v <= Int.MaxValue) v else -1L
+      }
+      val w = readInt(); val h = readInt(); val maxv = readInt()
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+      // Exactly one whitespace byte separates maxval from the raster.
+      if (i >= b.length || !b(i).toChar.isWhitespace) return None
+      i += 1
+      if ((b.length - i).toLong != w * h * channels) return None
+      var sum = 0L
+      while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+      Some(DecodedMedia(m.media_id, m.kind, b.length.toLong, w, h, 1L, sum))
+    }
   }
 
   /** STUB codec: deterministic arithmetic over the payload bytes standing
-    * in for a real decoder. A production build swaps `decode` for the
-    * actual library call; the signature (bytes in, typed features out) and
+    * in for a real decoder of the formats this container has no
+    * libraries for. A production build swaps `decode` for the actual
+    * library call; the signature (bytes in, typed features out) and
     * everything downstream are unchanged.
     */
   object FakeCodec {
@@ -75,6 +155,12 @@ object Multimodal {
     }
   }
 
+  /** The dispatching decode: real Netpbm parse when the payload IS a
+    * valid P5/P6 file, deterministic stub otherwise.
+    */
+  def decode(m: MediaFile): DecodedMedia =
+    PpmCodec.tryDecode(m).getOrElse(FakeCodec.decode(m))
+
   /** The batched decode: one iterator pass per partition (Arrow-batch
     * shape), constant memory, no driver involvement. Partitioning is
     * inherited from the scan; at 100 TB you'd repartition by size budget
@@ -82,7 +168,7 @@ object Multimodal {
     */
   def decodeMedia(media: Dataset[MediaFile]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.decode))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Frame sampling plan for video rows: every k-th frame index, exploded
@@ -99,24 +185,42 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, sfDir: String): DataFrame =
     decodeMedia(mediaFromDocuments(spark, sfDir)).toDF()
 
-  /** Oracle: the stub arithmetic replayed in SQL. Texts are ASCII so
-    * octet length == n_chars and the byte loop == the char poly hash.
+  /** Oracle: both decode branches replayed in SQL. Stub rows: texts are
+    * ASCII so octet length == n_chars and the byte loop == the char poly
+    * hash. Planted P6 rows: the oracle recomputes the planted file's
+    * geometry from doc_id (header "P6\\n{w} {h}\\n255\\n" = 9+len(w)+len(h)
+    * bytes) and the raster byte sum via list_sum over the same
+    * (id·7 + i·31) mod 256 ramp — i.e. it asserts the parser read back
+    * exactly what the generator wrote.
     */
   val decodeQuerySql: String =
-    s"""SELECT media_id, kind, n_bytes, width, height,
-       |  CASE WHEN kind = 'video' THEN 1 + n_bytes % 240
-       |       WHEN kind = 'audio' THEN 1 + n_bytes % 16
-       |       ELSE 1 END AS n_frames,
-       |  checksum
-       |FROM (
-       |  SELECT doc_id AS media_id,
-       |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       |    16 + (CAST(octet_length(encode(text)) AS BIGINT) * 31
-       |          + length(['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1])) % 624 AS width,
-       |    16 + (${graft.functions.Parity.charPolyHash31Duck("text")} % 464) AS height,
-       |    ${graft.functions.Parity.charPolyHash31Duck("text")} AS checksum
-       |  FROM (SELECT doc_id, text FROM documents))""".stripMargin
+    s"""SELECT media_id, kind, n_bytes, width, height, n_frames, checksum FROM (
+       |  SELECT doc_id AS media_id, 'image' AS kind,
+       |    CAST(9 + length(CAST(4 + doc_id % 13 AS VARCHAR))
+       |           + length(CAST(3 + doc_id % 11 AS VARCHAR))
+       |           + 3 * (4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT) AS n_bytes,
+       |    CAST(4 + doc_id % 13 AS BIGINT) AS width,
+       |    CAST(3 + doc_id % 11 AS BIGINT) AS height,
+       |    CAST(1 AS BIGINT) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(0, CAST(3 * (4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT)),
+       |      i -> (doc_id * 7 + i * 31) % 256)) AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % $PlantedEvery = 0
+       |  UNION ALL
+       |  SELECT media_id, kind, n_bytes, width, height,
+       |    CASE WHEN kind = 'video' THEN 1 + n_bytes % 240
+       |         WHEN kind = 'audio' THEN 1 + n_bytes % 16
+       |         ELSE 1 END AS n_frames,
+       |    checksum
+       |  FROM (
+       |    SELECT doc_id AS media_id,
+       |      ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |      16 + (CAST(octet_length(encode(text)) AS BIGINT) * 31
+       |            + length(['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1])) % 624 AS width,
+       |      16 + (${graft.functions.Parity.charPolyHash31Duck("text")} % 464) AS height,
+       |      ${graft.functions.Parity.charPolyHash31Duck("text")} AS checksum
+       |    FROM (SELECT doc_id, text FROM documents WHERE doc_id % $PlantedEvery <> 0)))""".stripMargin
 
   /** Resize planning: target box fit preserving aspect ratio, integer
     * arithmetic only (floor division, matching SQL `//`). The real

@@ -20,10 +20,51 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.decodeQuery(spark, dir).collect()
       .map(r => r.getAs[Long]("media_id") ->
         (r.getAs[String]("kind"), r.getAs[Long]("n_bytes"))).toMap
-    assert(got(0L) === ("image", 4L))
+    // doc 0 is a planted P6 (0 % 21 == 0): w=4, h=3 → 11-byte header
+    // ("P6\n4 3\n255\n") + 36 raster bytes.
+    assert(got(0L) === ("image", 47L))
     assert(got(1L) === ("audio", 4L))
     assert(got(2L) === ("video", 4L))
     assert(got(3L) === ("image", 4L))
+  }
+
+  test("planted P6 payloads are really parsed: geometry and raster sum") {
+    // syntheticPpm(21): w = 4 + 21%13 = 12, h = 3 + 21%11 = 13.
+    val dir = writeFixture(documents = Seq(
+      doc(21, "this text is replaced by a planted ppm")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "image")
+    assert(got.getAs[Long]("width") === 12L)
+    assert(got.getAs[Long]("height") === 13L)
+    assert(got.getAs[Long]("n_frames") === 1L)
+    assert(got.getAs[Long]("n_bytes") === (13 + 3 * 12 * 13).toLong)
+    val wantSum = (0 until 3 * 12 * 13).map(i => (21L * 7 + i.toLong * 31) % 256).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("PPM parser: P6/P5 roundtrip; malformed payloads fall back to the stub") {
+    import Multimodal.PpmCodec
+    val p6 = "P6\n2 2\n255\n".getBytes ++ Array.tabulate(12)(_.toByte)
+    val d6 = PpmCodec.tryDecode(MediaFile(7, "image", p6)).get
+    assert((d6.width, d6.height, d6.n_frames) === (2L, 2L, 1L))
+    assert(d6.checksum === (0 until 12).sum.toLong)
+    assert(d6.n_bytes === p6.length.toLong)
+    // PGM with a header comment: 1 channel, raster = w*h bytes.
+    val p5 = "P5\n# a comment\n3 2\n255\n".getBytes ++
+      Array.tabulate(6)(i => (10 + i).toByte)
+    val d5 = PpmCodec.tryDecode(MediaFile(8, "image", p5)).get
+    assert((d5.width, d5.height) === (3L, 2L))
+    assert(d5.checksum === (10 until 16).sum.toLong)
+    // Malformed: truncated raster / prose starting with the magic /
+    // 2-byte-per-sample maxval — all must refuse, then dispatch stubs.
+    val truncated = "P6\n2 2\n255\n".getBytes ++ Array.fill(11)(0.toByte)
+    assert(PpmCodec.tryDecode(MediaFile(9, "image", truncated)).isEmpty)
+    val prose = "P6 is a picture format".getBytes
+    assert(PpmCodec.tryDecode(MediaFile(10, "image", prose)).isEmpty)
+    val deep = "P6\n2 2\n65535\n".getBytes ++ Array.fill(24)(0.toByte)
+    assert(PpmCodec.tryDecode(MediaFile(11, "image", deep)).isEmpty)
+    assert(Multimodal.decode(MediaFile(10, "image", prose)) ===
+      FakeCodec.decode(MediaFile(10, "image", prose)))
   }
 
   test("resize plan fits the box preserving aspect, identity when small") {
