@@ -1,0 +1,94 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a driver fixture (default sf0.1 → a 10×
+  * "sf1" under the repo — /root/testdata is read-only) for headroom
+  * testing: the 10× step that surfaces any plan secretly leaning on
+  * fixture size (broadcast thresholds, collect_list growth, driver-side
+  * materialization).
+  *
+  * Model: `factor` disjoint key-space shards of the source. Every id and
+  * foreign key shifts by shard·Stride (10⁸ — far above any source key),
+  * so referential integrity and per-key row densities survive exactly;
+  * region/nation stay fixed (TPC-H keeps dimensions constant across SF).
+  * Document texts get a per-shard suffix (exact dedup must not collapse
+  * shards into 10-way duplicate groups); embeddings replicate unchanged
+  * (query workload is vec_id < 20 — shard 0 only). events.ts is
+  * rewritten from TIMESTAMP(NANOS) to micro-second timestamps — the same
+  * epoch-ms values through BOTH read paths (Shapes.eventTimeMs handles
+  * either representation; DuckDB's epoch_ms reads both) without needing
+  * the nanosAsLong legacy flag on the scaled fixture.
+  */
+object GenScale {
+  val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "testdata-sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def shards(df: DataFrame)(f: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i.toLong * Stride)).reduce(_ union _)
+    // One parquet FILE per table (like the driver fixtures — the DuckDB
+    // gate registers '<dir>/<t>.parquet' as a single file, not a glob).
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$out/$name.parquet")
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+      ()
+    }
+    val r = spark.read
+    write(r.parquet(s"$src/region.parquet"), "region")
+    write(r.parquet(s"$src/nation.parquet"), "nation")
+    write(shards(r.parquet(s"$src/customer.parquet")) { (d, o) =>
+      d.withColumn("c_custkey", col("c_custkey") + o)
+    }, "customer")
+    write(shards(r.parquet(s"$src/supplier.parquet")) { (d, o) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + o)
+    }, "supplier")
+    write(shards(r.parquet(s"$src/part.parquet")) { (d, o) =>
+      d.withColumn("p_partkey", col("p_partkey") + o)
+    }, "part")
+    write(shards(r.parquet(s"$src/orders.parquet")) { (d, o) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + o)
+        .withColumn("o_custkey", col("o_custkey") + o)
+    }, "orders")
+    write(shards(r.parquet(s"$src/lineitem.parquet")) { (d, o) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + o)
+        .withColumn("l_partkey", col("l_partkey") + o)
+        .withColumn("l_suppkey", col("l_suppkey") + o)
+    }, "lineitem")
+    val ev = r.parquet(s"$src/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    write(shards(ev) { (d, o) =>
+      d.withColumn("event_id", col("event_id") + o)
+        .withColumn("user_id", col("user_id") + o)
+    }, "events")
+    write(shards(r.parquet(s"$src/documents.parquet")) { (d, o) =>
+      val shifted = d.withColumn("doc_id", col("doc_id") + o)
+      if (o == 0L) shifted
+      else shifted
+        .withColumn("text", concat(col("text"), lit(s" shard${o / Stride}")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+    write(shards(r.parquet(s"$src/embeddings.parquet")) { (d, o) =>
+      d.withColumn("vec_id", col("vec_id") + o)
+    }, "embeddings")
+    println(s"""{"gen":"$out","factor":$factor,"src":"$src"}""")
+    spark.stop()
+  }
+}

@@ -541,6 +541,89 @@ object StreamingParity {
   }
 
   // ------------------------------------------------------------------
+  // OUT-OF-ORDER funnel — the watermark-buffered variant. funnelStream /
+  // funnelTransformWithState fold each micro-batch immediately, which
+  // assumes cross-batch in-order arrival (an earlier-timestamped event
+  // arriving in a LATER batch would be judged against state that already
+  // folded newer events). This processor instead BUFFERS arrivals in a
+  // ListState and folds only on event-time timer expiry, taking exactly
+  // the buffered events at or below the current watermark — at that
+  // point nothing older can still arrive (the engine's late filter
+  // drops it), so folding the watermark-closed prefix in (time, stage)
+  // order is identical to the batch fold no matter how the replay was
+  // shuffled across batches. State is bounded by the watermark delay:
+  // the buffer holds at most delay × per-key rate events, and each
+  // timer fire drains the closed prefix into the three O(1) stage
+  // times. Sort-on-timer via transformWithState event-time timers —
+  // one timer per key at the max buffered event time, re-armed while
+  // anything stays pending.
+  // ------------------------------------------------------------------
+  class BufferedFunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, FunnelProgress] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var times: streaming.ValueState[FunnelTimes] = _
+    @transient private var pending: streaming.ListState[UserEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      times = getHandle.getValueState[FunnelTimes](
+        "funnelTimes", Encoders.product[FunnelTimes], TTLConfig.NONE)
+      pending = getHandle.getListState[UserEvent](
+        "pending", Encoders.product[UserEvent], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
+      val incoming = rows.toArray
+      if (incoming.nonEmpty) {
+        pending.appendList(incoming)
+        // Fire once the watermark passes everything buffered so far.
+        getHandle.registerTimer(pending.get().map(_.event_time).max)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelProgress] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (ready, later) = pending.get().toSeq.partition(_.event_time <= wm)
+      val (s, stage) = foldFunnel(
+        Option(times.get()).getOrElse(FunnelTimes(None, None, None)), ready.iterator)
+      times.update(s)
+      pending.clear()
+      if (later.nonEmpty) {
+        pending.appendList(later.toArray)
+        getHandle.registerTimer(later.map(_.event_time).max)
+      }
+      Iterator.single(FunnelProgress(key, stage))
+    }
+  }
+
+  /** The out-of-order funnel: watermark delay = the disorder bound the
+    * deployment tolerates; events later than that are dropped by the
+    * engine (the standard watermark contract), everything inside it
+    * folds exactly as in batch.
+    */
+  def funnelOutOfOrder(events: Dataset[UserEvent], delayMs: Long): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_millis(col("event_time")))
+      .withWatermark("event_ts", s"$delayMs milliseconds")
+      .select(col("event_time"), col("user_id"), col("event_type"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new BufferedFunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  // ------------------------------------------------------------------
   // Stream-static enrichment join: a live event stream joined against a
   // STATIC dimension (user → segment), then windowed-counted per
   // segment — the canonical "enrich the stream against reference data"

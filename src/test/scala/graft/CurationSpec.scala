@@ -177,18 +177,29 @@ class CurationSpec extends SparkSpec {
     assert(got("bird") === (1L, 1L))
   }
 
-  test("IVF probes the query's own cluster when cells are separated") {
+  test("IVF cell probing: nprobe=1 stays in the query's cell, nprobe ranks across probed cells") {
     // Cell 0: vectors near +e1; cell 1: vectors near -e1. Query 0 sits in
-    // cell 0 — its neighbors must come from cell 0 only.
+    // cell 0.
     def v(sign: Float, jitter: Float) =
       Array.tabulate(8)(i => if (i == 0) sign else jitter * (i - 4))
     val dir = writeFixture(embeddings = Seq(
       EmbRow(0, v(1f, 0.01f), 0), EmbRow(1, v(1f, 0.02f), 0),
       EmbRow(2, v(1f, -0.01f), 0),
       EmbRow(3, v(-1f, 0.01f), 1), EmbRow(4, v(-1f, 0.02f), 1)))
-    val got = Similarity.ivfTopK(spark, dir).collect()
+    // Single-cell probing restricts candidates to the query's own cell.
+    val single = Similarity.ivfTopKNprobe(spark, dir, 1).collect()
       .filter(_.getAs[Long]("query_id") == 0L)
       .map(_.getAs[Long]("neighbor_id")).toSet
-    assert(got === Set(1L, 2L))
+    assert(single === Set(1L, 2L))
+    // Default nprobe=3 covers both cells here: all 4 others are
+    // candidates, and exact cosine puts the aligned cell-0 vectors
+    // ahead of the opposed cell-1 ones.
+    val probed = Similarity.ivfTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+      .map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(probed.length === 4)
+    assert(probed.take(2).toSet === Set(1L, 2L))
+    assert(probed.drop(2).toSet === Set(3L, 4L))
   }
 }

@@ -323,6 +323,51 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("out-of-order funnel converges to the batch fold on a shuffled replay") {
+    import graft.streaming.StreamingParity.{UserEvent, FunnelProgress, FunnelTimes}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // A replay SHUFFLED across batches: user 1's funnel arrives
+      // purchase-first, click next batch, view last — the in-order
+      // processors would misfold this (click@3000 judged before its
+      // view@1000 is in state); the buffered form must not. User 2's
+      // click arrives BEFORE its view too, in the same late batch.
+      // All disorder sits inside the 10 s watermark delay.
+      val b1 = Seq(UserEvent(5000, 1, "purchase"), UserEvent(6000, 2, "purchase"))
+      val b2 = Seq(UserEvent(3000, 1, "click"), UserEvent(4000, 2, "click"))
+      val b3 = Seq(UserEvent(1000, 1, "view"), UserEvent(2000, 2, "view"))
+      val sentinel = Seq(UserEvent(100000, 99, "view"))
+      val all = b1 ++ b2 ++ b3 ++ sentinel
+      val input = MemoryStream[UserEvent]
+      val query = StreamingParity.funnelOutOfOrder(input.toDS(), delayMs = 10000L)
+        .writeStream.format("memory").queryName("funnel_ooo")
+        .outputMode(OutputMode.Update()).start()
+      val got = try {
+        Seq(b1, b2, b3, sentinel).foreach { b =>
+          input.addData(b); query.processAllAvailable()
+        }
+        s.table("funnel_ooo").as[FunnelProgress].collect()
+          .groupBy(_.user_id).map { case (u, ps) => u -> ps.map(_.stage).max }
+      } finally query.stop()
+      // Expected = the batch fold over each user's full event set.
+      val expected = all.groupBy(_.user_id).map { case (u, evs) =>
+        u -> StreamingParity.foldFunnel(FunnelTimes(None, None, None), evs.iterator)._2
+      }.filter { case (u, _) => got.contains(u) }
+      assert(got === expected)
+      // And the disorder was real: both funnel users fully convert.
+      assert(got(1L) === 3L)
+      assert(got(2L) === 3L)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnel state survives a checkpointed restart") {
     import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
     val s = spark
