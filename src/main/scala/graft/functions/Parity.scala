@@ -280,8 +280,16 @@ object Parity {
   // Random-hyperplane LSH for embeddings: 8 deterministic ±1 planes (seeded
   // RNG → literal arrays in both dialects); bucket = sign-bit pattern of
   // the 8 plane dots. Plane dot over the quantized vector is exact integer.
+  //
+  // SPARK_GRAFT_LSH_PLANES is the corpus-density dial (BASELINE.md sf1
+  // section): the 2^planes bucket grid should grow ∝ log₂(corpus) so
+  // in-bucket density — and the LSH candidate-pair stage — stays flat as
+  // the corpus scales. The seeded fill is sequential, so a larger setting
+  // keeps the first 8 planes bit-identical to the default grid; both SQL
+  // dialects are generated from the same value, so Spark and the DuckDB
+  // oracle stay in lockstep at any setting. Default 8 = the gated grid.
   // ------------------------------------------------------------------
-  val NumPlanes = 8
+  val NumPlanes: Int = sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.toInt).getOrElse(8)
   val EmbeddingDim = 64
 
   val planes: IndexedSeq[IndexedSeq[Int]] = {

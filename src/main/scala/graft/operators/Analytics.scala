@@ -430,13 +430,20 @@ object Analytics {
   // computes that exact rank explicitly (row_number + ceil(p·n), NOT
   // quantile_disc, whose index convention is floor(p·(n-1))+1 and
   // diverges e.g. at p=0.75, n=6). At real scale you lower accuracy and
-  // the column becomes an estimate with rsd-bounded rank error.
+  // the column becomes an estimate with rsd-bounded rank error:
+  // SPARK_GRAFT_APPROX_QUANTILE_ACC sets the production accuracy (the
+  // BASELINE.md sf1 section records the cost of the 10⁶ exactness pin —
+  // at sf1 the uncompressed sketch costs more than the exact sort; at
+  // 10⁴ the sketch is bounded state regardless of data volume).
   // ------------------------------------------------------------------
+  val ApproxQuantileAccuracy: Long =
+    sys.env.get("SPARK_GRAFT_APPROX_QUANTILE_ACC").map(_.toLong).getOrElse(1000000L)
+
   def quantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("q"))
       .groupBy("l_returnflag")
-      .agg(expr("approx_percentile(q, array(0.25D, 0.5D, 0.75D), 1000000)").as("qs"))
+      .agg(expr(s"approx_percentile(q, array(0.25D, 0.5D, 0.75D), $ApproxQuantileAccuracy)").as("qs"))
       .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q_val")))
       .withColumn("q_idx", col("q_idx").cast("long"))
       .select("l_returnflag", "q_idx", "q_val")
