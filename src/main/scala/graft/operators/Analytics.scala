@@ -977,7 +977,64 @@ object Analytics {
       |WHERE (e.x * st.n - st.s) * (e.x * st.n - st.s) >
       |  4 * (st.n * st.q - st.s * st.s)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Keyless interval-containment join ("context join", beyond the
+  // reference): for every high-value anchor event, every event in the
+  // hour that follows it — the "what happened around each incident"
+  // query behind anomaly triage and attribution windows. With no
+  // equi-key between the two sides, Spark can only plan a range
+  // predicate as BroadcastNestedLoopJoin — O(|events| × |anchors|)
+  // predicate evaluations, and a hard failure once the anchor side
+  // outgrows the broadcast. The scale composition is BIN BUCKETING:
+  // quantize time into bins of exactly the window length, explode each
+  // anchor interval into the (at most 2) bins it can overlap, map each
+  // event to its single bin, and equi-join on the bin with the range
+  // residual as a join-condition guard. The non-equi join becomes one
+  // hash/SMJ shuffle on a dense integer key; per-task work is bounded by
+  // events-per-bin × anchors-per-bin (both density-bounded, never
+  // |events| × |anchors|). Exactly-once without DISTINCT: an event lives
+  // in ONE bin and an anchor's exploded copies carry distinct bins, so
+  // each (anchor, event) pair can meet at most once. Output rows are the
+  // true join semantics (every in-window pair), so output volume is
+  // density² per bin — the inherent cost of a keyless neighborhood join,
+  // not of this plan.
+  // ------------------------------------------------------------------
+  val ContextWindowMs = 3600000L
+  val AnchorMinValue = 300.0
+
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    val ev = raw.select(col("event_id"), graft.Shapes.eventTimeMs(raw).as("t"),
+      col("value"))
+    val probe = ev
+      .withColumn("bin", graft.Shapes.ltw(col("t"), ContextWindowMs))
+      .select("event_id", "t", "bin")
+    val anchors = ev.where(col("value") >= AnchorMinValue)
+      .select(col("event_id").as("anchor_id"), col("t").as("a_t"),
+        graft.Shapes.ltw(col("t"), ContextWindowMs).as("b0"))
+      .withColumn("jbin", explode(array(col("b0"), col("b0") + 1)))
+    probe.join(anchors,
+        probe("bin") === anchors("jbin") &&
+          probe("t") >= anchors("a_t") &&
+          probe("t") < anchors("a_t") + ContextWindowMs &&
+          probe("event_id") =!= anchors("anchor_id"))
+      .select(col("anchor_id"), col("event_id"),
+        (col("t") - col("a_t")).as("delta_ms"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_ms(ts) AS t, value FROM events),
+       |anchors AS (
+       |  SELECT event_id AS anchor_id, t AS a_t FROM ev
+       |  WHERE value >= $AnchorMinValue)
+       |SELECT a.anchor_id, e.event_id, e.t - a.a_t AS delta_ms
+       |FROM ev e JOIN anchors a
+       |  ON e.t >= a.a_t AND e.t < a.a_t + $ContextWindowMs
+       |  AND e.event_id <> a.anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_interval_join" -> (intervalJoin _),
     "a_event_deltas" -> (eventDeltas _),
     "a_outliers" -> (outliers _),
     "a_brand_revenue" -> (brandRevenue _),
@@ -1004,6 +1061,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_interval_join" -> intervalJoinSql,
     "a_event_deltas" -> eventDeltasSql,
     "a_outliers" -> outliersSql,
     "a_brand_revenue" -> brandRevenueSql,

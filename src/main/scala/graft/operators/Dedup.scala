@@ -490,6 +490,90 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental-ingest NEAR-dup: the fuzzy twin of d_incremental_dedup.
+  // A new batch (doc_id parity 1, same split convention) lands next to
+  // the corpus (parity 0); a batch doc is rejected when a VERIFIED
+  // near-dup of it already exists in the corpus. This is the day-2 shape
+  // of every production dedup pipeline — the corpus is never re-paired
+  // against itself, only batch × corpus. Shape: the same slim MinHash
+  // band machinery as minhashLshPairs, but as an R-S join (batch bands ⋈
+  // corpus bands) — candidate volume is bands × batch-density, NOT
+  // corpus²; the sides are disjoint by parity so no id-ordering guard is
+  // needed, and the first-colliding-band predicate keeps emission
+  // exactly-once without a DISTINCT shuffle. Candidates verify against
+  // TRUE shingle Jaccard (> JaccNum/JaccDen) exactly like the batch
+  // pipeline, then collapse to one verdict row per rejected batch doc
+  // (n_nd corpus near-dups, nd_min the lowest — the canonical doc the
+  // ingest would point the reject at). Inner joins suffice: a
+  // zero-overlap band collision has inter = 0 and cannot pass the
+  // threshold. At 100 TB the corpus side of the band join is the big
+  // relation but it shuffles ONLY (doc_id, 8 band keys) — signatures and
+  // text stay out of the exchange; with band keys pre-bucketed by an
+  // ingest-side layout the batch lookup is shuffle-free on the corpus.
+  // ------------------------------------------------------------------
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sigCols(spark, sfDir)
+    val slim = s.select(col("doc_id") +: (0 until NumBands).map(b => col(s"bk$b")): _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), col(s"bk$b").as("bkey")))
+    def banded(df: DataFrame) = df.withColumn("bk", explode(array(bandCols: _*)))
+      .withColumn("band", col("bk.band")).withColumn("bkey", col("bk.bkey"))
+      .drop("bk")
+    val batch = banded(slim.where(col("doc_id") % 2 === 1))
+    val corpus = banded(slim.where(col("doc_id") % 2 === 0))
+    val firstBand = (0 until NumBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (i, rest) =>
+        when(col(s"a.bk$i") === col(s"b.bk$i"), lit(i)).otherwise(rest)
+    }
+    val cands = batch.as("a").join(corpus.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .where(col("a.band") === firstBand)
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+    val sh = shingleRel(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands
+      .join(sh.as("x"), col("batch_id") === col("x.doc_id"))
+      .join(sh.as("y"), col("corpus_id") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("batch_id"), col("n").as("na")), "batch_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nb")), "corpus_id")
+      .where(col("inter") * JaccDen > (col("na") + col("nb") - col("inter")) * JaccNum)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_nd"), min("corpus_id").as("nd_min"))
+      .select("batch_id", "n_nd", "nd_min")
+  }
+
+  val incrementalNearDupSql: String = {
+    val bandRows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeyDuck("sig", b)} AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shingleRelSql),
+       |mins AS (SELECT doc_id, ${minhashAggDuck("sh").mkString(", ")} FROM sh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $minhashSigFromColsDuck AS sig FROM mins),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.batch_id, c.corpus_id, count(*) AS i
+       |  FROM cands c
+       |  JOIN sh x ON x.doc_id = c.batch_id
+       |  JOIN sh y ON y.doc_id = c.corpus_id AND y.sh = x.sh
+       |  GROUP BY c.batch_id, c.corpus_id),
+       |verified AS (
+       |  SELECT i.batch_id, i.corpus_id
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.batch_id
+       |  JOIN sizes sb ON sb.doc_id = i.corpus_id
+       |  WHERE i.i * $JaccDen > (sa.n + sb.n - i.i) * $JaccNum)
+       |SELECT batch_id, count(*) AS n_nd, min(corpus_id) AS nd_min
+       |FROM verified GROUP BY batch_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // SimHash fingerprints + Hamming-banded near-dup pairs (d ≤ 3 over 60
   // bits; 15-bit banding guarantees recall by pigeonhole). Computed from
   // the exploded (doc, token-hash) relation via grouped per-bit SUMs —
@@ -923,6 +1007,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (exactDedup _),
     "d_incremental_dedup" -> (incrementalDedup _),
+    "d_incremental_neardup" -> (incrementalNearDup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_dup_shingle_stats" -> (dupShingleStats _),
@@ -944,6 +1029,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
     "d_incremental_dedup" -> incrementalDedupSql,
+    "d_incremental_neardup" -> incrementalNearDupSql,
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_dup_shingle_stats" -> dupShingleStatsSql,

@@ -380,4 +380,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((1L, 20000L)) === (16L, 1L))
     assert(got((2L, 0L)) === (32L, 1L))
   }
+
+  test("interval join: half-open window, self excluded, bin-aligned anchors exact") {
+    val W = Analytics.ContextWindowMs
+    // anchor 10 at t=1000: events at +1 and +W-1 are in (half-open
+    // [t, t+W)), the event at exactly +W is out, t=500 is before, and the
+    // anchor never pairs with itself. anchor 20 sits exactly ON a bin
+    // boundary (t = 2W) — its interval covers ONE bin, exercising the
+    // explode copy whose bin never matches.
+    val dir = writeFixture(events = Seq(
+      event(10, 1000, 1, "a", Analytics.AnchorMinValue),
+      event(11, 1001, 1, "e"), event(12, 1000 + W - 1, 2, "e"),
+      event(13, 1000 + W, 1, "e"), event(14, 500, 1, "e"),
+      event(20, 2 * W, 2, "a", Analytics.AnchorMinValue + 1),
+      event(21, 2 * W + 5, 1, "e")))
+    val got = rows(Analytics.intervalJoin(spark, dir))
+    assert(got === Set(
+      Seq(10L, 11L, 1L), Seq(10L, 12L, W - 1L), Seq(20L, 21L, 5L)))
+  }
+
+  test("interval join equals the naive range join; plan is an equi-join, never BNLJ") {
+    val sfDir = "/root/testdata/sf0.001"
+    val W = Analytics.ContextWindowMs
+    val raw = graft.Tables.events(spark, sfDir)
+    val ev = raw.select(col("event_id"), graft.Shapes.eventTimeMs(raw).as("t"),
+      col("value"))
+    val anchors = ev.where(col("value") >= Analytics.AnchorMinValue)
+      .select(col("event_id").as("anchor_id"), col("t").as("a_t"))
+    val naive = ev.join(anchors,
+        col("t") >= col("a_t") && col("t") < col("a_t") + W &&
+          col("event_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("event_id"), (col("t") - col("a_t")).as("delta_ms"))
+    assert(rows(Analytics.intervalJoin(spark, sfDir)) === rows(naive))
+    // The whole point of the bin composition: the range predicate must
+    // ride an equi-join on the bin key, not a nested-loop scan product.
+    val plan = Analytics.intervalJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"bin bucketing must avoid the nested-loop range join:\n$plan")
+    // And the naive form really is the plan Spark would otherwise pick.
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop"),
+      s"baseline sanity: the keyless range join nested-loops:\n$naivePlan")
+  }
 }

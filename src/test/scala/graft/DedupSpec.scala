@@ -318,4 +318,22 @@ class DedupSpec extends SparkSpec {
         s"band $i has a hot bucket of $maxBucket docs — self-join degrades")
     }
   }
+
+  test("incremental near-dup rejects batch docs with a verified corpus near-dup only") {
+    // Parity split: even = corpus, odd = batch. Batch docs 1 and 5 carry
+    // corpus doc 0's exact text (J = 1 — every band collides, the
+    // candidate is guaranteed), batch doc 3 shares no shingles with any
+    // corpus doc (even a band collision could not pass the true-Jaccard
+    // verify). Batch-batch near-dups (1 ≡ 5) must NOT pair — only
+    // batch × corpus. nd_min elects the lowest corpus id.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = writeFixture(documents = Seq(
+      doc(0, shared),
+      doc(2, "completely unrelated corpus words in this document body"),
+      doc(1, shared),
+      doc(3, "one two three four five six seven eight nine"),
+      doc(5, shared)))
+    val got = rows(Dedup.incrementalNearDup(spark, dir))
+    assert(got === Set(Seq(1L, 1L, 0L), Seq(5L, 1L, 0L)))
+  }
 }
