@@ -344,6 +344,48 @@ object StreamingParity {
         col("x_a"), col("x_b"), col("x_c"))
   }
 
+  /** Event record with identity + value — the a_interval_join stream
+    * shape. */
+  case class IdEvent(event_time: Long, event_id: Long, value: Double)
+
+  /** Streaming twin of a_interval_join. The engine REQUIRES an equality
+    * predicate in stream-stream joins ("Stream-stream join without
+    * equality predicate is not supported") — a bare time-range condition
+    * is not a legal join key — so the batch side's bin-bucketing
+    * composition is not an optimization here but the admission ticket:
+    * the SAME ≤2-bin anchor explode + single-bin probe mapping gives the
+    * equi-key the engine demands, with the range residual and the
+    * exactly-once bin-distinctness argument carried over unchanged. The
+    * event-time range condition on the two watermarked columns then
+    * bounds join state: an anchor's state is dropped once the probe
+    * watermark passes t + W, a probe row's once the anchor watermark
+    * passes its timestamp — one window of stream volume per side, the
+    * streaming analogue of the batch plan's per-bin density bound.
+    * Logically a self-join of one event stream; the spec feeds the same
+    * rows to both inputs.
+    */
+  def intervalJoinStream(anchors: Dataset[IdEvent], probe: Dataset[IdEvent]): DataFrame = {
+    val W = graft.operators.Analytics.ContextWindowMs
+    val a = anchors.toDF()
+      .where(col("value") >= graft.operators.Analytics.AnchorMinValue)
+      .select(timestamp_millis(col("event_time")).as("ts_a"),
+        col("event_id").as("anchor_id"),
+        expr(s"event_time div ${W}L").as("b0"))
+      .withColumn("jbin", explode(array(col("b0"), col("b0") + 1)))
+      .withWatermark("ts_a", "0 milliseconds")
+    val p = probe.toDF()
+      .select(timestamp_millis(col("event_time")).as("ts_p"), col("event_id"),
+        expr(s"event_time div ${W}L").as("bin"))
+      .withWatermark("ts_p", "0 milliseconds")
+    a.join(p,
+        col("bin") === col("jbin") &&
+          col("ts_p") >= col("ts_a") &&
+          col("ts_p") < col("ts_a") + expr(s"INTERVAL $W MILLISECONDS") &&
+          col("event_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("event_id"),
+        (unix_millis(col("ts_p")) - unix_millis(col("ts_a"))).as("delta_ms"))
+  }
+
   /** Streaming twin of q3_sliding_count: the engine's native HOPPING
     * window — window(ts, 2×slot, 1×slot) assigns each event to its two
     * covering windows and keeps ONE windowed count in append mode, state

@@ -148,6 +148,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch bin-bucketed form") {
+    import graft.streaming.StreamingParity.IdEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val W = graft.operators.Analytics.ContextWindowMs
+    val minV = graft.operators.Analytics.AnchorMinValue
+    // Same shape as the batch spec: anchor 10 at t=1000 catches events at
+    // +1 and +W-1, excludes the boundary at +W and itself; anchor 20 sits
+    // on a bin boundary. Rows split across two micro-batches, both inputs
+    // fed the same rows (logical self-join).
+    val rows1 = Seq(
+      IdEvent(1000, 10, minV), IdEvent(1001, 11, 1.0),
+      IdEvent(500, 14, 1.0))
+    val rows2 = Seq(
+      IdEvent(1000 + W - 1, 12, 1.0), IdEvent(1000 + W, 13, 1.0),
+      IdEvent(2 * W, 20, minV + 1), IdEvent(2 * W + 5, 21, 1.0))
+    val a = MemoryStream[IdEvent]
+    val p = MemoryStream[IdEvent]
+    val query = StreamingParity.intervalJoinStream(a.toDS(), p.toDS())
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      a.addData(rows1); p.addData(rows1); query.processAllAvailable()
+      a.addData(rows2); p.addData(rows2); query.processAllAvailable()
+      val got = s.table("ij_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((10L, 11L, 1L), (10L, 12L, W - 1L), (20L, 21L, 5L)))
+      assert(got.size === s.table("ij_stream").count(), "duplicate emissions")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per fingerprint") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
