@@ -819,6 +819,57 @@ object StreamingParity {
       .dropDuplicatesWithinWatermark("simhash")
       .select("doc_id", "simhash")
 
+  /** Streaming arm of d_incremental_neardup: arriving docs are checked
+    * against a STATIC corpus via the same MinHash band machinery, as a
+    * stream-static inner join — stateless per micro-batch (no join state
+    * at all: the static side is the state, owned by storage, refreshed by
+    * whatever maintains the corpus). Each arriving doc fingerprints
+    * in-flight (the per-row MinHashSigs/shingle kernels need no
+    * aggregation — the property that makes them streaming-legal), explodes
+    * its 8 band keys, probes the corpus band index, dedupes candidates by
+    * the first-colliding-band predicate, and verifies TRUE shingle Jaccard
+    * via one array_intersect per candidate — emitting the verified reject
+    * pairs (doc_id, corpus_id) immediately in append mode. The per-doc
+    * verdict aggregation (n_nd, nd_min) is the batch form's job; a
+    * streaming sink gets the raw reject relation. `corpus` is any static
+    * (doc_id, text) relation.
+    */
+  def streamingNearDupIngest(docs: Dataset[StreamDoc], corpus: DataFrame): DataFrame = {
+    import graft.functions.{Parity, TextHashOps}
+    import graft.operators.Dedup
+    def enriched(df: DataFrame): DataFrame = {
+      val base = df
+        .withColumn("sig", TextHashOps.minhashSigs(col("text"), Dedup.ShingleW))
+        .where(size(col("sig")) > 0)
+        .withColumn("sh_arr", TextHashOps.shingleHashes(col("text"), Dedup.ShingleW))
+      (0 until Parity.NumBands).foldLeft(base)((d, b) =>
+        d.withColumn(s"bk$b", expr(Parity.bandKeySpark("sig", b))))
+    }
+    def banded(df: DataFrame): DataFrame = {
+      val bandCols = (0 until Parity.NumBands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey")))
+      df.withColumn("bk", explode(array(bandCols: _*)))
+        .withColumn("band", col("bk.band")).withColumn("bkey", col("bk.bkey"))
+        .drop("bk", "sig", "text")
+    }
+    val stream = banded(enriched(docs.toDF()))
+    val stat = banded(enriched(corpus.select(col("doc_id").as("corpus_id"), col("text"))))
+      .withColumnRenamed("sh_arr", "c_sh_arr")
+    val firstBand = (0 until Parity.NumBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (i, rest) =>
+        when(col(s"a.bk$i") === col(s"b.bk$i"), lit(i)).otherwise(rest)
+    }
+    stream.as("a").join(stat.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .where(col("a.band") === firstBand)
+      .withColumn("inter", size(array_intersect(col("sh_arr"), col("c_sh_arr"))).cast("long"))
+      .withColumn("na", size(col("sh_arr")).cast("long"))
+      .withColumn("nb", size(col("c_sh_arr")).cast("long"))
+      .where(col("inter") * Dedup.JaccDen >
+        (col("na") + col("nb") - col("inter")) * Dedup.JaccNum)
+      .select(col("doc_id"), col("corpus_id"), col("inter"))
+  }
+
   // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:

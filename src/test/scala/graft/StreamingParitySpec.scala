@@ -180,6 +180,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup ingest rejects arrivals against the static corpus only") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    // Static corpus: doc 0 carries the shared text, doc 2 is unrelated.
+    val corpus = Seq((0L, shared),
+      (2L, "completely unrelated corpus words in this document body"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.streamingNearDupIngest(input.toDS(), corpus)
+      .writeStream.format("memory").queryName("nd_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: doc 1 duplicates corpus doc 0 (every band collides, true
+      // J = 1 — rejected), doc 3 shares nothing (survives even if a band
+      // were to collide). Batch 2: doc 5 duplicates corpus doc 0 again —
+      // the STATIC check re-fires per batch; stream-stream dups (1 vs 5)
+      // never pair.
+      input.addData(Seq(StreamDoc(1000, 1, shared),
+        StreamDoc(2000, 3, "one two three four five six seven eight nine")))
+      query.processAllAvailable()
+      input.addData(Seq(StreamDoc(3000, 5, shared)))
+      query.processAllAvailable()
+      val got = s.table("nd_ingest").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 0L), (5L, 0L)))
+      assert(s.table("nd_ingest").count() === 2, "exactly-once per pair")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per fingerprint") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
