@@ -198,7 +198,94 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, $toks AS toks FROM ($docsSql)))""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Feature hashing ("hashing trick"): every document becomes a sparse
+  // FeatureDims-dimensional integer vector — dim = token_hash mod dims,
+  // weight = term frequency — the bridge from the text stack to the
+  // vector/ANN stack when no trained embeddings exist. Emitted SPARSE as
+  // (doc_id, dim, w) rows: the dense form is a trivial pivot, and sparse
+  // is what the similarity join below consumes. One explode + one grouped
+  // count; the hash is the same 31-bit poly fold both engines already
+  // share for shingles, so the two dialects build identical vectors.
+  // ------------------------------------------------------------------
+  val FeatureDims = 64L
+
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"text.featureHash:$sfDir") {
+      // ≤ 64 rows per doc out of the aggregate — tiny relative to the
+      // corpus; two gated consumers (the vector gate + the cosine top-k).
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(expr(hashedArraySpark(tokensSpark("text")))).as("h"))
+        .groupBy(col("doc_id"), pmod(col("h"), lit(FeatureDims)).as("dim"))
+        .agg(count(lit(1)).as("w"))
+    }
+
+  val featureHashSql: String =
+    s"""SELECT doc_id, h % $FeatureDims AS dim, count(*) AS w
+       |FROM (SELECT doc_id, unnest(${hashedArrayDuck(tokensDuck("text"))}) AS h
+       |      FROM ($docsSql))
+       |GROUP BY doc_id, dim""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Text-only cosine top-k over the feature-hash vectors — similarity
+  // search with NO given embeddings, end-to-end from raw text. The dot
+  // products ride an inverted-index equi-join on the dimension key
+  // (sparse · sparse = sum of per-dim weight products), so the "brute
+  // force" is one 64-key shuffle join + a grouped sum, never an
+  // array-carrying cross product; norms join back onto the tiny scored
+  // relation, and WindowGroupLimit keeps per-query k-row heaps. Pairs
+  // sharing NO dimension have dot 0 and are not ranked (standard
+  // inverted-index semantics, identical in both engines). All integer
+  // arithmetic until one final cosine division per candidate. At scale
+  // this is the exactness baseline for text vectors; the LSH/IVF paths
+  // over trained embeddings remain the sublinear route.
+  // ------------------------------------------------------------------
+  def textCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fv = featureHash(spark, sfDir)
+    val norms = fv.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = fv.where(col("doc_id") < Similarity.NumQueries).as("q")
+      .join(fv.as("c"),
+        col("q.dim") === col("c.dim") && col("q.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("q.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"))
+      .agg(sum(col("q.w") * col("c.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("qn")), "query_id")
+      .join(norms.select(col("doc_id").as("neighbor_id"), col("nrm").as("cn")), "neighbor_id")
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= Similarity.TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val textCosineTopKSql: String =
+    s"""WITH fv AS ($featureHashSql),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm FROM fv GROUP BY doc_id),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |    CAST(sum(q.w * c.w) AS BIGINT) AS dot
+       |  FROM fv q JOIN fv c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+       |  WHERE q.doc_id < ${Similarity.NumQueries}
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id, d.dot,
+       |    ${cosineDuck("d.dot", "nq.nrm", "nc.nrm")} AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.doc_id = d.query_id
+       |  JOIN norms nc ON nc.doc_id = d.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_feature_hash" -> (featureHash _),
+    "s_text_cosine_topk" -> (textCosineTopK _),
     "t_token_stats" -> (tokenStats _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id" -> (langId _),
@@ -206,6 +293,8 @@ object TextAnalysis {
     "t_collapse_repeats" -> (collapseRepeats _))
 
   val oracles: Map[String, String] = Map(
+    "t_feature_hash" -> featureHashSql,
+    "s_text_cosine_topk" -> textCosineTopKSql,
     "t_token_stats" -> tokenStatsSql,
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id" -> langIdSql,

@@ -319,6 +319,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("feature-hash cosine ranks an identical-text doc first with cos exactly 1") {
+    import graft.operators.TextAnalysis
+    // Query side is doc_id < 20. Doc 100 repeats doc 0's text exactly —
+    // identical sparse vectors, so its dot equals doc 0's squared norm and
+    // its cosine is exactly 1.0 (same integers through the same /,*,sqrt),
+    // which no non-identical direction can beat. Doc 102 shares no tokens;
+    // any overlap with doc 0's vector is hash-collision noise with a
+    // strictly smaller cosine.
+    val q = "alpha beta gamma delta epsilon"
+    val dir = writeFixture(documents = Seq(
+      doc(0, q), doc(100, q),
+      doc(101, "alpha beta gamma words diverge here"),
+      doc(102, "completely different content with nothing shared at all")))
+    val fv = TextAnalysis.featureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val norm0 = fv.collect { case ((0L, _), w) => w * w }.sum
+    val top = TextAnalysis.textCosineTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(top.head.getAs[Long]("neighbor_id") === 100L)
+    assert(top.head.getAs[Long]("dot") === norm0)
+  }
+
   test("incremental near-dup rejects batch docs with a verified corpus near-dup only") {
     // Parity split: even = corpus, odd = batch. Batch docs 1 and 5 carry
     // corpus doc 0's exact text (J = 1 — every band collides, the
