@@ -214,9 +214,14 @@ object TextAnalysis {
     graft.CacheRegistry.cached(spark, s"text.featureHash:$sfDir") {
       // ≤ 64 rows per doc out of the aggregate — tiny relative to the
       // corpus; two gated consumers (the vector gate + the cosine top-k).
+      // Per-token hashes via the codegen WordShingleHashes kernel at
+      // w = 1 (same 31-bit fold as the interpreted hashedArraySpark HOF,
+      // pinned by KernelParitySpec) — the fingerprint pass stays inside
+      // whole-stage codegen instead of an interpreted lambda chain.
       Tables.documents(spark, sfDir)
         .select(col("doc_id"),
-          explode(expr(hashedArraySpark(tokensSpark("text")))).as("h"))
+          explode(graft.functions.TextHashOps.shingleHashes(
+            col("text"), 1, distinct = false)).as("h"))
         .groupBy(col("doc_id"), pmod(col("h"), lit(FeatureDims)).as("dim"))
         .agg(count(lit(1)).as("w"))
     }

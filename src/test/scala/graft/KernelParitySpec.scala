@@ -43,6 +43,20 @@ class KernelParitySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("shingleHashes(w=1, non-distinct, narrow) == HOF 31-bit token-hash pipeline") {
+    // The featureHash fingerprint path (TextAnalysis.featureHash) and its
+    // DuckDB oracle both assume this identity.
+    val s = spark
+    import s.implicits._
+    val df = randomTexts.toDF("text")
+    val hof = Parity.hashedArraySpark(Parity.tokensSpark("text"))
+    val diff = df.select(
+        TextHashOps.shingleHashes(col("text"), 1, distinct = false).as("kernel"),
+        expr(hof).as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("tokenHashes (w=1, non-distinct, wide) == HOF 62-bit token-hash pipeline") {
     val s = spark
     import s.implicits._
