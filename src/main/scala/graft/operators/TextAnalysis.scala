@@ -288,9 +288,94 @@ object TextAnalysis {
        |  FROM scored)
        |WHERE rnk <= ${Similarity.TopK}""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Dense form of the feature-hash vectors + the SUBLINEAR text ANN
+  // path: FeatureDims deliberately equals the embedding dimension (64),
+  // so the dense text vectors ride the EXACT SAME sign-LSH machinery as
+  // the trained embeddings — Similarity.lshBucketCol on the Spark side,
+  // Parity.lshBucketDuck on the oracle side, no new index code at all.
+  // Candidates are restricted to the query's bucket (1/256 of the corpus
+  // in expectation) and verified with the exact integer cosine — the
+  // sublinear route whose exactness baseline is s_text_cosine_topk.
+  // Dense assembly is one grouped map + a 64-slot fill per doc (exact
+  // integers; collect_list order cannot matter because map keys are
+  // unique dims).
+  // ------------------------------------------------------------------
+  def featureVectors(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"text.featureVectors:$sfDir") {
+      require(FeatureDims == EmbeddingDim.toLong,
+        "text vectors must match the LSH plane dimension")
+      featureHash(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(FeatureDims - 1)),
+            d => coalesce(element_at(col("m"), d), lit(0L))).as("v"))
+        .withColumn("norm", graft.functions.VectorOps.longDot(col("v"), col("v")))
+    }
+
+  private val featureVectorsSql: String =
+    s"""SELECT doc_id, v, ${dotDuck("v", "v")} AS norm FROM (
+       |  SELECT doc_id, list(CAST(coalesce(w, 0) AS BIGINT) ORDER BY dim) AS v
+       |  FROM (SELECT d.doc_id, r.range AS dim
+       |        FROM (SELECT DISTINCT doc_id FROM ($featureHashSql) ) d
+       |        CROSS JOIN range($FeatureDims) r)
+       |  LEFT JOIN ($featureHashSql) fv USING (doc_id, dim)
+       |  GROUP BY doc_id)""".stripMargin
+
+  def textLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = featureVectors(spark, sfDir)
+      .withColumn("bucket", Similarity.lshBucketCol(col("v")))
+    // MULTIPROBE from the start: tf vectors are nonnegative and share
+    // common-token dimensions, so they cluster tighter in plane space
+    // than centered embeddings — single-bucket probing measured only
+    // 0.32 recall vs the exact baseline at sf0.01; probing the 8
+    // single-bit-flip neighbors (9/256 of the corpus) lifts it to 0.69
+    // at unchanged plan shape (BASELINE.md round-7 note).
+    val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
+    val queries = corpus.where(col("doc_id") < Similarity.NumQueries)
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    val scored = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.pbucket") === col("c.bucket") && col("q.doc_id") =!= col("c.doc_id"))
+      .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"),
+        graft.functions.VectorOps.longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= Similarity.TopK)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  val textLshTopKSql: String = {
+    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString("[", ", ", "]")
+    s"""WITH dense AS ($featureVectorsSql),
+       |corpus AS (
+       |  SELECT doc_id, v, norm, ${lshBucketDuck("v")} AS bucket FROM dense),
+       |probes AS (
+       |  SELECT doc_id, v, norm,
+       |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
+       |  FROM (SELECT *, unnest($offsets) AS probe FROM corpus
+       |        WHERE doc_id < ${Similarity.NumQueries})),
+       |scored AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} AS cos
+       |  FROM probes q JOIN corpus c ON q.pbucket = c.bucket AND q.doc_id <> c.doc_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_feature_hash" -> (featureHash _),
     "s_text_cosine_topk" -> (textCosineTopK _),
+    "s_text_lsh_topk" -> (textLshTopK _),
     "t_token_stats" -> (tokenStats _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id" -> (langId _),
@@ -300,6 +385,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t_feature_hash" -> featureHashSql,
     "s_text_cosine_topk" -> textCosineTopKSql,
+    "s_text_lsh_topk" -> textLshTopKSql,
     "t_token_stats" -> tokenStatsSql,
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id" -> langIdSql,
