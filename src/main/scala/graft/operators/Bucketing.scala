@@ -61,4 +61,60 @@ object Bucketing {
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey").agg(count(lit(1)).as("n_lines"))
+
+  // ------------------------------------------------------------------
+  // The incremental-ingest band index as a bucketed table — the storage
+  // answer behind d_incremental_neardup's 100 TB claim: the CORPUS side
+  // of the band join is the big relation, and maintaining its
+  // (corpus_id, bkey) index bucketed by the band key means every day-2
+  // batch probe reads corpus buckets in place — the only exchanges in
+  // the probe plan are the (small, ephemeral) batch side being routed to
+  // the corpus's bucketing, plus the final distinct.
+  // ------------------------------------------------------------------
+  import graft.functions.Parity
+
+  /** Band rows with the band id FOLDED into one key (bkey·NumBands + band,
+    * < 2³⁴ — same information as the (band, bkey) pair): the join key then
+    * equals the bucket key exactly, which is what lets the bucketed scan's
+    * partitioning satisfy the join outright — co-partitioning on a strict
+    * SUBSET of the join keys is not accepted by default
+    * (spark.sql.requireAllClusterKeysForCoPartition), so a composite
+    * (band, bkey) join would re-shuffle both sides.
+    */
+  private def bandRows(sigs: DataFrame, idName: String): DataFrame =
+    (0 until Parity.NumBands).map(b =>
+      sigs.select(col("doc_id").as(idName),
+        (expr(Parity.bandKeySpark("sig", b)) * Parity.NumBands + b).as("bkey")))
+      .reduce(_ union _)
+
+  /** Writes the parity-0 corpus band index bucketed+sorted by bkey. */
+  def writeBandIndex(spark: SparkSession, sfDir: String, location: String,
+      table: String): Unit =
+    bandRows(Dedup.minhashSignatures(spark, sfDir)
+        .where(col("doc_id") % 2 === 0), "corpus_id")
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "bkey").sortBy("bkey")
+      .option("path", s"$location/$table")
+      .saveAsTable(table)
+
+  /** Distinct batch→corpus candidate pairs via the bucketed index; the
+    * `merge` pin keeps the layout effect visible at test SF (AQE would
+    * broadcast the tiny batch and hide it).
+    */
+  def bucketedBandProbe(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    bandRows(Dedup.minhashSignatures(spark, sfDir)
+        .where(col("doc_id") % 2 === 1), "batch_id").hint("merge")
+      .join(spark.table(table), Seq("bkey"))
+      .select("batch_id", "corpus_id").distinct()
+
+  /** Same candidates over the raw relations — the baseline that shuffles
+    * the corpus side too.
+    */
+  def unbucketedBandProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(spark, sfDir)
+    bandRows(sigs.where(col("doc_id") % 2 === 1), "batch_id").hint("merge")
+      .join(bandRows(sigs.where(col("doc_id") % 2 === 0), "corpus_id"),
+        Seq("bkey"))
+      .select("batch_id", "corpus_id").distinct()
+  }
 }

@@ -45,4 +45,29 @@ class BucketingSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS $o")
     }
   }
+
+  test("bucketed band index: the day-2 probe never shuffles the corpus side") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val loc = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val t = "graft_band_index"
+    try {
+      Bucketing.writeBandIndex(s, sfDir, loc, t)
+      val bucketed = Bucketing.bucketedBandProbe(s, sfDir, t)
+      val plain = Bucketing.unbucketedBandProbe(s, sfDir)
+      // Contract 1: identical candidate pairs, and the fixture actually
+      // produces some (the corpus has cross-parity near-dups).
+      assert(rows(bucketed) === rows(plain))
+      assert(rows(bucketed).nonEmpty)
+      // Contract 2: probing the bucketed index costs exactly 2 exchanges
+      // (routing the ephemeral batch side to the corpus's bucketing + the
+      // final distinct); the raw-relation baseline also shuffles the
+      // corpus side (3). The corpus index itself is read in place.
+      bucketed.collect(); plain.collect()
+      assert(shuffleCount(bucketed) === 2,
+        s"bucketed probe must not shuffle the corpus index:\n${bucketed.queryExecution.executedPlan}")
+      assert(shuffleCount(plain) === 3,
+        s"baseline sanity: the raw probe shuffles the corpus side too:\n${plain.queryExecution.executedPlan}")
+    } finally s.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
