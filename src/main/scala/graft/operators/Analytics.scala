@@ -1033,7 +1033,30 @@ object Analytics {
        |  ON e.t >= a.a_t AND e.t < a.a_t + $ContextWindowMs
        |  AND e.event_id <> a.anchor_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Daily active users — the gated batch anchor for the streaming
+  // dailyActiveStream twin (StreamingParity): per UTC day, distinct
+  // users + event volume. Exact COUNT(DISTINCT) is a two-phase
+  // partial/final aggregate over (day, user_id) — one shuffle of 16-byte
+  // pairs; at 100 TB cardinalities where even that distinct state hurts,
+  // approx_count_distinct (HLL++) is the documented swap with the same
+  // plan shape (the q3_skew_stats_approx pattern).
+  // ------------------------------------------------------------------
+  def dailyActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    raw.select(graft.Shapes.ltw(graft.Shapes.eventTimeMs(raw), 86400000L).as("day"),
+        col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau"), count(lit(1)).as("n_events"))
+  }
+
+  val dailyActiveSql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day,
+      |  count(DISTINCT user_id) AS dau, count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_daily_active" -> (dailyActive _),
     "a_interval_join" -> (intervalJoin _),
     "a_event_deltas" -> (eventDeltas _),
     "a_outliers" -> (outliers _),
@@ -1061,6 +1084,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_daily_active" -> dailyActiveSql,
     "a_interval_join" -> intervalJoinSql,
     "a_event_deltas" -> eventDeltasSql,
     "a_outliers" -> outliersSql,
