@@ -366,16 +366,26 @@ object StreamingParity {
     */
   def intervalJoinStream(anchors: Dataset[IdEvent], probe: Dataset[IdEvent]): DataFrame = {
     val W = graft.operators.Analytics.ContextWindowMs
+    // The bin columns are wrapped in coalesce(·, -1): they can never BE
+    // null (event_time is a primitive Long), but the optimizer's inferred
+    // nullability for the exploded jbin differed between a fresh start
+    // and a checkpoint restart (false vs true), and the stream-stream
+    // join STORES row schemas in the state store —
+    // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE on restart. coalesce with a
+    // non-null literal pins nullable=false identically in every
+    // incarnation, making join state restart-stable.
     val a = anchors.toDF()
       .where(col("value") >= graft.operators.Analytics.AnchorMinValue)
       .select(timestamp_millis(col("event_time")).as("ts_a"),
         col("event_id").as("anchor_id"),
         expr(s"event_time div ${W}L").as("b0"))
-      .withColumn("jbin", explode(array(col("b0"), col("b0") + 1)))
+      .withColumn("jbin0", explode(array(col("b0"), col("b0") + 1)))
+      .withColumn("jbin", coalesce(col("jbin0"), lit(-1L)))
+      .drop("jbin0")
       .withWatermark("ts_a", "0 milliseconds")
     val p = probe.toDF()
       .select(timestamp_millis(col("event_time")).as("ts_p"), col("event_id"),
-        expr(s"event_time div ${W}L").as("bin"))
+        coalesce(expr(s"event_time div ${W}L"), lit(-1L)).as("bin"))
       .withWatermark("ts_p", "0 milliseconds")
     a.join(p,
         col("bin") === col("jbin") &&

@@ -466,6 +466,44 @@ class StreamingParitySpec extends SparkSpec {
     assert(stages === Map(1L -> 2L))
   }
 
+  test("stream-stream interval join state survives a checkpointed restart") {
+    import graft.streaming.StreamingParity.IdEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val minV = graft.operators.Analytics.AnchorMinValue
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ij-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ij-out").toString
+    val a = MemoryStream[IdEvent]
+    val p = MemoryStream[IdEvent]
+    def start() = StreamingParity.intervalJoinStream(a.toDS(), p.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // Incarnation 1: the anchor arrives; the only probe row precedes it
+    // (no pair yet). The anchor's join state lands in the state store.
+    val q1 = start()
+    try {
+      a.addData(Seq(IdEvent(10000, 1, minV)))
+      p.addData(Seq(IdEvent(5000, 99, 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Incarnation 2 (fresh query, same checkpoint): an in-window probe
+    // event must pair with the RESTORED anchor state — without join-state
+    // recovery there is nothing to match and the pair is lost.
+    val q2 = start()
+    val got = try {
+      p.addData(Seq(IdEvent(10005, 2, 1.0)))
+      q2.processAllAvailable()
+      s.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q2.stop()
+    assert(got === Set((1L, 2L, 5L)))
+  }
+
   test("two-source q2: a laggard source holds back emission (trigger = min over sources, C3)") {
     val s = spark
     import s.implicits._
