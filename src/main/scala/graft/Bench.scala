@@ -36,13 +36,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1) // fixed name order: per-query numbers comparable across rounds
-    def emit(results: Map[String, Double]): Unit = {
+    // Every emitted line carries an "errors" array naming queries that
+    // THREW during that run (final line: union across runs). A thrown
+    // query must never masquerade as a green timing — tools/bench_guard.py
+    // fails any record whose errors list is non-empty, so a broken query
+    // turns the official record red instead of silently recording the
+    // wall-time of the failed attempt.
+    def emit(results: Map[String, Double], errors: Set[String]): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     }
     val perRun = (1 to runs).map { _ =>
+      var errors = Set.empty[String]
       val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count() forces full evaluation of every operator in the
@@ -50,15 +58,17 @@ object Bench {
         // projections into a metadata-only row count and under-report the
         // map-only queries.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => errors += name }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-      emit(results)
-      results
+      emit(results, errors)
+      (results, errors)
     }
     // Final line (the driver's official record): per-query MIN across runs.
     if (runs > 1)
-      emit(perRun.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(math.min))
+      emit(
+        perRun.flatMap(_._1.toSeq).groupMapReduce(_._1)(_._2)(math.min),
+        perRun.flatMap(_._2).toSet)
     spark.stop()
   }
 }

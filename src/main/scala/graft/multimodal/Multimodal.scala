@@ -11,22 +11,27 @@ import org.apache.spark.sql.functions._
   * Pandas UDF: one JVM call per partition, row batches streamed through
   * an iterator, no per-row SerDe).
   *
-  * The decode boundary dispatches: payloads that are complete, valid
-  * binary Netpbm files (PPM `P6` / PGM `P5` — a public format simple
-  * enough to parse in pure JVM code, no codec library needed) go through
-  * [[PpmCodec]], a REAL decoder that reads the header geometry and the
-  * raster bytes; everything else falls back to [[FakeCodec]], a
-  * clearly-marked deterministic STUB standing in for e.g. a JNI/ImageIO
-  * decode of the formats this container has no libraries for. The
-  * surrounding plumbing — binary schema, typed Encoders, the
-  * mapPartitions batch shape, partitioning behavior, metadata pushdown —
-  * is identical for both paths.
+  * The decode boundary dispatches on the SAME predicate the oracle
+  * partitions on (`media_id % PlantedEvery == 0` — planted rows carry a
+  * real image file, everything else is opaque text bytes): planted
+  * payloads go through a REAL decoder — [[PpmCodec]], a pure-JVM parser
+  * for binary Netpbm (PPM `P6` / PGM `P5`), or [[ImageIoCodec]], the
+  * in-JDK `javax.imageio` reader for PNG and BMP — while non-planted
+  * rows take [[FakeCodec]], a clearly-marked deterministic STUB standing
+  * in for decoders of the formats this container has no libraries for
+  * (video/audio). The surrounding plumbing — binary schema, typed
+  * Encoders, the mapPartitions batch shape, partitioning behavior,
+  * metadata pushdown — is identical for all paths.
   *
   * The media relation is derived deterministically from `documents`
-  * (bytes := utf8(text); every 21st doc carries a planted, valid P6
-  * whose geometry derives from doc_id), so the DuckDB oracle replicates
-  * BOTH branches exactly and the gate exercises the real parser, not
-  * just the stub.
+  * (bytes := utf8(text); every 21st doc carries a planted, VALID image
+  * file — cycling PPM / PNG / BMP by doc_id — whose geometry and pixel
+  * ramp derive from doc_id), so the DuckDB oracle replicates every
+  * branch exactly and the gate exercises three real parsers, not just
+  * the stub. The planted PNG is written with stored (uncompressed)
+  * deflate blocks so its byte LENGTH is a closed-form function of the
+  * geometry the oracle can compute; the decode side still goes through
+  * the real zlib/PNG machinery in `javax.imageio`.
   */
 object Multimodal {
 
@@ -46,20 +51,118 @@ object Multimodal {
   val Kinds: Seq[String] = Seq("image", "audio", "video")
 
   /** Planted-payload geometry: every 21st doc (21 = 3×7, so its cycled
-    * kind is already "image") carries a small, VALID binary PPM instead
+    * kind is already "image") carries a small, VALID image file instead
     * of its text bytes — giving the gated decode a real file to parse.
-    * Width/height derive from the id; pixel bytes are the deterministic
-    * ramp (id·7 + i·31) mod 256.
+    * The FORMAT cycles by (id / 21) % 3: 0 → binary PPM, 1 → PNG,
+    * 2 → BMP. Width/height derive from the id; pixel bytes are a
+    * deterministic per-format ramp, so the oracle can recompute the
+    * raster sum the decoder must read back.
     */
   val PlantedEvery = 21L
 
-  private[multimodal] def syntheticPpm(id: Long): Array[Byte] = {
+  /** PPM ramp: (id·7 + i·31) mod 256 over the 3wh raster bytes. */
+  private[graft] def syntheticPpm(id: Long): Array[Byte] = {
     val w = (4 + id % 13).toInt
     val h = (3 + id % 11).toInt
     val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val px = Array.tabulate(3 * w * h)(i => ((id * 7 + i.toLong * 31) % 256).toByte)
     header ++ px
   }
+
+  /** Minimal valid PNG (spec: www.w3.org/TR/png): 8-byte signature,
+    * IHDR (8-bit RGB, no interlace), one IDAT whose zlib stream uses a
+    * single STORED deflate block (raw size here ≤ 460 B ≪ the 64 KiB
+    * stored-block cap), IEND. Stored blocks make the file length a
+    * closed form the oracle can compute — 68 + h·(1+3w) bytes — while
+    * decode still exercises the full `javax.imageio` PNG/zlib path.
+    * Pixel ramp: (id·13 + i·17) mod 256 over the 3wh RGB samples in
+    * row-major order.
+    */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val w = (5 + id % 11).toInt
+    val h = (4 + id % 7).toInt
+    val raster = Array.tabulate(3 * w * h)(i => ((id * 13 + i.toLong * 17) % 256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    // Raw scanlines: one filter byte (0 = None) + 3w pixel bytes per row.
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(raster, r * 3 * w, raw, r * stride + 1, 3 * w)
+      r += 1
+    }
+    val idat = new java.io.ByteArrayOutputStream()
+    idat.write(0x78); idat.write(0x01)            // zlib header (0x7801 % 31 == 0)
+    idat.write(0x01)                              // BFINAL=1, BTYPE=00 (stored)
+    idat.write(raw.length & 0xff); idat.write((raw.length >>> 8) & 0xff)
+    idat.write(~raw.length & 0xff); idat.write((~raw.length >>> 8) & 0xff)
+    idat.write(raw)
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    idat.write(be32(adler.getValue))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal valid 24-bit BMP (BITMAPINFOHEADER, bottom-up rows, BGR
+    * sample order, rows padded to 4 bytes): length = 54 + h·rowSize,
+    * rowSize = ⌊(3w+3)/4⌋·4 — closed form for the oracle. Pixel ramp:
+    * (id·11 + i·29) mod 256 over the 3wh RGB samples in row-major
+    * order; the bottom-up/BGR re-layout doesn't change the additive
+    * checksum the decoder computes (a sum over all channel samples).
+    */
+  private[graft] def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (6 + id % 9).toInt
+    val h = (3 + id % 5).toInt
+    val raster = Array.tabulate(3 * w * h)(i => ((id * 11 + i.toLong * 29) % 256).toByte)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val fileSize = 54 + h * rowSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)                 // pixel data offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(h * rowSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        buf.put(raster(base + 2)).put(raster(base + 1)).put(raster(base))
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  private[graft] def plantedPayload(id: Long): Array[Byte] =
+    ((id / PlantedEvery) % 3) match {
+      case 0 => syntheticPpm(id)
+      case 1 => syntheticPng(id)
+      case _ => syntheticBmp(id)
+    }
 
   /** documents → media relation: payload = utf8(text), kind cycles by id;
     * planted rows (see above) swap in a real P6 payload. The projection
@@ -76,7 +179,7 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaFile]
       .map(m => if (m.media_id % PlantedEvery == 0L)
-        m.copy(payload = syntheticPpm(m.media_id)) else m)
+        m.copy(payload = plantedPayload(m.media_id)) else m)
   }
 
   /** REAL decoder for binary Netpbm images — PPM (`P6`, RGB) and PGM
@@ -155,11 +258,59 @@ object Multimodal {
     }
   }
 
-  /** The dispatching decode: real Netpbm parse when the payload IS a
-    * valid P5/P6 file, deterministic stub otherwise.
+  /** REAL decoder for PNG and BMP via the in-JDK `javax.imageio`
+    * standard plugins (public JDK API; PNG/BMP are among the formats
+    * the JDK ships readers for). Magic-sniffs the container (PNG
+    * 8-byte signature / `BM`), then hands the full payload to
+    * `ImageIO.read` — the genuine zlib-inflate + filter + color-model
+    * path, not a re-implementation. The checksum is the additive sum
+    * of all RGB channel samples (for our planted files: exactly the
+    * generator's ramp sum, since every raster byte is one channel
+    * sample and addition is order-independent).
+    */
+  object ImageIoCodec {
+    def tryDecode(m: MediaFile): Option[DecodedMedia] = {
+      val b = m.payload
+      val isPng = b.length > 8 && (b(0) & 0xff) == 0x89 &&
+        b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+      val isBmp = b.length > 2 && b(0) == 'B' && b(1) == 'M'
+      if (!isPng && !isBmp) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return None
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedMedia(m.media_id, m.kind, b.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong, 1L, sum))
+    }
+  }
+
+  /** The dispatching decode. The dispatch predicate is the SAME one the
+    * oracle partitions on — `media_id % PlantedEvery` — so a non-planted
+    * document whose text happens to look like an image file can never
+    * take a different branch than the oracle's replay (the r7 advice:
+    * dispatch keyed on payload content while the oracle keys on doc_id
+    * was a latent mismatch). Planted rows then pick the real parser by
+    * container magic; a planted payload that fails its parse falls to
+    * the stub, which the oracle would flag as a hash mismatch — decode
+    * bugs surface in the gate instead of silently passing.
     */
   def decode(m: MediaFile): DecodedMedia =
-    PpmCodec.tryDecode(m).getOrElse(FakeCodec.decode(m))
+    if (m.media_id % PlantedEvery == 0L)
+      PpmCodec.tryDecode(m)
+        .orElse(ImageIoCodec.tryDecode(m))
+        .getOrElse(FakeCodec.decode(m))
+    else FakeCodec.decode(m)
 
   /** The batched decode: one iterator pass per partition (Arrow-batch
     * shape), constant memory, no driver involvement. Partitioning is
@@ -185,13 +336,14 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, sfDir: String): DataFrame =
     decodeMedia(mediaFromDocuments(spark, sfDir)).toDF()
 
-  /** Oracle: both decode branches replayed in SQL. Stub rows: texts are
+  /** Oracle: every decode branch replayed in SQL. Stub rows: texts are
     * ASCII so octet length == n_chars and the byte loop == the char poly
-    * hash. Planted P6 rows: the oracle recomputes the planted file's
-    * geometry from doc_id (header "P6\\n{w} {h}\\n255\\n" = 9+len(w)+len(h)
-    * bytes) and the raster byte sum via list_sum over the same
-    * (id·7 + i·31) mod 256 ramp — i.e. it asserts the parser read back
-    * exactly what the generator wrote.
+    * hash. Planted rows split by format ((doc_id/21) % 3): for each, the
+    * oracle recomputes the planted file's geometry and byte LENGTH from
+    * doc_id (PPM: 9+len(w)+len(h) header + 3wh raster; PNG with stored
+    * deflate blocks: 68 + h·(1+3w); BMP: 54 + h·(⌊(3w+3)/4⌋·4)) and the
+    * raster sum via list_sum over that format's ramp — i.e. it asserts
+    * each real parser read back exactly what the generator wrote.
     */
   val decodeQuerySql: String =
     s"""SELECT media_id, kind, n_bytes, width, height, n_frames, checksum FROM (
@@ -206,6 +358,29 @@ object Multimodal {
        |      range(0, CAST(3 * (4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT)),
        |      i -> (doc_id * 7 + i * 31) % 256)) AS BIGINT) AS checksum
        |  FROM documents WHERE doc_id % $PlantedEvery = 0
+       |    AND (doc_id // $PlantedEvery) % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id AS media_id, 'image' AS kind,
+       |    CAST(68 + (4 + doc_id % 7) * (1 + 3 * (5 + doc_id % 11)) AS BIGINT) AS n_bytes,
+       |    CAST(5 + doc_id % 11 AS BIGINT) AS width,
+       |    CAST(4 + doc_id % 7 AS BIGINT) AS height,
+       |    CAST(1 AS BIGINT) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(0, CAST(3 * (5 + doc_id % 11) * (4 + doc_id % 7) AS BIGINT)),
+       |      i -> (doc_id * 13 + i * 17) % 256)) AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % $PlantedEvery = 0
+       |    AND (doc_id // $PlantedEvery) % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id AS media_id, 'image' AS kind,
+       |    CAST(54 + (3 + doc_id % 5) * ((3 * (6 + doc_id % 9) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       |    CAST(6 + doc_id % 9 AS BIGINT) AS width,
+       |    CAST(3 + doc_id % 5 AS BIGINT) AS height,
+       |    CAST(1 AS BIGINT) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(0, CAST(3 * (6 + doc_id % 9) * (3 + doc_id % 5) AS BIGINT)),
+       |      i -> (doc_id * 11 + i * 29) % 256)) AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % $PlantedEvery = 0
+       |    AND (doc_id // $PlantedEvery) % 3 = 2
        |  UNION ALL
        |  SELECT media_id, kind, n_bytes, width, height,
        |    CASE WHEN kind = 'video' THEN 1 + n_bytes % 240

@@ -422,22 +422,25 @@ object Analytics {
   // state is the first casualty at scale. approx_percentile is the
   // Greenwald-Khanna sketch — bounded state at ANY cardinality, with
   // `accuracy` the error/state knob (1e4 default ≈ 1e-4 relative rank
-  // error). Gated in its EXACT regime: with accuracy (1e6) above the
-  // fixture group sizes the summary never compresses (any merge would
-  // need a rank-error budget 2·n/accuracy < 1, impossible for integer
-  // ranks), so query() deterministically returns the value at rank
+  // error). Gated in its EXACT regime: with accuracy (1e7) at least
+  // 2x above the LARGEST group size at every fixture scale the gate
+  // runs — including the sf1 headroom fixture, whose biggest
+  // l_returnflag group is ~3M rows, which is why the old 1e6 pin was
+  // not safe there — the summary never compresses (a merge is legal
+  // only when the rank-error budget 2·n/accuracy >= 1, i.e. accuracy
+  // <= 2n), so query() deterministically returns the value at rank
   // ceil(p·n) regardless of partial-merge order — and the oracle
   // computes that exact rank explicitly (row_number + ceil(p·n), NOT
   // quantile_disc, whose index convention is floor(p·(n-1))+1 and
   // diverges e.g. at p=0.75, n=6). At real scale you lower accuracy and
   // the column becomes an estimate with rsd-bounded rank error:
   // SPARK_GRAFT_APPROX_QUANTILE_ACC sets the production accuracy (the
-  // BASELINE.md sf1 section records the cost of the 10⁶ exactness pin —
+  // BASELINE.md sf1 section records the cost of the 10⁷ exactness pin —
   // at sf1 the uncompressed sketch costs more than the exact sort; at
   // 10⁴ the sketch is bounded state regardless of data volume).
   // ------------------------------------------------------------------
   val ApproxQuantileAccuracy: Long =
-    sys.env.get("SPARK_GRAFT_APPROX_QUANTILE_ACC").map(_.toLong).getOrElse(1000000L)
+    sys.env.get("SPARK_GRAFT_APPROX_QUANTILE_ACC").map(_.toLong).getOrElse(10000000L)
 
   def quantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -618,12 +618,22 @@ object StreamingParity {
 
     @transient private var times: streaming.ValueState[FunnelTimes] = _
     @transient private var pending: streaming.ListState[UserEvent] = _
+    // The single currently-armed timer per key. Without it, every input
+    // batch registered a NEW timer and never deleted the previous one,
+    // so stale timers accumulated and each later expiry re-ran the fold
+    // against an empty/unchanged buffer, emitting duplicate
+    // FunnelProgress rows and doing O(buffer) ListState rewrites per
+    // stale fire. Invariant now: at most one live timer per key, at the
+    // max buffered event time; re-arming deletes the old one first.
+    @transient private var armed: streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       times = getHandle.getValueState[FunnelTimes](
         "funnelTimes", Encoders.product[FunnelTimes], TTLConfig.NONE)
       pending = getHandle.getListState[UserEvent](
         "pending", Encoders.product[UserEvent], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armedTimer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
@@ -634,7 +644,15 @@ object StreamingParity {
       if (incoming.nonEmpty) {
         pending.appendList(incoming)
         // Fire once the watermark passes everything buffered so far.
-        getHandle.registerTimer(pending.get().map(_.event_time).max)
+        // armed always equals the max buffered event time, so the new
+        // target needs no ListState scan.
+        val target = incoming.map(_.event_time).max
+        if (!armed.exists()) {
+          getHandle.registerTimer(target); armed.update(target)
+        } else if (armed.get() < target) {
+          getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(target); armed.update(target)
+        }
       }
       Iterator.empty
     }
@@ -645,15 +663,22 @@ object StreamingParity {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelProgress] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       val (ready, later) = pending.get().toSeq.partition(_.event_time <= wm)
-      val (s, stage) = foldFunnel(
-        Option(times.get()).getOrElse(FunnelTimes(None, None, None)), ready.iterator)
-      times.update(s)
       pending.clear()
       if (later.nonEmpty) {
         pending.appendList(later.toArray)
-        getHandle.registerTimer(later.map(_.event_time).max)
+        val target = later.map(_.event_time).max
+        getHandle.registerTimer(target)
+        armed.update(target)
+      } else armed.clear()
+      // Nothing closed by this watermark => stage unchanged: emit
+      // nothing rather than a duplicate unchanged-progress row.
+      if (ready.isEmpty) Iterator.empty
+      else {
+        val (s, stage) = foldFunnel(
+          Option(times.get()).getOrElse(FunnelTimes(None, None, None)), ready.iterator)
+        times.update(s)
+        Iterator.single(FunnelProgress(key, stage))
       }
-      Iterator.single(FunnelProgress(key, stage))
     }
   }
 

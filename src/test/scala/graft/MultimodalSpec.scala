@@ -29,17 +29,68 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("planted P6 payloads are really parsed: geometry and raster sum") {
-    // syntheticPpm(21): w = 4 + 21%13 = 12, h = 3 + 21%11 = 13.
+    // 63/21 = 3, 3%3 = 0 → PPM. syntheticPpm(63): w = 4+63%13 = 15,
+    // h = 3+63%11 = 11.
     val dir = writeFixture(documents = Seq(
-      doc(21, "this text is replaced by a planted ppm")))
+      doc(63, "this text is replaced by a planted ppm")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "image")
+    assert(got.getAs[Long]("width") === 15L)
+    assert(got.getAs[Long]("height") === 11L)
+    assert(got.getAs[Long]("n_frames") === 1L)
+    // Header "P6\n15 11\n255\n" = 13 bytes.
+    assert(got.getAs[Long]("n_bytes") === (13 + 3 * 15 * 11).toLong)
+    val wantSum = (0 until 3 * 15 * 11).map(i => (63L * 7 + i.toLong * 31) % 256).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("planted PNG payloads go through javax.imageio: geometry, length, raster sum") {
+    // 21/21 = 1 → PNG. syntheticPng(21): w = 5+21%11 = 15, h = 4+21%7 = 4.
+    val dir = writeFixture(documents = Seq(
+      doc(21, "this text is replaced by a planted png")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "image")
+    assert(got.getAs[Long]("width") === 15L)
+    assert(got.getAs[Long]("height") === 4L)
+    // Stored-deflate closed form: 68 + h·(1+3w).
+    assert(got.getAs[Long]("n_bytes") === (68 + 4 * (1 + 3 * 15)).toLong)
+    val wantSum = (0 until 3 * 15 * 4).map(i => (21L * 13 + i.toLong * 17) % 256).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("planted BMP payloads go through javax.imageio: geometry, length, raster sum") {
+    // 42/21 = 2 → BMP. syntheticBmp(42): w = 6+42%9 = 12, h = 3+42%5 = 5;
+    // rowSize = (36+3)/4*4 = 36 (3w already 4-aligned).
+    val dir = writeFixture(documents = Seq(
+      doc(42, "this text is replaced by a planted bmp")))
     val got = Multimodal.decodeQuery(spark, dir).collect().head
     assert(got.getAs[String]("kind") === "image")
     assert(got.getAs[Long]("width") === 12L)
-    assert(got.getAs[Long]("height") === 13L)
-    assert(got.getAs[Long]("n_frames") === 1L)
-    assert(got.getAs[Long]("n_bytes") === (13 + 3 * 12 * 13).toLong)
-    val wantSum = (0 until 3 * 12 * 13).map(i => (21L * 7 + i.toLong * 31) % 256).sum
+    assert(got.getAs[Long]("height") === 5L)
+    assert(got.getAs[Long]("n_bytes") === (54 + 5 * 36).toLong)
+    val wantSum = (0 until 3 * 12 * 5).map(i => (42L * 11 + i.toLong * 29) % 256).sum
     assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("ImageIoCodec: PNG/BMP roundtrip directly; junk refuses") {
+    import Multimodal.{ImageIoCodec, syntheticBmp, syntheticPng}
+    val png = ImageIoCodec.tryDecode(MediaFile(21, "image", syntheticPng(21))).get
+    assert((png.width, png.height) === (15L, 4L))
+    val bmp = ImageIoCodec.tryDecode(MediaFile(42, "image", syntheticBmp(42))).get
+    assert((bmp.width, bmp.height) === (12L, 5L))
+    // Truncated PNG: magic matches but ImageIO can't produce an image.
+    val broken = syntheticPng(21).take(20)
+    assert(ImageIoCodec.tryDecode(MediaFile(1, "image", broken)).isEmpty)
+    assert(ImageIoCodec.tryDecode(MediaFile(2, "image", "plain prose".getBytes)).isEmpty)
+  }
+
+  test("dispatch keys on the planted predicate, not payload content") {
+    // A NON-planted media_id whose payload IS a complete valid P6 must
+    // still take the stub branch — mirroring the oracle, which
+    // partitions on doc_id, never on content.
+    val p6 = "P6\n2 2\n255\n".getBytes ++ Array.tabulate(12)(_.toByte)
+    val m = MediaFile(5, "image", p6) // 5 % 21 != 0
+    assert(Multimodal.decode(m) === FakeCodec.decode(m))
   }
 
   test("PPM parser: P6/P5 roundtrip; malformed payloads fall back to the stub") {

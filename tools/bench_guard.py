@@ -9,7 +9,9 @@ Each argument is either a raw graft.Bench output line
 BENCH_r*.json wrapper whose "tail" embeds that line.
 
 Fails (exit 1) when any query shared by both rounds regressed more than
-2x, or the shared-query total regressed more than 1.25x. Queries only in
+2x, the shared-query total regressed more than 1.25x, or the NEW record
+carries a non-empty "errors" list (graft.Bench names every query that
+threw — a thrown query must never ship as a green-looking time). Queries only in
 one round are reported but never fail the guard (new operators are
 expected to add time). Absolute floor of 0.5s per query so scheduling
 jitter on sub-second queries doesn't trip the ratio.
@@ -23,6 +25,26 @@ import json, re, sys
 PER_QUERY_MAX = 2.0
 TOTAL_MAX = 1.25
 ABS_FLOOR_SEC = 0.5
+
+
+def load_errors(path):
+    """Union of the "errors" arrays across every metric line in the file.
+    Older records (pre-round-8) have no errors field -> empty set."""
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "errors" in doc:
+            return set(doc["errors"])
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+        if isinstance(doc, dict) and "queries" in doc:
+            return set()
+    except json.JSONDecodeError:
+        pass
+    errs = set()
+    for m in re.findall(r'"errors":\[(.*?)\]', text):
+        errs.update(re.findall(r'"([^"]+)"', m))
+    return errs
 
 
 def load_queries(path):
@@ -59,6 +81,9 @@ def main():
     only_new = sorted(set(new) - set(prev))
     only_prev = sorted(set(prev) - set(new))
     failures = []
+    new_errors = load_errors(new_path)
+    if new_errors:
+        failures.append("errored queries in new record: " + ", ".join(sorted(new_errors)))
     for q in shared:
         p, n = prev[q], new[q]
         if p <= 0 or n <= 0:

@@ -6,6 +6,13 @@ a worker process killed at the budget; the report marks it TIMEOUT
 instead of hanging the whole gate.
 
 Usage: python3 tools/check_timeout.py <sfDir> <verifyOutDir> [seconds]
+                [--allow-timeout=name1,name2]
+
+Exit is nonzero when any oracle FAILs, when ZERO oracles verified OK (a
+pass where everything times out or hangs must not read as green), or
+when a TIMEOUT hits a query NOT named in the --allow-timeout allowlist
+(an unexpected timeout usually means a regressed plan, not a documented
+quadratic oracle).
 """
 import json, sys, glob, os, multiprocessing as mp
 import duckdb
@@ -48,10 +55,16 @@ def run_one(sf_dir, out_dir, name, sql, q):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 180
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    allow = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--allow-timeout="):
+            allow |= {n for n in a.split("=", 1)[1].split(",") if n}
+    sf_dir, out_dir = args[0], args[1]
+    budget = int(args[2]) if len(args) > 2 else 180
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
+    unexpected_timeouts = []
     for name, sql in sorted(oracle.items()):
         q = mp.Queue()
         p = mp.Process(target=run_one, args=(sf_dir, out_dir, name, sql, q))
@@ -59,11 +72,18 @@ def main():
         if p.is_alive():
             p.terminate(); p.join()
             print(f"TIMEOUT {name} (>{budget}s oracle)"); counts["TIMEOUT"] += 1
+            if name not in allow:
+                unexpected_timeouts.append(name)
         else:
             status, msg = q.get() if not q.empty() else ("FAIL", "worker died")
             print(f"{status}   {name} ({msg})"); counts[status] += 1
     print(f"== {counts['OK']} ok, {counts['FAIL']} bad, {counts['TIMEOUT']} timeout ==")
-    sys.exit(1 if counts["FAIL"] else 0)
+    if unexpected_timeouts:
+        print("UNEXPECTED TIMEOUTS (not in --allow-timeout): "
+              + ", ".join(unexpected_timeouts))
+    if counts["OK"] == 0:
+        print("ZERO queries verified OK — the pass proves nothing; failing.")
+    sys.exit(1 if counts["FAIL"] or counts["OK"] == 0 or unexpected_timeouts else 0)
 
 
 if __name__ == "__main__":
