@@ -277,24 +277,53 @@ object Parity {
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   // ------------------------------------------------------------------
-  // Random-hyperplane LSH for embeddings: 8 deterministic ±1 planes (seeded
+  // Random-hyperplane LSH for embeddings: deterministic ±1 planes (seeded
   // RNG → literal arrays in both dialects); bucket = sign-bit pattern of
-  // the 8 plane dots. Plane dot over the quantized vector is exact integer.
+  // the plane dots. Plane dot over the quantized vector is exact integer.
   //
-  // SPARK_GRAFT_LSH_PLANES is the corpus-density dial (BASELINE.md sf1
-  // section): the 2^planes bucket grid should grow ∝ log₂(corpus) so
-  // in-bucket density — and the LSH candidate-pair stage — stays flat as
-  // the corpus scales. The seeded fill is sequential, so a larger setting
-  // keeps the first 8 planes bit-identical to the default grid; both SQL
-  // dialects are generated from the same value, so Spark and the DuckDB
-  // oracle stay in lockstep at any setting. Default 8 = the gated grid.
+  // The plane COUNT is a corpus-density POLICY, not a manual dial
+  // (round 8; replaces the r7 SPARK_GRAFT_LSH_PLANES env var): the
+  // 2^planes bucket grid must grow ∝ log₂(corpus) so in-bucket density —
+  // and with it the LSH candidate-pair stage — stays flat as the corpus
+  // scales. planesForCount picks the smallest p in [NumPlanes, MaxPlanes]
+  // with n ≤ TargetOccupancy·2^p, from ONE corpus count() scalar — the
+  // same adaptivity-from-statistics move the reference makes for its
+  // partial-key fan-out d = ⌊p1·m⌋+1
+  // (stateless/src/main/scala/cluster/PartialKeyDynamicJoin.scala:57).
+  // Exact integer thresholds, replicated literally in the DuckDB oracle's
+  // CASE, so both dialects resolve identically at any scale. At the
+  // sf0.01/sf0.1 gate fixtures (500 / 2 000 vectors) the policy resolves
+  // to the default 8-plane grid; at sf1 (20 000) it resolves to 11 — the
+  // r7-measured optimum that previously required the env var.
+  //
+  // The seeded fill is sequential by plane, so the first 8 rows of the
+  // MaxPlanes grid are bit-identical to the historical 8-plane grid: a
+  // policy upgrade widens the bucket id, it never re-shuffles the
+  // existing bits.
   // ------------------------------------------------------------------
-  val NumPlanes: Int = sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.toInt).getOrElse(8)
+  val NumPlanes: Int = 8
+  val MaxPlanes: Int = 24
+  val TargetOccupancy: Long = 16L
   val EmbeddingDim = 64
+
+  def planesForCount(n: Long): Int = {
+    var p = NumPlanes
+    while (p < MaxPlanes && n > (TargetOccupancy << p)) p += 1
+    p
+  }
+
+  /** DuckDB replica of [[planesForCount]] over a count column `n`:
+    * a CASE on the same literal thresholds. */
+  def planesForCountDuck(n: String): String = {
+    val arms = (NumPlanes until MaxPlanes)
+      .map(p => s"WHEN $n <= ${TargetOccupancy << p} THEN $p")
+      .mkString(" ")
+    s"(CASE $arms ELSE $MaxPlanes END)"
+  }
 
   val planes: IndexedSeq[IndexedSeq[Int]] = {
     val rnd = new Random(1234)
-    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(EmbeddingDim)(if (rnd.nextBoolean()) 1 else -1))
+    IndexedSeq.fill(MaxPlanes)(IndexedSeq.fill(EmbeddingDim)(if (rnd.nextBoolean()) 1 else -1))
   }
 
   def planeDotSpark(qvec: String, j: Int): String = {
@@ -307,13 +336,25 @@ object Parity {
     s"CAST(list_sum(list_transform(range(1, len($qvec) + 1), i -> $qvec[i] * ($lit)[i])) AS BIGINT)"
   }
 
-  def lshBucketSpark(qvec: String): String =
-    (0 until NumPlanes).map { j =>
+  def lshBucketSpark(qvec: String, nPlanes: Int = NumPlanes): String =
+    (0 until nPlanes).map { j =>
       s"CASE WHEN ${planeDotSpark(qvec, j)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  def lshBucketDuck(qvec: String): String =
-    (0 until NumPlanes).map { j =>
+  def lshBucketDuck(qvec: String, nPlanes: Int = NumPlanes): String =
+    (0 until nPlanes).map { j =>
       s"CASE WHEN ${planeDotDuck(qvec, j)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB bucket whose plane count is decided AT QUERY TIME by a
+    * column/scalar `np` (from [[planesForCountDuck]]): every MaxPlanes
+    * bit is computed but gated on `j < np`, so the oracle follows the
+    * policy for whatever corpus it runs against without re-generating
+    * SQL. Oracle-side only — the Spark side resolves the count first and
+    * builds just the planes it needs.
+    */
+  def lshBucketDuckDynamic(qvec: String, np: String): String =
+    (0 until MaxPlanes).map { j =>
+      s"CASE WHEN $j < $np AND ${planeDotDuck(qvec, j)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 }

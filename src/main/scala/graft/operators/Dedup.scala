@@ -687,11 +687,19 @@ object Dedup {
   // to avoid all-pairs work on hot keys,
   // star-join-stateless/src/main/scala/cluster/DuplicateHHJoin.scala:49-126.)
   // ------------------------------------------------------------------
+  /** The plane count comes from [[graft.functions.Parity.planesForCount]]
+    * over ONE corpus count() — a parquet-metadata-only job — so the grid
+    * density tracks the corpus with no manual dial (round 8; the r7
+    * `SPARK_GRAFT_LSH_PLANES` env var is gone). At the gate fixtures the
+    * policy resolves to the historical 8-plane grid; at sf1 it resolves
+    * to 11, the measured optimum.
+    */
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.longDot
+    val nPlanes = planesForCount(Tables.embeddings(spark, sfDir).count())
     val q = Similarity.quantized(spark, sfDir)
-      .withColumn("bucket", Similarity.lshBucketCol(col("v")))
-    val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
+      .withColumn("bucket", Similarity.lshBucketCol(col("v"), nPlanes))
+    val probeOffsets = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
     val probed = q
       .withColumn("probe", explode(array(probeOffsets: _*)))
       .withColumn("pbucket", expr("int(bucket ^ probe)"))
@@ -703,15 +711,26 @@ object Dedup {
       .where(expr(cosineSpark("dot", "na", "nb")) > CosThreshold)
   }
 
+  /** The oracle follows the SAME policy without re-generating SQL: `np`
+    * comes from a count(*) scalar through the literal-threshold CASE of
+    * [[graft.functions.Parity.planesForCountDuck]], the bucket gates
+    * every potential bit on `j < np`, and the probe list is the first
+    * np+1 entries of the full offset list — so Spark and DuckDB resolve
+    * the identical grid at any corpus size.
+    */
   val embeddingNearDupLshSql: String = {
-    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString("[", ", ", "]")
-    s"""WITH q AS (
-       |  SELECT vec_id, v, ${dotDuck("v", "v")} AS norm, ${lshBucketDuck("v")} AS bucket
+    val allOffsets = (Seq(0) ++ (0 until MaxPlanes).map(j => 1 << j))
+      .mkString("[", ", ", "]")
+    s"""WITH np AS (SELECT ${planesForCountDuck("count(*)")} AS np FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, v, ${dotDuck("v", "v")} AS norm,
+       |    ${lshBucketDuckDynamic("v", "(SELECT np FROM np)")} AS bucket
        |  FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)),
        |probes AS (
        |  SELECT vec_id, v, norm,
        |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
-       |  FROM (SELECT *, unnest($offsets) AS probe FROM q))
+       |  FROM (SELECT *, unnest(list_slice($allOffsets, 1, (SELECT np FROM np) + 1)) AS probe
+       |        FROM q))
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  ${dotDuck("a.v", "b.v")} AS dot, a.norm AS na, b.norm AS nb
        |FROM probes a JOIN q b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id

@@ -38,8 +38,10 @@ object Similarity {
     * vectors (same arithmetic as Parity.lshBucketSpark/Duck, no
     * interpreted lambdas in the per-row path).
     */
-  private[operators] def lshBucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until NumPlanes).map { j =>
+  private[operators] def lshBucketCol(
+      v: org.apache.spark.sql.Column,
+      nPlanes: Int = NumPlanes): org.apache.spark.sql.Column =
+    (0 until nPlanes).map { j =>
       val plane = array(planes(j).map(x => lit(x.toLong)): _*)
       when(longDot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)

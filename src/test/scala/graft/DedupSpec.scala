@@ -216,6 +216,35 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === 2L) // the far vector stays a singleton
   }
 
+  test("LSH plane policy: exact thresholds, clamps, and grid-prefix stability") {
+    import graft.functions.Parity
+    // Policy: smallest p in [8, 24] with n <= 16·2^p, from one corpus
+    // count. The gate fixtures must resolve to the historical 8-plane
+    // grid; the sf1 fixture to the r7-measured optimum 11.
+    assert(Parity.planesForCount(0L) === 8)
+    assert(Parity.planesForCount(500L) === 8)     // sf0.01 embeddings
+    assert(Parity.planesForCount(2000L) === 8)    // sf0.1 embeddings
+    assert(Parity.planesForCount(4096L) === 8)    // exact boundary
+    assert(Parity.planesForCount(4097L) === 9)
+    assert(Parity.planesForCount(20000L) === 11)  // sf1 embeddings
+    assert(Parity.planesForCount(Long.MaxValue) === 24) // clamp
+    // The DuckDB CASE replica carries the same literal thresholds.
+    val duck = Parity.planesForCountDuck("n")
+    assert(duck.contains("WHEN n <= 4096 THEN 8"))
+    assert(duck.contains(s"WHEN n <= ${16L << 23} THEN 23"))
+    assert(duck.contains("ELSE 24"))
+    // Widening the grid keeps the 8-plane bucket as the low-bit prefix
+    // (sequential seeded fill): bucket@11 mod 256 == bucket@8.
+    import org.apache.spark.sql.functions.expr
+    val r = spark.range(1)
+      .select(expr("transform(sequence(1, 64), i -> CAST(i % 7 - 3 AS LONG))").as("v"))
+      .select(expr(Parity.lshBucketSpark("v", 8)).as("b8"),
+        expr(Parity.lshBucketSpark("v", 11)).as("b11"))
+      .collect().head
+    assert((r.getInt(1) & 255) === r.getInt(0))
+    assert(r.getInt(1) !== 0) // the test vector actually sets sign bits
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val w = v.clone(); w(0) += 0.001f           // near-identical
