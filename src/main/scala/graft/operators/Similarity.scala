@@ -322,8 +322,20 @@ object Similarity {
   private def kmeansTrainPlan(spark: SparkSession, sfDir: String): DataFrame =
     kmeansParts(spark, sfDir)._2
 
-  /** (final centroids c1, final assignment over c1). */
-  private def kmeansParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** Lloyd DEPTH is a parameter since round 8 (it was a fixed unroll of
+    * 2): `iters` counts ASSIGNMENT passes, so there are iters−1 centroid
+    * updates between the seed assignment and the final one. The GATED
+    * depth stays [[KmeansIters]] = 2 — exactly the chain the DuckDB
+    * oracle replays — and deeper settings are exercised by
+    * SimilaritySpec's convergence gauge: the exact-integer inertia
+    * Σ dist2 per assignment pass, which Lloyd makes non-increasing.
+    */
+  val KmeansIters = 2
+
+  /** (final centroids, per-iteration assignments — `iters` of them). */
+  private def kmeansChain(
+      spark: SparkSession, sfDir: String, iters: Int): (DataFrame, Seq[DataFrame]) = {
+    require(iters >= 1, s"kmeans needs at least one assignment pass, got $iters")
     val q = quantized(spark, sfDir)
     val seeds = q.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
@@ -353,9 +365,40 @@ object Similarity {
             .map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
         .withColumn("cnorm", longDot(col("cv"), col("cv")))
     }
-    val c1 = update(assign(seeds))
-    (c1, assign(c1))
+    var cents = seeds
+    var asgs = Vector(assign(cents))
+    var i = 1
+    while (i < iters) {
+      cents = update(asgs.last)
+      asgs = asgs :+ assign(cents)
+      i += 1
+    }
+    (cents, asgs)
   }
+
+  /** (final centroids c1, final assignment over c1) at the gated depth. */
+  private def kmeansParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val (cents, asgs) = kmeansChain(spark, sfDir, KmeansIters)
+    (cents, asgs.last)
+  }
+
+  /** Convergence gauge: (iter, inertia) with inertia = Σ dist2 of the
+    * iter-th assignment pass — exact 64-bit integers end to end, so the
+    * non-increasing Lloyd property is checkable with equality-grade
+    * arithmetic, no epsilon. Gated at the default depth (the oracle
+    * replays both passes); SimilaritySpec runs it deeper.
+    */
+  private[graft] def kmeansInertiaAt(
+      spark: SparkSession, sfDir: String, iters: Int): DataFrame =
+    kmeansChain(spark, sfDir, iters)._2.zipWithIndex
+      .map { case (asg, i) =>
+        asg.agg(sum("dist2").as("inertia"))
+          .select(lit(i + 1L).as("iter"), col("inertia"))
+      }
+      .reduce(_ unionAll _)
+
+  def kmeansInertia(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansInertiaAt(spark, sfDir, KmeansIters)
 
   private def kmeansAssignSql(corpus: String, cents: String): String =
     s"""SELECT vec_id, cid AS cluster, dist2 FROM (
@@ -393,6 +436,13 @@ object Similarity {
   val kmeansTrainSql: String =
     s"""WITH $kmeansCtesSql
        |${kmeansAssignSql("corpus", "c1")}""".stripMargin
+
+  val kmeansInertiaSql: String =
+    s"""WITH $kmeansCtesSql,
+       |a2 AS (${kmeansAssignSql("corpus", "c1")})
+       |SELECT CAST(1 AS BIGINT) AS iter, CAST(sum(dist2) AS BIGINT) AS inertia FROM a1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS iter, CAST(sum(dist2) AS BIGINT) AS inertia FROM a2""".stripMargin
 
   // ------------------------------------------------------------------
   // IVF search over the TRAINED k-means cells — the composition the two
@@ -465,6 +515,7 @@ object Similarity {
     "s_lsh_multiprobe_topk" -> (lshMultiprobeTopK _),
     "s_ivf_topk" -> (ivfTopK _),
     "s_kmeans_train" -> (kmeansTrain _),
+    "s_kmeans_inertia" -> (kmeansInertia _),
     "s_ivf_kmeans_topk" -> (ivfKmeansTopK _))
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +525,6 @@ object Similarity {
     "s_lsh_multiprobe_topk" -> lshMultiprobeTopKSql,
     "s_ivf_topk" -> ivfTopKSql,
     "s_kmeans_train" -> kmeansTrainSql,
+    "s_kmeans_inertia" -> kmeansInertiaSql,
     "s_ivf_kmeans_topk" -> ivfKmeansTopKSql)
 }

@@ -143,4 +143,34 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Int]("rnk") == 1).head.getAs[Long]("neighbor_id")
     assert(gotTop === wantTop)
   }
+
+  test("k-means inertia gauge: exact-integer and non-increasing at depth 4") {
+    import graft.functions.Parity
+    // Same 4-group geometry as the Lloyd-parity test: iterations past
+    // the seeds genuinely move centroids, so the gauge sees real
+    // decreases, not ties.
+    val dim = Parity.EmbeddingDim
+    val n = 32
+    val vecs = (0 until n).map { i =>
+      val group = i % 4
+      Array.tabulate(dim) { d =>
+        val base = if (d / (dim / 4) == group) 1.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) * 0.01f
+      }
+    }
+    val dir = writeFixture(embeddings =
+      (0 until n).map(i => EmbRow(i.toLong, vecs(i), 0)))
+    val rows = Similarity.kmeansInertiaAt(spark, dir, 4).collect()
+      .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("inertia"))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // Lloyd contract: each update+assign round cannot increase the
+    // exact-integer inertia (equality allowed once converged).
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(b <= a) }
+    assert(rows.last._2 < rows.head._2) // and it genuinely converged here
+    // The gated depth-2 query is the prefix of the deeper chain.
+    val gated = Similarity.kmeansInertia(spark, dir).collect()
+      .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("inertia")).sortBy(_._1)
+    assert(gated.toSeq === rows.take(2).toSeq)
+  }
 }
