@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.RefQueries
+
+/** The SQL surface ≡ the DataFrame surface, query by query: each
+  * `SqlQueries.sql` text runs through `spark.sql` against the registered
+  * views and must return exactly the rows (schema names included) of its
+  * gated DataFrame twin on the same fixture. Runs on the real sf0.001
+  * fixture so the comparison covers every key/window the gate sees at
+  * iteration scale.
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[Seq[Any]]) = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().map(r => cols.indices.map(r.get): Seq[Any]).toSet
+    (cols, rows)
+  }
+
+  SqlQueries.sql.keys.toSeq.sorted.foreach { name =>
+    test(s"spark.sql twin of $name matches the DataFrame form") {
+      val (sqlCols, sqlRows) = canon(SqlQueries.run(spark, sfDir, name))
+      val (dfCols, dfRows) = canon(RefQueries.queries(name)(spark, sfDir))
+      assert(sqlCols === dfCols)
+      assert(sqlRows.size === dfRows.size)
+      assert(sqlRows === dfRows)
+    }
+  }
+
+  test("the SQL surface covers at least 8 gated reference queries") {
+    assert(SqlQueries.sql.size >= 8)
+    SqlQueries.sql.keys.foreach(n => assert(RefQueries.queries.contains(n)))
+  }
+}
