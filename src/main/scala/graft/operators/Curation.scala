@@ -525,12 +525,19 @@ object Curation {
         sum("is_final").as("n_final"))
   }
 
-  val curationCascadeSql: String =
+  /** The cascade oracle with the CLUSTERS source as a parameter: the
+    * gated form recomputes components via DuckDB's recursive CTE; the
+    * sf1 scale oracle (graft.operators.ScaleOracles) substitutes the
+    * independently-verified spark output of d_dedup_clusters, removing
+    * the only scale-infeasible stage while keeping every other check
+    * byte-identical.
+    */
+  def curationCascadeSqlWith(clustersSql: String): String =
     s"""WITH fps AS (
        |  SELECT doc_id, source, ${charPolyHashDuck("text")} AS fp
        |  FROM (SELECT doc_id, source, text FROM documents)),
        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
-       |clusters AS (${Dedup.dedupClustersSql}),
+       |clusters AS ($clustersSql),
        |q AS (
        |  SELECT doc_id,
        |    CASE WHEN quality_score > 0.5 AND n_tokens >= 10 THEN 1 ELSE 0 END
@@ -549,6 +556,8 @@ object Curation {
        |JOIN clusters c ON c.doc_id = f.doc_id
        |LEFT JOIN q ON q.doc_id = f.doc_id
        |GROUP BY f.source""".stripMargin
+
+  val curationCascadeSql: String = curationCascadeSqlWith(Dedup.dedupClustersSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_curation_cascade" -> (curationCascade _),

@@ -105,7 +105,7 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
-  private def shingleRelSql: String =
+  private[graft] def shingleRelSql: String =
     s"""SELECT doc_id, unnest(${hashedArrayDuck(shinglesDuck(tokensDuck("text"), ShingleW))}) AS sh
        |FROM ($docsSql)""".stripMargin
 

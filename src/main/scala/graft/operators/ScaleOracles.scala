@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.functions.Parity._
+
+/** Bounded sf1 oracles for the queries whose EQUALITY oracles are
+  * infeasible in DuckDB at 10× scale (the r7 headroom pass recorded 8:
+  * the 5 connected-components families — recursive-CTE transitive
+  * closure materializes Σ|component|·|edges| pairs — the two all-pairs
+  * exactness baselines, and the curation cascade that embeds the CC
+  * closure). Every check here is O(edges), O(output) or O(sample·corpus)
+  * — never all-pairs — so `tools/check_scale.py` verifies ALL gated
+  * queries at sf1 inside a per-oracle budget: zero timeout rows.
+  *
+  * Two check modes:
+  *   - `violations`: the SQL lists contract violations; PASS iff it
+  *     returns ZERO rows. Used where the bounded check is an invariant
+  *     set (label consistency, sampled exact recomputation, subset
+  *     containment), not a full relation equality.
+  *   - `equality`: the SQL produces the full expected relation (like a
+  *     normal oracle) but composed from ALREADY-VERIFIED spark outputs
+  *     of other queries instead of an infeasible recomputation; PASS is
+  *     the usual frame compare.
+  *
+  * Available views: the fixture tables, `spark_out` (the query under
+  * check), and `out_<query>` for every other query's output in the same
+  * Verify run. A scale check may lean on `out_X` only where X itself is
+  * verified at sf1 by a full DuckDB equality oracle (the pair relations
+  * d_simhash_pairs / d_minhash_lsh_pairs / d_embedding_neardup_lsh,
+  * d_jaccard_prefix_pairs) or by its own violations check in the same
+  * run (d_dedup_clusters for the composed cluster consumers) — so
+  * trust flows from DuckDB-verified ground, never in a cycle.
+  *
+  * These run at EVERY scale (check.py keeps the exact equality oracles
+  * for the gate scales; check_scale.py applies the overrides), and
+  * ScaleOraclesSpec cross-checks each bounded oracle passes at sf0.001
+  * where the exact oracle also passes.
+  */
+object ScaleOracles {
+
+  /** mode ∈ {violations, equality}. */
+  final case class Check(mode: String, sql: String)
+
+  /** Connected-components violation oracle over one (vertex, label)
+    * output and its DuckDB-verified pair relation:
+    *   V1 vertex set ≡ the fixture's vertex universe, exactly once each;
+    *   V2 every edge's endpoints share a label (no under-merge);
+    *   V3 a label is the MIN member id of its group;
+    *   V4 a label's group contains the label vertex itself, labeled
+    *      canonically (no dangling labels);
+    *   V5 a non-singleton group of size s has ≥ s−1 internal edges
+    *      (a merged-but-unconnected group cannot reach that bound
+    *      unless some member is over-connected — gross over-merge trips
+    *      this immediately);
+    *   V6 SAMPLED EXACT CLOSURE: for every component whose label ≡ 0
+    *      (mod sampleMod), recompute the transitive closure over just
+    *      that component's edges (recursive CTE bounded by the sampled
+    *      subgraph — cluster diameters are small) and demand the spark
+    *      label equals min-reachable exactly;
+    *   V7 a vertex labeled into someone else's group must touch at
+    *      least one edge (GLOBAL, O(edges)) — the easiest over-merge, an
+    *      edgeless vertex absorbed into a cluster, slips every sampled
+    *      check (no edges → absent from any closure), so it gets its own
+    *      total invariant. The negative control in the tooling run
+    *      planted exactly this corruption to force the check.
+    * Together: V2 makes labels closure-consistent, V3/V4 pin the
+    * canonical choice, V5+V7 bound over-merge structurally and totally
+    * for edgeless vertices, V6 proves a deterministic 1/sampleMod of
+    * all components exactly.
+    */
+  private def ccViolations(
+      idCol: String,
+      pairView: String,
+      vertexSql: String,
+      sampleMod: Int): String =
+    s"""WITH RECURSIVE
+       |out AS (SELECT $idCol AS vid, canonical_id FROM spark_out),
+       |verts AS (SELECT $idCol AS vid FROM ($vertexSql)),
+       |edges0 AS (SELECT id_a, id_b FROM $pairView),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+       |          UNION ALL SELECT id_b, id_a FROM edges0),
+       |sizes AS (SELECT canonical_id AS cid, count(*) AS sz FROM out GROUP BY 1),
+       |iec AS (
+       |  SELECT o.canonical_id AS cid, count(*) AS internal_edges
+       |  FROM edges0 e JOIN out o ON o.vid = e.id_a GROUP BY 1),
+       |v1 AS (
+       |  SELECT 'vertex-set' AS violation, n_out AS a, n_verts AS b FROM (
+       |    SELECT (SELECT count(*) FROM out) AS n_out,
+       |           (SELECT count(DISTINCT vid) FROM out) AS n_dist,
+       |           (SELECT count(*) FROM verts) AS n_verts)
+       |  WHERE n_out <> n_verts OR n_dist <> n_verts),
+       |v2 AS (
+       |  SELECT 'edge-label-mismatch' AS violation, x.vid AS a, y.vid AS b
+       |  FROM edges0 e
+       |  JOIN out x ON x.vid = e.id_a JOIN out y ON y.vid = e.id_b
+       |  WHERE x.canonical_id <> y.canonical_id),
+       |v3 AS (
+       |  SELECT 'canonical-not-min' AS violation, canonical_id AS a, min(vid) AS b
+       |  FROM out GROUP BY canonical_id HAVING min(vid) <> canonical_id),
+       |v4 AS (
+       |  SELECT 'dangling-label' AS violation, o.vid AS a, o.canonical_id AS b
+       |  FROM out o LEFT JOIN out c ON c.vid = o.canonical_id
+       |  WHERE c.vid IS NULL OR c.canonical_id <> o.canonical_id),
+       |v5 AS (
+       |  SELECT 'under-connected-group' AS violation, s.cid AS a, s.sz AS b
+       |  FROM sizes s LEFT JOIN iec i ON i.cid = s.cid
+       |  WHERE s.sz > 1 AND coalesce(i.internal_edges, 0) < s.sz - 1),
+       |sedges AS (
+       |  SELECT e.a, e.b FROM edges e JOIN out o ON o.vid = e.a
+       |  WHERE o.canonical_id % $sampleMod = 0),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM sedges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN sedges e ON r.dst = e.a),
+       |v6 AS (
+       |  SELECT 'sampled-closure-mismatch' AS violation, m.src AS a, m.lbl AS b
+       |  FROM (SELECT src, least(src, min(dst)) AS lbl FROM reach GROUP BY src) m
+       |  JOIN out o ON o.vid = m.src
+       |  WHERE o.canonical_id <> m.lbl),
+       |v7 AS (
+       |  SELECT 'merged-without-edge' AS violation, o.vid AS a, o.canonical_id AS b
+       |  FROM out o LEFT JOIN (SELECT DISTINCT a FROM edges) t ON t.a = o.vid
+       |  WHERE o.vid <> o.canonical_id AND t.a IS NULL)
+       |SELECT * FROM (
+       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL
+       |  SELECT * FROM v3 UNION ALL SELECT * FROM v4 UNION ALL
+       |  SELECT * FROM v5 UNION ALL SELECT * FROM v6 UNION ALL
+       |  SELECT * FROM v7)
+       |LIMIT 20""".stripMargin
+
+  /** d_jaccard_pairs bounded check: the Σdf² exactness baseline.
+    *   V1 the prefix-filtered pair set (full equality oracle feasible at
+    *      sf1, spark output `out_d_jaccard_prefix_pairs`) must appear
+    *      IDENTICALLY among the baseline's pairs above the prefix
+    *      threshold (AllPairs prefix filtering is lossless at J > 1/2,
+    *      so this is set equality on that slice, not mere containment);
+    *   V2 arithmetic sanity on every output row (orientation, J > 1/10
+    *      threshold actually satisfied);
+    *   V3 SAMPLED EXACT RECOMPUTATION: all pairs whose smaller id ≡ 0
+    *      (mod 67) recomputed from the shingle relation — 1/67 of the
+    *      quadratic work — and compared both directions.
+    */
+  private val jaccardPairsCheck: String =
+    s"""WITH sh AS (${Dedup.shingleRelSql}),
+       |out AS (SELECT id_a, id_b, inter, uni FROM spark_out),
+       |v1 AS (
+       |  SELECT 'prefix-slice-mismatch' AS violation, id_a AS a, id_b AS b FROM (
+       |    (SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs
+       |     EXCEPT
+       |     SELECT id_a, id_b, inter, uni FROM out
+       |     WHERE inter * ${Dedup.PrefixJaccDen} > uni * ${Dedup.PrefixJaccNum})
+       |    UNION ALL
+       |    (SELECT id_a, id_b, inter, uni FROM out
+       |     WHERE inter * ${Dedup.PrefixJaccDen} > uni * ${Dedup.PrefixJaccNum}
+       |     EXCEPT
+       |     SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs))),
+       |v2 AS (
+       |  SELECT 'bad-pair-arith' AS violation, id_a AS a, id_b AS b FROM out
+       |  WHERE inter * ${Dedup.JaccDen} <= uni * ${Dedup.JaccNum}
+       |     OR inter < 1 OR inter > uni OR id_a >= id_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |samp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM (SELECT * FROM sh WHERE doc_id % 67 = 0) a
+       |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sampfull AS (
+       |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |  FROM samp
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}),
+       |v3 AS (
+       |  SELECT 'sampled-exact-mismatch' AS violation, id_a AS a, id_b AS b FROM (
+       |    (SELECT id_a, id_b, inter, uni FROM sampfull
+       |     EXCEPT SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0)
+       |    UNION ALL
+       |    (SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0
+       |     EXCEPT SELECT id_a, id_b, inter, uni FROM sampfull)))
+       |SELECT * FROM (
+       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+       |LIMIT 20""".stripMargin
+
+  /** d_embedding_neardup bounded check: the all-pairs cosine baseline.
+    *   V1 the LSH pair set (full equality oracle feasible at sf1) must
+    *      appear identically in the baseline output (LSH candidates are
+    *      a subset of all pairs, verified values included);
+    *   V2 EVERY output row's dot/norms recomputed from the quantized
+    *      vectors — O(|output|), full soundness, no estimates;
+    *   V3 SAMPLED EXACT COMPLETENESS: the full neighborhood of every
+    *      vec_id ≡ 0 (mod 199) recomputed against the whole corpus;
+    *      every above-threshold pair it finds must exist in the output.
+    */
+  private val embeddingNearDupCheck: String = {
+    val qSql =
+      s"""SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
+         |FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)""".stripMargin
+    s"""WITH q AS ($qSql),
+       |out AS (SELECT id_a, id_b, dot, na, nb FROM spark_out),
+       |v1 AS (
+       |  SELECT 'lsh-pair-missing' AS violation, id_a AS a, id_b AS b FROM (
+       |    SELECT id_a, id_b, dot, na, nb FROM out_d_embedding_neardup_lsh
+       |    EXCEPT SELECT id_a, id_b, dot, na, nb FROM out)),
+       |v2 AS (
+       |  SELECT 'pair-arith-mismatch' AS violation, o.id_a AS a, o.id_b AS b
+       |  FROM out o
+       |  JOIN q a ON a.vec_id = o.id_a
+       |  JOIN q b ON b.vec_id = o.id_b
+       |  WHERE ${dotDuck("a.v", "b.v")} <> o.dot
+       |     OR a.norm <> o.na OR b.norm <> o.nb
+       |     OR NOT (${cosineDuck("o.dot", "o.na", "o.nb")} > ${Dedup.CosThreshold})
+       |     OR o.id_a >= o.id_b),
+       |samp AS (
+       |  SELECT least(s.vec_id, c.vec_id) AS id_a,
+       |         greatest(s.vec_id, c.vec_id) AS id_b
+       |  FROM (SELECT * FROM q WHERE vec_id % 199 = 0) s
+       |  JOIN q c ON s.vec_id <> c.vec_id
+       |  WHERE ${cosineDuck(dotDuck("s.v", "c.v"), "s.norm", "c.norm")}
+       |        > ${Dedup.CosThreshold}),
+       |v3 AS (
+       |  SELECT 'sampled-pair-missing' AS violation, s.id_a AS a, s.id_b AS b
+       |  FROM (SELECT DISTINCT id_a, id_b FROM samp) s
+       |  LEFT JOIN out o ON o.id_a = s.id_a AND o.id_b = s.id_b
+       |  WHERE o.id_a IS NULL)
+       |SELECT * FROM (
+       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+       |LIMIT 20""".stripMargin
+  }
+
+  val checks: Map[String, Check] = Map(
+    "d_dedup_clusters" -> Check("violations",
+      ccViolations("doc_id", "out_d_simhash_pairs",
+        "SELECT doc_id FROM documents", 61)),
+    "d_minhash_clusters" -> Check("violations",
+      ccViolations("doc_id", "out_d_minhash_lsh_pairs",
+        "SELECT doc_id FROM documents", 61)),
+    "d_embedding_clusters" -> Check("violations",
+      ccViolations("vec_id", "out_d_embedding_neardup_lsh",
+        "SELECT vec_id FROM embeddings", 61)),
+    // The two cluster CONSUMERS become equality oracles composed from the
+    // d_dedup_clusters output that the violations check above just
+    // verified — same relations the gated oracles compute, minus the
+    // infeasible closure.
+    "d_cluster_sizes" -> Check("equality",
+      """SELECT cluster_size, count(*) AS n_clusters FROM (
+        |  SELECT canonical_id, count(*) AS cluster_size
+        |  FROM out_d_dedup_clusters GROUP BY canonical_id)
+        |GROUP BY cluster_size""".stripMargin),
+    "d_canonical_stats" -> Check("equality",
+      """SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.canonical_id = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canonical
+        |FROM (SELECT doc_id, source FROM documents) d
+        |JOIN out_d_dedup_clusters c ON d.doc_id = c.doc_id
+        |GROUP BY 1""".stripMargin),
+    "p_curation_cascade" -> Check("equality",
+      Curation.curationCascadeSqlWith(
+        "SELECT doc_id, canonical_id FROM out_d_dedup_clusters")),
+    "d_jaccard_pairs" -> Check("violations", jaccardPairsCheck),
+    "d_embedding_neardup" -> Check("violations", embeddingNearDupCheck))
+}

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Scale-pass correctness gate: verify EVERY query at scale factors where
+some equality oracles are infeasible in DuckDB (the sf1 headroom pass).
+
+Like check_timeout.py, each oracle runs in a budgeted worker process —
+but queries listed in scale_oracle_sql.json (dumped by graft.Verify from
+graft.operators.ScaleOracles) use their BOUNDED check instead of the
+infeasible equality oracle:
+
+  - mode "violations": the SQL lists contract violations over the views
+    `spark_out` (the query's own output), `out_<query>` (every other
+    query's output in the run), and the fixture tables. PASS iff zero
+    rows.
+  - mode "equality": the SQL produces the full expected relation
+    (composed from already-verified outputs); compared frame-to-frame
+    like check.py.
+
+Exit is nonzero on any FAIL, any TIMEOUT (bounded oracles exist exactly
+so none is tolerable), or zero OKs.
+
+Usage: python3 tools/check_scale.py <sfDir> <verifyOutDir> [seconds]
+"""
+import json, sys, glob, os, multiprocessing as mp
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def connect(sf_dir, out_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    for d in sorted(glob.glob(f"{out_dir}/*")):
+        q = os.path.basename(d)
+        if os.path.isdir(d) and glob.glob(f"{d}/*.parquet"):
+            con.execute(
+                f"CREATE VIEW out_{q} AS SELECT * FROM '{d}/*.parquet'")
+            if q == name:
+                con.execute(
+                    f"CREATE VIEW spark_out AS SELECT * FROM '{d}/*.parquet'")
+    return con
+
+
+def compare_frames(got, want, q):
+    if list(got.columns) != list(want.columns):
+        q.put(("FAIL", f"columns {list(got.columns)} vs {list(want.columns)}")); return
+    if len(got) != len(want):
+        q.put(("FAIL", f"rows {len(got)} vs {len(want)}")); return
+    try:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        q.put(("FAIL", "values differ: " + str(e).split("\n")[0])); return
+    q.put(("OK", f"{len(got)} rows"))
+
+
+def run_one(sf_dir, out_dir, name, check, q):
+    try:
+        con = connect(sf_dir, out_dir, name)
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            q.put(("FAIL", "no spark output")); return
+        if check["kind"] == "violations":
+            v = con.sql(check["sql"]).df()
+            if len(v):
+                q.put(("FAIL", f"{len(v)} violations, first: "
+                       + " ".join(str(x) for x in v.iloc[0].tolist())))
+            else:
+                n = con.sql("SELECT count(*) FROM spark_out").fetchone()[0]
+                q.put(("OK", f"0 violations over {n} rows"))
+            return
+        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        want = canon(con.sql(check["sql"]).df())
+        compare_frames(got, want, q)
+    except Exception as e:
+        q.put(("FAIL", f"oracle error: {e}"))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    scale_path = f"{out_dir}/scale_oracle_sql.json"
+    scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
+    counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
+    for name in sorted(oracle):
+        if name in scale:
+            check = {"kind": scale[name]["mode"], "sql": scale[name]["sql"]}
+            tag = f"[{scale[name]['mode']}]"
+        else:
+            check = {"kind": "equality", "sql": oracle[name]}
+            tag = ""
+        q = mp.Queue()
+        p = mp.Process(target=run_one, args=(sf_dir, out_dir, name, check, q))
+        p.start(); p.join(budget)
+        if p.is_alive():
+            p.terminate(); p.join()
+            print(f"TIMEOUT {name} (>{budget}s oracle)"); counts["TIMEOUT"] += 1
+        else:
+            status, msg = q.get() if not q.empty() else ("FAIL", "worker died")
+            print(f"{status}   {name} {tag} ({msg})"); counts[status] += 1
+    print(f"== {counts['OK']} ok, {counts['FAIL']} bad, {counts['TIMEOUT']} timeout ==")
+    if counts["OK"] == 0:
+        print("ZERO queries verified OK — the pass proves nothing; failing.")
+    sys.exit(1 if counts["FAIL"] or counts["TIMEOUT"] or counts["OK"] == 0 else 0)
+
+
+if __name__ == "__main__":
+    main()
