@@ -1,0 +1,133 @@
+package graft
+
+import graft.streaming.StreamingParity
+import graft.streaming.StreamingParity.{IdEvent, StreamDoc, UserEvent}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming state-scale soak — the streaming analogue of the GenScale
+  * batch headroom pass: replay the sf1 fixture through the RocksDB-backed
+  * streaming twins via the parquet FILE SOURCE (time-range shards written
+  * in ascending mtime order, so the source's oldest-first pickup replays
+  * micro-batches in event-time order; within-shard disorder stays, which
+  * is exactly what the watermark machinery must absorb), and record what
+  * the 100 TB question actually asks of streaming operators: how much
+  * STATE each one holds at 10× data, and what per-batch latency looks
+  * like as that state grows.
+  *
+  * One JSON line per operator:
+  *   {"op":…,"batches":…,"input_rows":…,"wall_sec":…,
+  *    "batch_ms":{min,avg,max},"state_rows_max":…,"state_bytes_max":…}
+  * state_rows/bytes are the engine's StateOperatorProgress numbers
+  * (summed across the query's state operators, max over batches).
+  *
+  * Soaked twins (the four RocksDB-state shapes from round 7):
+  *   - interval_join: stream-stream bin-equi interval containment —
+  *     join state bounded by the watermark horizon, evicted as it moves;
+  *   - funnel_ooo: transformWithState event-time-timer funnel — buffer
+  *     ListState bounded by delay × per-key rate, ValueState per user;
+  *   - daily_active: dropDuplicates(user, day) + windowed count — state
+  *     = live (user, day) pairs, evicted per day;
+  *   - neardup_ingest: stream-static band probe — ZERO state rows by
+  *     design (the static corpus IS the state; the line proves it).
+  */
+object StreamSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val shards = sys.env.get("SPARK_GRAFT_SOAK_SHARDS").map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val work = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- Inputs: equal-width time-range shards, written SEQUENTIALLY so
+    // file mtimes ascend with event time and the source replays in order.
+    def writeShards(df: DataFrame, dir: String): Unit = {
+      val mm = df.agg(min("event_time"), max("event_time")).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = (hi - lo) / shards + 1
+      (0 until shards).foreach { i =>
+        df.where(col("event_time") >= lo + i * step &&
+            col("event_time") < lo + (i + 1) * step)
+          .coalesce(2).write.mode("append").parquet(dir)
+      }
+    }
+
+    val raw = Tables.events(spark, sfDir)
+    val userDf = raw.select(Shapes.eventTimeMs(raw).as("event_time"),
+      col("user_id"), col("event_type"))
+    val idDf = raw.select(Shapes.eventTimeMs(raw).as("event_time"),
+      col("event_id"), col("value"))
+    // Docs: odd ids arrive as the stream, even ids are the static corpus
+    // (the d_incremental_dedup parity convention); arrival time is
+    // id-derived — the probe is stateless, ordering is irrelevant.
+    val docsAll = Tables.documents(spark, sfDir)
+    val docStreamDf = docsAll.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("event_time"), col("doc_id"), col("text"))
+    val corpus = docsAll.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+
+    val userDir = s"$work/in/user"; val idDir = s"$work/in/id"
+    val docDir = s"$work/in/doc"
+    writeShards(userDf, userDir); writeShards(idDf, idDir)
+    writeShards(docStreamDf, docDir)
+
+    def streamDf(dir: String, like: DataFrame): DataFrame =
+      spark.readStream.schema(like.schema)
+        .option("maxFilesPerTrigger", "2").parquet(dir)
+
+    def runSoak(name: String, out: DataFrame, mode: OutputMode): Unit = {
+      val q = out.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$work/ckpt/$name")
+        .format("noop")
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ps = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      val batchMs = ps.map(_.durationMs.get("triggerExecution").toLong)
+      val stateRows = ps.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val stateBytes = ps.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+      def mm(xs: Seq[Long]): String =
+        if (xs.isEmpty) """{"min":0,"avg":0,"max":0}"""
+        else s"""{"min":${xs.min},"avg":${xs.sum / xs.length},"max":${xs.max}}"""
+      println(
+        s"""{"op":"$name","batches":${ps.length},""" +
+        s""""input_rows":${ps.map(_.numInputRows).sum},""" +
+        s""""wall_sec":${math.round(wall * 10) / 10.0},""" +
+        s""""batch_ms":${mm(batchMs.toSeq)},""" +
+        s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+        s""""state_bytes_max":${if (stateBytes.isEmpty) 0 else stateBytes.max}}""")
+    }
+
+    runSoak("interval_join",
+      StreamingParity.intervalJoinStream(
+        streamDf(idDir, idDf).as[IdEvent], streamDf(idDir, idDf).as[IdEvent]),
+      OutputMode.Append())
+    runSoak("funnel_ooo",
+      StreamingParity.funnelOutOfOrder(
+        streamDf(userDir, userDf).as[UserEvent], 3600000L).toDF(),
+      OutputMode.Update())
+    runSoak("daily_active",
+      StreamingParity.dailyActiveStream(streamDf(userDir, userDf).as[UserEvent]),
+      OutputMode.Update())
+    runSoak("neardup_ingest",
+      StreamingParity.streamingNearDupIngest(
+        streamDf(docDir, docStreamDf).as[StreamDoc], corpus),
+      OutputMode.Append())
+
+    spark.stop()
+  }
+}

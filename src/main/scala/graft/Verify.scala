@@ -56,7 +56,8 @@ object Verify {
     val scaleJson = graft.operators.ScaleOracles.checks
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, c) =>
-        s"${q(k)}: {${q("mode")}: ${q(c.mode)}, ${q("sql")}: ${q(c.sql)}}" }
+        s"${q(k)}: {${q("mode")}: ${q(c.mode)}, ${q("sql")}: ${q(c.sql)}," +
+          s" ${q("aux")}: ${q(c.aux)}}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/scale_oracle_sql.json"), scaleJson)
     spark.stop()

@@ -11,24 +11,28 @@ import graft.functions.Parity._
   * — never all-pairs — so `tools/check_scale.py` verifies ALL gated
   * queries at sf1 inside a per-oracle budget: zero timeout rows.
   *
-  * Two check modes:
+  * Three check modes:
   *   - `violations`: the SQL lists contract violations; PASS iff it
   *     returns ZERO rows. Used where the bounded check is an invariant
-  *     set (label consistency, sampled exact recomputation, subset
-  *     containment), not a full relation equality.
+  *     set (sampled exact recomputation, subset containment), not a
+  *     full relation equality.
   *   - `equality`: the SQL produces the full expected relation (like a
   *     normal oracle) but composed from ALREADY-VERIFIED spark outputs
   *     of other queries instead of an infeasible recomputation; PASS is
   *     the usual frame compare.
+  *   - `cc`: the checker runs an independent driver-side UNION-FIND
+  *     over the DuckDB-verified pair relation and compares every
+  *     component label exactly (see [[Check]]) — complete verification
+  *     where ANY SQL closure is quadratic in the corpus's mega-component.
   *
   * Available views: the fixture tables, `spark_out` (the query under
   * check), and `out_<query>` for every other query's output in the same
   * Verify run. A scale check may lean on `out_X` only where X itself is
   * verified at sf1 by a full DuckDB equality oracle (the pair relations
   * d_simhash_pairs / d_minhash_lsh_pairs / d_embedding_neardup_lsh,
-  * d_jaccard_prefix_pairs) or by its own violations check in the same
-  * run (d_dedup_clusters for the composed cluster consumers) — so
-  * trust flows from DuckDB-verified ground, never in a cycle.
+  * d_jaccard_prefix_pairs) or by its own cc check in the same run
+  * (d_dedup_clusters for the composed cluster consumers) — so trust
+  * flows from DuckDB-verified ground, never in a cycle.
   *
   * These run at EVERY scale (check.py keeps the exact equality oracles
   * for the gate scales; check_scale.py applies the overrides), and
@@ -37,95 +41,20 @@ import graft.functions.Parity._
   */
 object ScaleOracles {
 
-  /** mode ∈ {violations, equality}. */
-  final case class Check(mode: String, sql: String)
-
-  /** Connected-components violation oracle over one (vertex, label)
-    * output and its DuckDB-verified pair relation:
-    *   V1 vertex set ≡ the fixture's vertex universe, exactly once each;
-    *   V2 every edge's endpoints share a label (no under-merge);
-    *   V3 a label is the MIN member id of its group;
-    *   V4 a label's group contains the label vertex itself, labeled
-    *      canonically (no dangling labels);
-    *   V5 a non-singleton group of size s has ≥ s−1 internal edges
-    *      (a merged-but-unconnected group cannot reach that bound
-    *      unless some member is over-connected — gross over-merge trips
-    *      this immediately);
-    *   V6 SAMPLED EXACT CLOSURE: for every component whose label ≡ 0
-    *      (mod sampleMod), recompute the transitive closure over just
-    *      that component's edges (recursive CTE bounded by the sampled
-    *      subgraph — cluster diameters are small) and demand the spark
-    *      label equals min-reachable exactly;
-    *   V7 a vertex labeled into someone else's group must touch at
-    *      least one edge (GLOBAL, O(edges)) — the easiest over-merge, an
-    *      edgeless vertex absorbed into a cluster, slips every sampled
-    *      check (no edges → absent from any closure), so it gets its own
-    *      total invariant. The negative control in the tooling run
-    *      planted exactly this corruption to force the check.
-    * Together: V2 makes labels closure-consistent, V3/V4 pin the
-    * canonical choice, V5+V7 bound over-merge structurally and totally
-    * for edgeless vertices, V6 proves a deterministic 1/sampleMod of
-    * all components exactly.
+  /** mode ∈ {violations, equality, cc}. For `cc`, `sql` produces the
+    * (id_a, id_b) edge relation and `aux` the vertex universe (one
+    * column `vid`): the checker runs a FULL union-find over the edges —
+    * exact min-label components for every vertex, linear time — and
+    * compares every label. SQL transitive closure is not an option at
+    * sf1: the corpus holds a 43 k-doc near-dup mega-component (86% of
+    * docs — per-shard suffixed texts are near-dups of each other by
+    * construction), and any closure/Σsize² formulation is quadratic in
+    * it; sampling can't dodge a component that large either. A
+    * driver-side union-find in the checker is independent of the Spark
+    * implementation (pointer-jumping label propagation) and verifies
+    * 100% of components, not a sample.
     */
-  private def ccViolations(
-      idCol: String,
-      pairView: String,
-      vertexSql: String,
-      sampleMod: Int): String =
-    s"""WITH RECURSIVE
-       |out AS (SELECT $idCol AS vid, canonical_id FROM spark_out),
-       |verts AS (SELECT $idCol AS vid FROM ($vertexSql)),
-       |edges0 AS (SELECT id_a, id_b FROM $pairView),
-       |edges AS (SELECT id_a AS a, id_b AS b FROM edges0
-       |          UNION ALL SELECT id_b, id_a FROM edges0),
-       |sizes AS (SELECT canonical_id AS cid, count(*) AS sz FROM out GROUP BY 1),
-       |iec AS (
-       |  SELECT o.canonical_id AS cid, count(*) AS internal_edges
-       |  FROM edges0 e JOIN out o ON o.vid = e.id_a GROUP BY 1),
-       |v1 AS (
-       |  SELECT 'vertex-set' AS violation, n_out AS a, n_verts AS b FROM (
-       |    SELECT (SELECT count(*) FROM out) AS n_out,
-       |           (SELECT count(DISTINCT vid) FROM out) AS n_dist,
-       |           (SELECT count(*) FROM verts) AS n_verts)
-       |  WHERE n_out <> n_verts OR n_dist <> n_verts),
-       |v2 AS (
-       |  SELECT 'edge-label-mismatch' AS violation, x.vid AS a, y.vid AS b
-       |  FROM edges0 e
-       |  JOIN out x ON x.vid = e.id_a JOIN out y ON y.vid = e.id_b
-       |  WHERE x.canonical_id <> y.canonical_id),
-       |v3 AS (
-       |  SELECT 'canonical-not-min' AS violation, canonical_id AS a, min(vid) AS b
-       |  FROM out GROUP BY canonical_id HAVING min(vid) <> canonical_id),
-       |v4 AS (
-       |  SELECT 'dangling-label' AS violation, o.vid AS a, o.canonical_id AS b
-       |  FROM out o LEFT JOIN out c ON c.vid = o.canonical_id
-       |  WHERE c.vid IS NULL OR c.canonical_id <> o.canonical_id),
-       |v5 AS (
-       |  SELECT 'under-connected-group' AS violation, s.cid AS a, s.sz AS b
-       |  FROM sizes s LEFT JOIN iec i ON i.cid = s.cid
-       |  WHERE s.sz > 1 AND coalesce(i.internal_edges, 0) < s.sz - 1),
-       |sedges AS (
-       |  SELECT e.a, e.b FROM edges e JOIN out o ON o.vid = e.a
-       |  WHERE o.canonical_id % $sampleMod = 0),
-       |reach AS (
-       |  SELECT a AS src, b AS dst FROM sedges
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN sedges e ON r.dst = e.a),
-       |v6 AS (
-       |  SELECT 'sampled-closure-mismatch' AS violation, m.src AS a, m.lbl AS b
-       |  FROM (SELECT src, least(src, min(dst)) AS lbl FROM reach GROUP BY src) m
-       |  JOIN out o ON o.vid = m.src
-       |  WHERE o.canonical_id <> m.lbl),
-       |v7 AS (
-       |  SELECT 'merged-without-edge' AS violation, o.vid AS a, o.canonical_id AS b
-       |  FROM out o LEFT JOIN (SELECT DISTINCT a FROM edges) t ON t.a = o.vid
-       |  WHERE o.vid <> o.canonical_id AND t.a IS NULL)
-       |SELECT * FROM (
-       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL
-       |  SELECT * FROM v3 UNION ALL SELECT * FROM v4 UNION ALL
-       |  SELECT * FROM v5 UNION ALL SELECT * FROM v6 UNION ALL
-       |  SELECT * FROM v7)
-       |LIMIT 20""".stripMargin
+  final case class Check(mode: String, sql: String, aux: String = "")
 
   /** d_jaccard_pairs bounded check: the Σdf² exactness baseline.
     *   V1 the prefix-filtered pair set (full equality oracle feasible at
@@ -227,15 +156,15 @@ object ScaleOracles {
   }
 
   val checks: Map[String, Check] = Map(
-    "d_dedup_clusters" -> Check("violations",
-      ccViolations("doc_id", "out_d_simhash_pairs",
-        "SELECT doc_id FROM documents", 61)),
-    "d_minhash_clusters" -> Check("violations",
-      ccViolations("doc_id", "out_d_minhash_lsh_pairs",
-        "SELECT doc_id FROM documents", 61)),
-    "d_embedding_clusters" -> Check("violations",
-      ccViolations("vec_id", "out_d_embedding_neardup_lsh",
-        "SELECT vec_id FROM embeddings", 61)),
+    "d_dedup_clusters" -> Check("cc",
+      "SELECT id_a, id_b FROM out_d_simhash_pairs",
+      "SELECT doc_id AS vid FROM documents"),
+    "d_minhash_clusters" -> Check("cc",
+      "SELECT id_a, id_b FROM out_d_minhash_lsh_pairs",
+      "SELECT doc_id AS vid FROM documents"),
+    "d_embedding_clusters" -> Check("cc",
+      "SELECT id_a, id_b FROM out_d_embedding_neardup_lsh",
+      "SELECT vec_id AS vid FROM embeddings"),
     // The two cluster CONSUMERS become equality oracles composed from the
     // d_dedup_clusters output that the violations check above just
     // verified — same relations the gated oracles compute, minus the

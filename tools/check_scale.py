@@ -14,6 +14,12 @@ infeasible equality oracle:
   - mode "equality": the SQL produces the full expected relation
     (composed from already-verified outputs); compared frame-to-frame
     like check.py.
+  - mode "cc": "sql" yields the (id_a, id_b) edge relation (a
+    DuckDB-verified pair output), "aux" the vertex universe (column
+    vid); an independent union-find here computes exact min-label
+    components and EVERY spark label is compared. Complete — not
+    sampled — and linear, where any SQL transitive closure is quadratic
+    in the fixture's 43k-doc mega-component.
 
 Exit is nonzero on any FAIL, any TIMEOUT (bounded oracles exist exactly
 so none is tolerable), or zero OKs.
@@ -66,12 +72,49 @@ def compare_frames(got, want, q):
     q.put(("OK", f"{len(got)} rows"))
 
 
+def check_cc(con, check, q):
+    edges = con.sql(check["sql"]).df()
+    verts = con.sql(check["aux"]).df()["vid"].tolist()
+    out = con.sql("SELECT * FROM spark_out").df()
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["id_a"].tolist(), edges["id_b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union by min id
+    # Min member id per component root (roots are min already by the
+    # union rule, but only over ids seen in edges; singletons root to
+    # themselves).
+    want = {v: find(v) for v in verts}
+    id_col = out.columns[0]
+    got = dict(zip(out[id_col].tolist(), out["canonical_id"].tolist()))
+    if len(got) != len(out):
+        q.put(("FAIL", "duplicate vertex rows in output")); return
+    if set(got) != set(want):
+        q.put(("FAIL", f"vertex set differs: {len(got)} vs {len(want)}")); return
+    bad = [(v, got[v], want[v]) for v in want if got[v] != want[v]]
+    if bad:
+        q.put(("FAIL", f"{len(bad)} label mismatches, first: {bad[0]}")); return
+    q.put(("OK", f"union-find over {len(edges)} edges, "
+           f"{len(verts)} vertices all exact"))
+
+
 def run_one(sf_dir, out_dir, name, check, q):
     try:
         con = connect(sf_dir, out_dir, name)
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             q.put(("FAIL", "no spark output")); return
+        if check["kind"] == "cc":
+            check_cc(con, check, q); return
         if check["kind"] == "violations":
             v = con.sql(check["sql"]).df()
             if len(v):
@@ -97,7 +140,8 @@ def main():
     counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
     for name in sorted(oracle):
         if name in scale:
-            check = {"kind": scale[name]["mode"], "sql": scale[name]["sql"]}
+            check = {"kind": scale[name]["mode"], "sql": scale[name]["sql"],
+                     "aux": scale[name].get("aux", "")}
             tag = f"[{scale[name]['mode']}]"
         else:
             check = {"kind": "equality", "sql": oracle[name]}
