@@ -109,6 +109,70 @@ object ScaleOracles {
        |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
        |LIMIT 20""".stripMargin
 
+  /** d_jaccard_prefix_pairs bounded check. The equality oracle
+    * regenerates the prefix-index candidate join in DuckDB, which ran
+    * inside a 120 s budget on the r7 machine state but exceeds 20
+    * MINUTES on the r8 rerun (same SQL, same fixture — DuckDB plan
+    * instability on the exploded self-join), so it cannot anchor a
+    * repeatable gate. The bounded form is trust-independent of every
+    * other query (fixture tables + own output only — d_jaccard_pairs'
+    * check cross-references THIS output, so this one must not reference
+    * back):
+    *   V1 TOTAL soundness: for every output pair, |A∩B| recomputed from
+    *      the shingle relation by a (pair × shingle) join and the uni
+    *      arithmetic re-derived from per-doc sizes — O(output·|doc|),
+    *      every row, no sampling;
+    *   V2 threshold/orientation sanity on every row;
+    *   V3 sampled completeness: all pairs with smaller id ≡ 0 (mod 67)
+    *      recomputed exactly at the J > 1/2 threshold, compared both
+    *      directions.
+    */
+  private val jaccardPrefixPairsCheck: String =
+    s"""WITH sh AS (${Dedup.shingleRelSql}),
+       |out AS (SELECT id_a, id_b, inter, uni FROM spark_out),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |chk AS (
+       |  SELECT o.id_a, o.id_b, o.inter, o.uni, count(*) AS inter2
+       |  FROM out o
+       |  JOIN sh a ON a.doc_id = o.id_a
+       |  JOIN sh b ON b.doc_id = o.id_b AND b.sh = a.sh
+       |  GROUP BY 1, 2, 3, 4),
+       |v1 AS (
+       |  SELECT 'pair-arith-mismatch' AS violation, o.id_a AS a, o.id_b AS b
+       |  FROM out o
+       |  LEFT JOIN chk c ON c.id_a = o.id_a AND c.id_b = o.id_b
+       |  LEFT JOIN sizes sa ON sa.doc_id = o.id_a
+       |  LEFT JOIN sizes sb ON sb.doc_id = o.id_b
+       |  WHERE c.id_a IS NULL OR c.inter2 <> o.inter
+       |     OR sa.n IS NULL OR sb.n IS NULL
+       |     OR sa.n + sb.n - c.inter2 <> o.uni),
+       |v2 AS (
+       |  SELECT 'bad-pair-arith' AS violation, id_a AS a, id_b AS b FROM out
+       |  WHERE inter * ${Dedup.PrefixJaccDen} <= uni * ${Dedup.PrefixJaccNum}
+       |     OR inter < 1 OR inter > uni OR id_a >= id_b),
+       |samp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM (SELECT * FROM sh WHERE doc_id % 67 = 0) a
+       |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sampfull AS (
+       |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |  FROM samp
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter * ${Dedup.PrefixJaccDen}
+       |        > (sa.n + sb.n - inter) * ${Dedup.PrefixJaccNum}),
+       |v3 AS (
+       |  SELECT 'sampled-exact-mismatch' AS violation, id_a AS a, id_b AS b FROM (
+       |    (SELECT id_a, id_b, inter, uni FROM sampfull
+       |     EXCEPT SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0)
+       |    UNION ALL
+       |    (SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0
+       |     EXCEPT SELECT id_a, id_b, inter, uni FROM sampfull)))
+       |SELECT * FROM (
+       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+       |LIMIT 20""".stripMargin
+
   /** d_embedding_neardup bounded check: the all-pairs cosine baseline.
     *   V1 the LSH pair set (full equality oracle feasible at sf1) must
     *      appear identically in the baseline output (LSH candidates are
@@ -185,5 +249,6 @@ object ScaleOracles {
       Curation.curationCascadeSqlWith(
         "SELECT doc_id, canonical_id FROM out_d_dedup_clusters")),
     "d_jaccard_pairs" -> Check("violations", jaccardPairsCheck),
+    "d_jaccard_prefix_pairs" -> Check("violations", jaccardPrefixPairsCheck),
     "d_embedding_neardup" -> Check("violations", embeddingNearDupCheck))
 }

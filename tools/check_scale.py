@@ -25,6 +25,10 @@ Exit is nonzero on any FAIL, any TIMEOUT (bounded oracles exist exactly
 so none is tolerable), or zero OKs.
 
 Usage: python3 tools/check_scale.py <sfDir> <verifyOutDir> [seconds]
+                [--only=name1,name2]
+
+Run on an otherwise-idle machine: a concurrent Spark/sbt run starving
+DuckDB of cores turns feasible oracles into spurious TIMEOUTs.
 """
 import json, sys, glob, os, multiprocessing as mp
 import duckdb
@@ -132,9 +136,16 @@ def run_one(sf_dir, out_dir, name, check, q):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {n for n in a.split("=", 1)[1].split(",") if n}
+    sf_dir, out_dir = args[0], args[1]
+    budget = int(args[2]) if len(args) > 2 else 300
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     scale_path = f"{out_dir}/scale_oracle_sql.json"
     scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
     counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
