@@ -389,13 +389,23 @@ object Similarity {
     * replays both passes); SimilaritySpec runs it deeper.
     */
   private[graft] def kmeansInertiaAt(
-      spark: SparkSession, sfDir: String, iters: Int): DataFrame =
-    kmeansChain(spark, sfDir, iters)._2.zipWithIndex
+      spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val chain = kmeansChain(spark, sfDir, iters)._2
+    // At the gated depth the FINAL pass is plan-identical to the
+    // registry-persisted kmeansTrain assignment — ride that cache
+    // instead of re-running the corpus x centroids join (the discarded
+    // plan object costs nothing; only the seed-assignment pass
+    // actually executes fresh).
+    val asgs =
+      if (iters == KmeansIters) chain.init :+ kmeansTrain(spark, sfDir)
+      else chain
+    asgs.zipWithIndex
       .map { case (asg, i) =>
         asg.agg(sum("dist2").as("inertia"))
           .select(lit(i + 1L).as("iter"), col("inertia"))
       }
       .reduce(_ unionAll _)
+  }
 
   def kmeansInertia(spark: SparkSession, sfDir: String): DataFrame =
     kmeansInertiaAt(spark, sfDir, KmeansIters)
