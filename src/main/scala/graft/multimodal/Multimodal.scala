@@ -12,23 +12,26 @@ import org.apache.spark.sql.functions._
   * an iterator, no per-row SerDe).
   *
   * The decode boundary dispatches on the SAME predicate the oracle
-  * partitions on (`media_id % PlantedEvery == 0` — planted rows carry a
-  * real image file, everything else is opaque text bytes): planted
-  * payloads go through a REAL decoder — [[PpmCodec]], a pure-JVM parser
-  * for binary Netpbm (PPM `P6` / PGM `P5`), or [[ImageIoCodec]], the
-  * in-JDK `javax.imageio` reader for PNG and BMP — while non-planted
-  * rows take [[FakeCodec]], a clearly-marked deterministic STUB standing
-  * in for decoders of the formats this container has no libraries for
-  * (video/audio). The surrounding plumbing — binary schema, typed
-  * Encoders, the mapPartitions batch shape, partitioning behavior,
-  * metadata pushdown — is identical for all paths.
+  * partitions on (`media_id mod PlantedEvery`: 0 ⇒ a planted real image
+  * file, 1 ⇒ a planted real WAV, everything else opaque text bytes):
+  * planted payloads go through a REAL decoder — [[PpmCodec]], a
+  * pure-JVM parser for binary Netpbm (PPM `P6` / PGM `P5`),
+  * [[ImageIoCodec]], the in-JDK `javax.imageio` reader for PNG and BMP,
+  * or [[WavCodec]], a pure-JVM RIFF/WAVE PCM parser — while non-planted
+  * rows take [[FakeCodec]], a clearly-marked deterministic STUB now
+  * standing in only for VIDEO decode (no pure-JVM/in-JDK video codec
+  * exists) and for opaque text payloads. The surrounding plumbing —
+  * binary schema, typed Encoders, the mapPartitions batch shape,
+  * partitioning behavior, metadata pushdown — is identical for all
+  * paths.
   *
   * The media relation is derived deterministically from `documents`
-  * (bytes := utf8(text); every 21st doc carries a planted, VALID image
-  * file — cycling PPM / PNG / BMP by doc_id — whose geometry and pixel
-  * ramp derive from doc_id), so the DuckDB oracle replicates every
-  * branch exactly and the gate exercises three real parsers, not just
-  * the stub. The planted PNG is written with stored (uncompressed)
+  * (bytes := utf8(text); docs ≡ 0 mod 21 carry a planted, VALID image
+  * file — cycling PPM / PNG / BMP by doc_id — and docs ≡ 1 mod 21 a
+  * planted canonical WAV, with geometry and sample/pixel ramps derived
+  * from doc_id), so the DuckDB oracle replicates every branch exactly
+  * and the gate exercises four real parsers across two modalities, not
+  * just the stub. The planted PNG is written with stored (uncompressed)
   * deflate blocks so its byte LENGTH is a closed-form function of the
   * geometry the oracle can compute; the decode side still goes through
   * the real zlib/PNG machinery in `javax.imageio`.
@@ -164,6 +167,37 @@ object Multimodal {
       case _ => syntheticBmp(id)
     }
 
+  /** Minimal valid RIFF/WAVE file (mono 8-bit PCM — the public
+    * canonical-wave layout): 12-byte RIFF header, 24-byte fmt chunk,
+    * 8-byte data header + n samples ⇒ length = 44 + n, a closed form.
+    * Sample ramp: (id·19 + i·37) mod 256; rate = 8000 + (id mod 5)·1000.
+    * Planted on the AUDIO rows (media_id ≡ 1 mod 21 — their cycled kind
+    * is already "audio"), so the real-decode surface covers a second
+    * MODALITY, not just a third image container.
+    */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 100).toInt
+    val rate = (8000 + (id % 5) * 1000).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + n)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(rate)
+      .putInt(rate)           // byte rate = rate·channels·bytesPerSample
+      .putShort(1)            // block align
+      .putShort(8)            // bits per sample
+    buf.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((id * 19 + i.toLong * 37) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
   /** documents → media relation: payload = utf8(text), kind cycles by id;
     * planted rows (see above) swap in a real P6 payload. The projection
     * pipelines into the scan; the planted swap is one typed map at the
@@ -178,8 +212,12 @@ object Multimodal {
           .as("kind"),
         col("text").cast("binary").as("payload"))
       .as[MediaFile]
-      .map(m => if (m.media_id % PlantedEvery == 0L)
-        m.copy(payload = plantedPayload(m.media_id)) else m)
+      .map(m =>
+        if (m.media_id % PlantedEvery == 0L)
+          m.copy(payload = plantedPayload(m.media_id))
+        else if (m.media_id % PlantedEvery == 1L)
+          m.copy(payload = syntheticWav(m.media_id))
+        else m)
   }
 
   /** REAL decoder for binary Netpbm images — PPM (`P6`, RGB) and PGM
@@ -297,20 +335,68 @@ object Multimodal {
 
   /** The dispatching decode. The dispatch predicate is the SAME one the
     * oracle partitions on — `media_id % PlantedEvery` — so a non-planted
-    * document whose text happens to look like an image file can never
+    * document whose text happens to look like a media file can never
     * take a different branch than the oracle's replay (the r7 advice:
     * dispatch keyed on payload content while the oracle keys on doc_id
-    * was a latent mismatch). Planted rows then pick the real parser by
-    * container magic; a planted payload that fails its parse falls to
-    * the stub, which the oracle would flag as a hash mismatch — decode
-    * bugs surface in the gate instead of silently passing.
+    * was a latent mismatch). Planted image rows (≡0 mod 21) pick the
+    * real image parser by container magic; planted audio rows (≡1) go
+    * through the real WAV parser; a planted payload that fails its
+    * parse falls to the stub, which the oracle would flag as a hash
+    * mismatch — decode bugs surface in the gate instead of silently
+    * passing. The deterministic stub now stands in only for video and
+    * for non-planted opaque text payloads.
     */
   def decode(m: MediaFile): DecodedMedia =
     if (m.media_id % PlantedEvery == 0L)
       PpmCodec.tryDecode(m)
         .orElse(ImageIoCodec.tryDecode(m))
         .getOrElse(FakeCodec.decode(m))
+    else if (m.media_id % PlantedEvery == 1L)
+      WavCodec.tryDecode(m).getOrElse(FakeCodec.decode(m))
     else FakeCodec.decode(m)
+
+  /** REAL decoder for RIFF/WAVE PCM (public canonical-wave format):
+    * validates the RIFF/WAVE signature, walks the chunk list to `fmt `
+    * and `data`, and requires 8-bit integer PCM with a data length
+    * consistent with the frame geometry. Field mapping into the shared
+    * DecodedMedia shape: width = sample rate, height = channel count,
+    * n_frames = PCM frame count, checksum = additive sum of the sample
+    * bytes (the audio analogue of the image raster sum).
+    */
+  object WavCodec {
+    def tryDecode(m: MediaFile): Option[DecodedMedia] = {
+      val b = m.payload
+      if (b.length < 44) return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(at: Int): String = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      if (buf.getInt(4).toLong != b.length - 8L) return None
+      var i = 12
+      var channels = -1; var rate = -1L; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+        val id = tag(i); val len = buf.getInt(i + 4)
+        if (len < 0 || i + 8 + len > b.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16 || buf.getShort(i + 8) != 1) return None // PCM only
+            channels = buf.getShort(i + 10).toInt
+            rate = buf.getInt(i + 12).toLong
+            bits = buf.getShort(i + 22).toInt
+          case "data" => dataOff = i + 8; dataLen = len
+          case _ => ()
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || rate <= 0 || bits != 8 || dataOff < 0) return None
+      if (dataLen % channels != 0) return None
+      var sum = 0L
+      var j = dataOff
+      while (j < dataOff + dataLen) { sum += (b(j) & 0xff); j += 1 }
+      Some(DecodedMedia(m.media_id, m.kind, b.length.toLong,
+        rate, channels.toLong, dataLen.toLong / channels, sum))
+    }
+  }
 
   /** The batched decode: one iterator pass per partition (Arrow-batch
     * shape), constant memory, no driver involvement. Partitioning is
@@ -338,12 +424,16 @@ object Multimodal {
 
   /** Oracle: every decode branch replayed in SQL. Stub rows: texts are
     * ASCII so octet length == n_chars and the byte loop == the char poly
-    * hash. Planted rows split by format ((doc_id/21) % 3): for each, the
-    * oracle recomputes the planted file's geometry and byte LENGTH from
-    * doc_id (PPM: 9+len(w)+len(h) header + 3wh raster; PNG with stored
-    * deflate blocks: 68 + h·(1+3w); BMP: 54 + h·(⌊(3w+3)/4⌋·4)) and the
-    * raster sum via list_sum over that format's ramp — i.e. it asserts
-    * each real parser read back exactly what the generator wrote.
+    * hash. Planted image rows split by format ((doc_id/21) % 3): for
+    * each, the oracle recomputes the planted file's geometry and byte
+    * LENGTH from doc_id (PPM: 9+len(w)+len(h) header + 3wh raster; PNG
+    * with stored deflate blocks: 68 + h·(1+3w); BMP:
+    * 54 + h·(⌊(3w+3)/4⌋·4)) and the raster sum via list_sum over that
+    * format's ramp. Planted AUDIO rows (doc_id ≡ 1 mod 21): canonical
+    * WAV, length 44+n, width = sample rate, height = channels = 1,
+    * n_frames = n samples, checksum = the sample ramp sum — i.e. the
+    * oracle asserts each real parser read back exactly what the
+    * generator wrote, across two modalities and four containers.
     */
   val decodeQuerySql: String =
     s"""SELECT media_id, kind, n_bytes, width, height, n_frames, checksum FROM (
@@ -382,6 +472,16 @@ object Multimodal {
        |  FROM documents WHERE doc_id % $PlantedEvery = 0
        |    AND (doc_id // $PlantedEvery) % 3 = 2
        |  UNION ALL
+       |  SELECT doc_id AS media_id, 'audio' AS kind,
+       |    CAST(44 + 64 + doc_id % 100 AS BIGINT) AS n_bytes,
+       |    CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS width,
+       |    CAST(1 AS BIGINT) AS height,
+       |    CAST(64 + doc_id % 100 AS BIGINT) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(0, CAST(64 + doc_id % 100 AS BIGINT)),
+       |      i -> (doc_id * 19 + i * 37) % 256)) AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % $PlantedEvery = 1
+       |  UNION ALL
        |  SELECT media_id, kind, n_bytes, width, height,
        |    CASE WHEN kind = 'video' THEN 1 + n_bytes % 240
        |         WHEN kind = 'audio' THEN 1 + n_bytes % 16
@@ -395,7 +495,9 @@ object Multimodal {
        |            + length(['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1])) % 624 AS width,
        |      16 + (${graft.functions.Parity.charPolyHash31Duck("text")} % 464) AS height,
        |      ${graft.functions.Parity.charPolyHash31Duck("text")} AS checksum
-       |    FROM (SELECT doc_id, text FROM documents WHERE doc_id % $PlantedEvery <> 0)))""".stripMargin
+       |    FROM (SELECT doc_id, text FROM documents
+       |          WHERE doc_id % $PlantedEvery <> 0
+       |            AND doc_id % $PlantedEvery <> 1)))""".stripMargin
 
   /** Resize planning: target box fit preserving aspect ratio, integer
     * arithmetic only (floor division, matching SQL `//`). The real

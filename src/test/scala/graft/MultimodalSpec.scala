@@ -21,9 +21,10 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("media_id") ->
         (r.getAs[String]("kind"), r.getAs[Long]("n_bytes"))).toMap
     // doc 0 is a planted P6 (0 % 21 == 0): w=4, h=3 → 11-byte header
-    // ("P6\n4 3\n255\n") + 36 raster bytes.
+    // ("P6\n4 3\n255\n") + 36 raster bytes. doc 1 is a planted WAV
+    // (1 % 21 == 1): 44-byte canonical header + 64 + 1 % 100 samples.
     assert(got(0L) === ("image", 47L))
-    assert(got(1L) === ("audio", 4L))
+    assert(got(1L) === ("audio", (44 + 64 + 1).toLong))
     assert(got(2L) === ("video", 4L))
     assert(got(3L) === ("image", 4L))
   }
@@ -70,6 +71,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getAs[Long]("n_bytes") === (54 + 5 * 36).toLong)
     val wantSum = (0 until 3 * 12 * 5).map(i => (42L * 11 + i.toLong * 29) % 256).sum
     assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("planted WAV payloads are really parsed: rate, channels, frames, sample sum") {
+    // 22 % 21 == 1 → WAV on an audio-kind row (22 % 3 == 1). n = 64+22 = 86
+    // samples, rate = 8000 + (22%5)*1000 = 10000.
+    val dir = writeFixture(documents = Seq(
+      doc(22, "this text is replaced by a planted wav")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "audio")
+    assert(got.getAs[Long]("width") === 10000L)  // sample rate
+    assert(got.getAs[Long]("height") === 1L)     // channels
+    assert(got.getAs[Long]("n_frames") === 86L)  // PCM frames
+    assert(got.getAs[Long]("n_bytes") === (44 + 86).toLong)
+    val wantSum = (0 until 86).map(i => (22L * 19 + i.toLong * 37) % 256).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("WavCodec: roundtrip directly; malformed RIFF refuses") {
+    import Multimodal.{WavCodec, syntheticWav}
+    val wav = WavCodec.tryDecode(MediaFile(22, "audio", syntheticWav(22))).get
+    assert((wav.width, wav.height, wav.n_frames) === (10000L, 1L, 86L))
+    // Truncated data chunk, wrong RIFF size, non-PCM format tag: refuse.
+    assert(WavCodec.tryDecode(MediaFile(1, "audio", syntheticWav(22).take(50))).isEmpty)
+    val badSize = syntheticWav(22).clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(WavCodec.tryDecode(MediaFile(2, "audio", badSize)).isEmpty)
+    val nonPcm = syntheticWav(22).clone(); nonPcm(20) = 3 // IEEE float tag
+    assert(WavCodec.tryDecode(MediaFile(3, "audio", nonPcm)).isEmpty)
+    assert(WavCodec.tryDecode(MediaFile(4, "audio", "RIFF but prose".getBytes)).isEmpty)
   }
 
   test("ImageIoCodec: PNG/BMP roundtrip directly; junk refuses") {
