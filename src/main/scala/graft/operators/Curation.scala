@@ -559,11 +559,54 @@ object Curation {
 
   val curationCascadeSql: String = curationCascadeSqlWith(Dedup.dedupClustersSql)
 
+  // ------------------------------------------------------------------
+  // Deterministic stratified downsampling — the rebalancing move every
+  // mixture pipeline makes when one source dwarfs the rest. No RNG:
+  // a doc's fate is `fp mod 10000 < bps(source)`, a pure function of
+  // its CONTENT fingerprint (the same 62-bit poly hash the dedup stack
+  // uses — non-negative, so Spark pmod ≡ DuckDB %), which makes the
+  // sample reproducible across runs, engines, and re-partitionings,
+  // and composable with dedup (a kept doc stays kept when unrelated
+  // docs arrive). Per-source basis points come from a RATES relation —
+  // derived here from the source name so the fixture needs no config
+  // table; production swaps in a real one — broadcast into ONE corpus
+  // scan: no shuffle of the text, no per-source pass. The gate hashes
+  // the per-source accounting (total, bps, kept).
+  // ------------------------------------------------------------------
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), TextHashOps.polyHash(col("text")).as("fp"))
+    val rates = fps.select("source").distinct()
+      .withColumn("bps",
+        (lit(2500L) + pmod(length(col("source")).cast("long") * 1777L, lit(7000L))))
+    fps.join(broadcast(rates), "source")
+      .groupBy("source", "bps")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(col("fp"), lit(10000L)) < col("bps"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select("source", "bps", "n_docs", "n_kept")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, source, ${charPolyHashDuck("text")} AS fp
+       |  FROM (SELECT doc_id, source, text FROM documents)),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(2500 + (length(source) * 1777) % 7000 AS BIGINT) AS bps
+       |  FROM (SELECT DISTINCT source FROM documents))
+       |SELECT f.source, r.bps, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f.fp % 10000 < r.bps THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM fps f JOIN rates r USING (source)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
     "p_corpus_curation" -> (corpusCuration _),
+    "p_stratified_sample" -> (stratifiedSample _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
     "p_contamination" -> (contamination _),
@@ -579,6 +622,7 @@ object Curation {
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,
     "p_corpus_curation" -> corpusCurationSql,
+    "p_stratified_sample" -> stratifiedSampleSql,
     "p_vocab_freq" -> vocabFreqSql,
     "p_split_assign" -> splitAssignSql,
     "p_contamination" -> contaminationSql,

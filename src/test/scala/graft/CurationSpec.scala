@@ -202,4 +202,36 @@ class CurationSpec extends SparkSpec {
     assert(probed.take(2).toSet === Set(1L, 2L))
     assert(probed.drop(2).toSet === Set(3L, 4L))
   }
+
+  test("stratified sample: content-hash fate, per-source rates, exact accounting") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    import graft.functions.TextHashOps
+    // Controlled corpus: 40 docs across two sources with distinct texts.
+    val docs = (0 until 40).map(i =>
+      doc(i.toLong, s"document number $i with some words", source = s"src${i % 2}"))
+    val dir = writeFixture(documents = docs)
+    val got = Curation.stratifiedSample(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("bps"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(got.keySet === Set("src0", "src1"))
+    got.foreach { case (src, (bps, nDocs, nKept)) =>
+      assert(bps === 2500L + (src.length.toLong * 1777L) % 7000L)
+      assert(nDocs === 20L)
+      assert(nKept >= 0L && nKept <= nDocs)
+    }
+    // The fate of every doc is the pure function fp % 10000 < bps:
+    // recompute it from the same expression and match the accounting.
+    val bps = got("src0")._1 // both sources same name length -> same rate
+    val kept = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        pmod(TextHashOps.polyHash(col("text")), org.apache.spark.sql.functions.lit(10000L)).as("m"))
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) => s -> rows.count(_.getAs[Long]("m") < bps).toLong }
+    assert(got.map { case (s, v) => s -> v._3 } === kept)
+    // Determinism: a second run returns byte-identical accounting.
+    val again = Curation.stratifiedSample(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("bps"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(again === got)
+  }
 }
