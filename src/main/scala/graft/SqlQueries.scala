@@ -34,6 +34,10 @@ object SqlQueries {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
     Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
     val et = {
       import org.apache.spark.sql.types.LongType
       spark.table("events").schema("ts").dataType match {
@@ -49,6 +53,10 @@ object SqlQueries {
       s"""CREATE OR REPLACE TEMP VIEW graft_zx AS
          |SELECT $et AS event_time, event_type AS z,
          |  CAST(floor(value) AS BIGINT) AS x
+         |FROM events""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW graft_events AS
+         |SELECT $et AS event_time, event_id, user_id, event_type, value
          |FROM events""".stripMargin)
   }
 
@@ -109,7 +117,75 @@ object SqlQueries {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_amplify" ->
+      s"""SELECT z, event_time div ${slot}L AS ltw, count(*) AS cnt FROM (
+         |  SELECT z, event_time, explode(array_repeat(1, 3)) AS dup
+         |  FROM graft_zx)
+         |GROUP BY z, ltw""".stripMargin,
+    // Warehouse analytics family — the same decimal-exact arithmetic as
+    // the Column forms (identical CASTs, so the final doubles are
+    // bit-equal; see functions/Parity).
+    "a_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "a_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "a_market_share" ->
+      """WITH by_nation AS (
+        |  SELECT year(o_orderdate) AS o_year, n_name,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS DECIMAL(38,4)) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT CAST(o_year AS BIGINT) AS o_year, n_name,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) /
+        |    CAST(CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS share
+        |FROM by_nation""".stripMargin,
+    "a_daily_active" ->
+      """SELECT event_time div 86400000 AS day,
+        |  count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM graft_events GROUP BY 1""".stripMargin)
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -1,13 +1,13 @@
 package graft
 
-import graft.operators.RefQueries
-
 /** The SQL surface ≡ the DataFrame surface, query by query: each
   * `SqlQueries.sql` text runs through `spark.sql` against the registered
   * views and must return exactly the rows (schema names included) of its
-  * gated DataFrame twin on the same fixture. Runs on the real sf0.001
-  * fixture so the comparison covers every key/window the gate sees at
-  * iteration scale.
+  * gated DataFrame twin on the same fixture — including bit-equal
+  * doubles on the decimal-arithmetic warehouse queries (identical CAST
+  * chains compile to the same Catalyst expressions). Runs on the real
+  * sf0.001 fixture so the comparison covers every key/window the gate
+  * sees at iteration scale.
   */
 class SqlParitySpec extends SparkSpec {
 
@@ -22,15 +22,15 @@ class SqlParitySpec extends SparkSpec {
   SqlQueries.sql.keys.toSeq.sorted.foreach { name =>
     test(s"spark.sql twin of $name matches the DataFrame form") {
       val (sqlCols, sqlRows) = canon(SqlQueries.run(spark, sfDir, name))
-      val (dfCols, dfRows) = canon(RefQueries.queries(name)(spark, sfDir))
+      val (dfCols, dfRows) = canon(SparkEntry.queries(name)(spark, sfDir))
       assert(sqlCols === dfCols)
       assert(sqlRows.size === dfRows.size)
       assert(sqlRows === dfRows)
     }
   }
 
-  test("the SQL surface covers at least 8 gated reference queries") {
-    assert(SqlQueries.sql.size >= 8)
-    SqlQueries.sql.keys.foreach(n => assert(RefQueries.queries.contains(n)))
+  test("the SQL surface covers the reference family plus warehouse analytics") {
+    assert(SqlQueries.sql.size >= 16)
+    SqlQueries.sql.keys.foreach(n => assert(SparkEntry.queries.contains(n)))
   }
 }
