@@ -1074,15 +1074,30 @@ object Analytics {
     * is stable), and the oracle demands approx_ok = 1 for every day —
     * a real assertion that the production path delivers its advertised
     * error at gate scale, not a rows-only wave-through.
+    *
+    * Plan shape (round 9): ONE scan, ONE shuffle, NO multi-distinct
+    * Expand. The r8 form mixed countDistinct with approx_count_distinct
+    * in a single aggregate, which plans an Expand (2× row amplification
+    * feeding rsd-0.01 HLL registers per expanded row) — the most
+    * expensive bench line at 3.4 s vs the exact twin's 0.5 s. Instead:
+    * pre-aggregate to distinct (day, user) pairs with their event
+    * counts — the same 16-byte shuffle the exact twin pays — then per
+    * day, dau = the group's row count (exact), n_events = Σ counts, and
+    * the HLL sketch runs over the already-deduplicated user stream:
+    * approx_count_distinct is duplicate-insensitive (HLL registers are
+    * max-merged), so its estimate over distinct users is IDENTICAL to
+    * the estimate over the raw stream, and the error contract gated
+    * here is unchanged.
     */
   def dailyActiveApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
-    raw.select(graft.Shapes.ltw(graft.Shapes.eventTimeMs(raw), 86400000L).as("day"),
+    raw.select(
+        graft.Shapes.ltw(graft.Shapes.eventTimeMs(raw), 86400000L).as("day"),
         col("user_id"))
+      .groupBy("day", "user_id").agg(count(lit(1)).as("c"))
       .groupBy("day")
-      .agg(countDistinct("user_id").as("dau"),
-        approx_count_distinct(col("user_id"), 0.01).as("dau_approx"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("dau"), sum("c").as("n_events"),
+        approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
       .select(col("day"), col("dau"), col("n_events"),
         when(abs(col("dau_approx") - col("dau")) * lit(100L) <= lit(3L) * col("dau"), 1L)
           .otherwise(0L).as("approx_ok"))

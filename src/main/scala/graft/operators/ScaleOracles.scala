@@ -28,11 +28,20 @@ import graft.functions.Parity._
   * Available views: the fixture tables, `spark_out` (the query under
   * check), and `out_<query>` for every other query's output in the same
   * Verify run. A scale check may lean on `out_X` only where X itself is
-  * verified at sf1 by a full DuckDB equality oracle (the pair relations
-  * d_simhash_pairs / d_minhash_lsh_pairs / d_embedding_neardup_lsh,
-  * d_jaccard_prefix_pairs) or by its own cc check in the same run
-  * (d_dedup_clusters for the composed cluster consumers) — so trust
-  * flows from DuckDB-verified ground, never in a cycle.
+  * verified at sf1 in the same run: by a full DuckDB equality oracle
+  * (the pair relations d_simhash_pairs / d_minhash_lsh_pairs /
+  * d_embedding_neardup_lsh), by its own cc check (d_dedup_clusters for
+  * the composed cluster consumers), or — the one weaker anchor — by its
+  * own BOUNDED check: d_jaccard_prefix_pairs' equality oracle is not
+  * repeatable at sf1 (DuckDB plan instability on the exploded
+  * self-join), so d_jaccard_pairs' V1 prefix-slice comparison rests on
+  * prefix-pairs' violations check (TOTAL soundness, 1/67-sampled
+  * completeness), not on a full equality proof. Trust still flows
+  * forward only — prefix-pairs' own check reads nothing but fixture
+  * tables and its own output — and the DAG is now ENFORCED, not
+  * documented: check_scale.py topo-sorts every `out_*` reference among
+  * the bounded checks before running anything, fails on any cycle, and
+  * fails on a reference to a query that is not verified in the same run.
   *
   * The bounded checks are cross-validated where the exact oracles ARE
   * feasible: the full sf0.001 check_scale pass (94 ok) runs every
@@ -198,9 +207,10 @@ object ScaleOracles {
        |v2 AS (
        |  SELECT 'pair-arith-mismatch' AS violation, o.id_a AS a, o.id_b AS b
        |  FROM out o
-       |  JOIN q a ON a.vec_id = o.id_a
-       |  JOIN q b ON b.vec_id = o.id_b
-       |  WHERE ${dotDuck("a.v", "b.v")} <> o.dot
+       |  LEFT JOIN q a ON a.vec_id = o.id_a
+       |  LEFT JOIN q b ON b.vec_id = o.id_b
+       |  WHERE a.vec_id IS NULL OR b.vec_id IS NULL
+       |     OR ${dotDuck("a.v", "b.v")} <> o.dot
        |     OR a.norm <> o.na OR b.norm <> o.nb
        |     OR NOT (${cosineDuck("o.dot", "o.na", "o.nb")} > ${Dedup.CosThreshold})
        |     OR o.id_a >= o.id_b),

@@ -649,7 +649,18 @@ object StreamingParity {
         val target = incoming.map(_.event_time).max
         if (!armed.exists()) {
           getHandle.registerTimer(target); armed.update(target)
-        } else if (armed.get() < target) {
+        } else if (armed.get() < target &&
+            armed.get() > timers.getCurrentWatermarkInMs()) {
+          // Re-arm only while the armed timer is still in the FUTURE
+          // relative to the batch watermark. An armed timer already <=
+          // the watermark is due to fire THIS batch (input rows process
+          // before timer expiry within a micro-batch): deleting it here
+          // would defer the watermark-closed fold to the new, later
+          // target — and at stream tail those rows might never emit.
+          // Leaving it alone lets handleExpiredTimer fold the closed
+          // prefix and re-arm at the max of what remains (which includes
+          // the rows just appended), preserving the one-live-timer
+          // invariant.
           getHandle.deleteTimer(armed.get())
           getHandle.registerTimer(target); armed.update(target)
         }

@@ -98,7 +98,14 @@ def check_cc(con, check, q):
     # union rule, but only over ids seen in edges; singletons root to
     # themselves).
     want = {v: find(v) for v in verts}
-    id_col = out.columns[0]
+    # The vertex-id column by NAME (the one column that isn't the label),
+    # not by position — a column reorder in a cluster query must not turn
+    # the comparison into nonsense with a misleading failure message.
+    id_cands = [c for c in out.columns if c != "canonical_id"]
+    if "canonical_id" not in out.columns or len(id_cands) != 1:
+        q.put(("FAIL", f"cc output needs (id, canonical_id), got {list(out.columns)}"))
+        return
+    id_col = id_cands[0]
     got = dict(zip(out[id_col].tolist(), out["canonical_id"].tolist()))
     if len(got) != len(out):
         q.put(("FAIL", "duplicate vertex rows in output")); return
@@ -135,7 +142,70 @@ def run_one(sf_dir, out_dir, name, check, q):
         q.put(("FAIL", f"oracle error: {e}"))
 
 
+def trust_dag_errors(scale, verified):
+    """Enforce the ScaleOracles trust DAG before anything runs.
+
+    Every `out_<query>` reference inside a bounded check's SQL must point
+    at a query verified in the same run (`verified`), and the reference
+    graph AMONG bounded checks must be acyclic — a cycle would let two
+    checks silently certify each other. Returns a list of error strings
+    (empty = DAG ok)."""
+    import re
+    errors = []
+    deps = {}
+    for name, c in scale.items():
+        refs = set(re.findall(r"\bout_([a-z0-9_]+)", c.get("sql", "") + " "
+                              + c.get("aux", "")))
+        refs.discard(name)  # self-reference is the spark_out view, not trust
+        deps[name] = refs
+        for r in refs:
+            if r not in verified:
+                errors.append(f"{name} references out_{r}, which is not "
+                              "verified in this run")
+    # Kahn topo-sort over the bounded-check subgraph; leftovers = cycle.
+    sub = {n: {r for r in rs if r in deps} for n, rs in deps.items()}
+    ready = [n for n, rs in sub.items() if not rs]
+    seen = set()
+    while ready:
+        n = ready.pop()
+        seen.add(n)
+        for m, rs in sub.items():
+            if n in rs:
+                rs.discard(n)
+                if not rs and m not in seen:
+                    ready.append(m)
+    cyc = sorted(set(sub) - seen)
+    if cyc:
+        errors.append(f"trust cycle among bounded checks: {cyc}")
+    return errors
+
+
+def selftest():
+    """Negative control for the trust-DAG gate: a planted pair of
+    mutually-referencing bounded checks MUST be rejected, a planted
+    dangling reference MUST be rejected, and the real acyclic shape MUST
+    pass."""
+    ok_scale = {
+        "b": {"sql": "SELECT * FROM out_a", "aux": ""},
+        "c": {"sql": "SELECT * FROM out_b JOIN out_a USING (x)", "aux": ""},
+    }
+    assert trust_dag_errors(ok_scale, {"a", "b", "c"}) == [], "acyclic shape flagged"
+    cyc_scale = {
+        "b": {"sql": "SELECT * FROM out_c", "aux": ""},
+        "c": {"sql": "SELECT * FROM out_b", "aux": ""},
+    }
+    errs = trust_dag_errors(cyc_scale, {"b", "c"})
+    assert any("cycle" in e for e in errs), f"planted cycle not caught: {errs}"
+    dangling = {"b": {"sql": "SELECT * FROM out_nowhere", "aux": ""}}
+    errs = trust_dag_errors(dangling, {"b"})
+    assert any("not verified" in e for e in errs), f"dangling ref not caught: {errs}"
+    print("selftest OK: cycle and dangling-reference controls both rejected")
+
+
 def main():
+    if "--selftest" in sys.argv[1:]:
+        selftest()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
     for a in sys.argv[1:]:
@@ -144,10 +214,17 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     budget = int(args[2]) if len(args) > 2 else 300
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    full_names = set(oracle)  # the run's verified universe, pre --only
     if only is not None:
         oracle = {k: v for k, v in oracle.items() if k in only}
     scale_path = f"{out_dir}/scale_oracle_sql.json"
     scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
+    dag_errors = trust_dag_errors(
+        {k: v for k, v in scale.items() if k in oracle}, full_names)
+    if dag_errors:
+        for e in dag_errors:
+            print(f"TRUST-DAG {e}")
+        sys.exit(1)
     counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
     for name in sorted(oracle):
         if name in scale:
