@@ -42,12 +42,12 @@ object Bench {
     // fails any record whose errors list is non-empty, so a broken query
     // turns the official record red instead of silently recording the
     // wall-time of the failed attempt.
-    def emit(results: Map[String, Double], errors: Set[String]): Unit = {
+    def record(results: Map[String, Double], errors: Set[String]): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     val perRun = (1 to runs).map { _ =>
       var errors = Set.empty[String]
@@ -61,14 +61,28 @@ object Bench {
         catch { case _: Throwable => errors += name }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-      emit(results, errors)
+      println(record(results, errors))
       (results, errors)
     }
-    // Final line (the driver's official record): per-query MIN across runs.
-    if (runs > 1)
-      emit(
-        perRun.flatMap(_._1.toSeq).groupMapReduce(_._1)(_._2)(math.min),
-        perRun.flatMap(_._2).toSet)
+    // Official record: per-query MIN across runs. With 95 queries the full
+    // JSON line is ~2.5 KB — larger than the driver's 2000-char stdout
+    // tail, which is why BENCH_r09/r10 ended up "parsed": null. So the
+    // full record goes to BENCH_FULL.json (cwd = repo root under the
+    // driver's sbt invocation), and the very LAST stdout line is a compact
+    // summary — guaranteed to fit the tail and json-parse — whose "full"
+    // field names the file carrying the complete per-query map.
+    val finalResults =
+      if (runs > 1) perRun.flatMap(_._1.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+      else perRun.head._1
+    val finalErrors = perRun.flatMap(_._2).toSet
+    val full = record(finalResults, finalErrors)
+    println(full)
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    java.nio.file.Files.write(fullPath,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val errs = finalErrors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (finalResults.nonEmpty) finalResults.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalResults.size},"errors":$errs,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

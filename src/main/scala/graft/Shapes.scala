@@ -43,12 +43,15 @@ object Shapes {
 
   /** epoch-ms column from the events `ts` (parity with DuckDB epoch_ms).
     *
-    * The shared `events.parquet` stores `ts` as TIMESTAMP(NANOS), which
-    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/test sessions) — the column then arrives as
-    * epoch-nanos LongType and ms = nanos div 1e6, pure integer arithmetic.
-    * A timestamp-typed `ts` (other tables / other writers) goes through
-    * `unix_millis` instead.
+    * Dispatches on the arriving type: the live `events.parquet` stores
+    * `ts` as TIMESTAMP(MICROS) → TimestampType → `unix_millis`. Earlier
+    * fixture generations stored TIMESTAMP(NANOS), which under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
+    * sessions) arrives as epoch-nanos LongType → ms = nanos div 1e6, pure
+    * integer arithmetic. Every reader — batch and streaming — must derive
+    * event time through this dispatch, never by assuming one physical
+    * type (round-10 red test: a hardcoded nanos assumption in the file
+    * stream read micros 1000× small).
     */
   def eventTimeMs(df: DataFrame, tsCol: String = "ts"): Column = {
     import org.apache.spark.sql.types.LongType

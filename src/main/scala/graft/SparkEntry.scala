@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Salting.queries ++ Curation.queries ++ Analytics.queries ++
-      graft.multimodal.Multimodal.queries
+      NullSemantics.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++ Analytics.oracles ++
-      graft.multimodal.Multimodal.oracles
+      NullSemantics.oracles ++ graft.multimodal.Multimodal.oracles
 }

@@ -15,10 +15,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it with
-    // the legacy conf (as epoch-nanos Long — Shapes handles both
-    // representations). Runtime-settable, so set it defensively here in
-    // case the calling session (e.g. the driver's smoke harness) didn't.
+    // events.parquet carries TIMESTAMP(MICROS) in the live fixtures
+    // (arrives as TimestampType); earlier fixture generations used
+    // TIMESTAMP(NANOS), which Spark only reads with the legacy conf (as
+    // epoch-nanos Long). Shapes.eventTimeMs dispatches on whichever type
+    // arrives, so keep the conf set defensively — a no-op for micros —
+    // in case the fixture generation or calling session changes.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     spark.read.parquet(s"$sfDir/$name.parquet")

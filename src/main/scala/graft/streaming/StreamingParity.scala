@@ -13,27 +13,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
   import org.apache.spark.sql.types._
 
-  /** events.parquet schema with ts as epoch-nanos Long (requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, as everywhere else the
-    * fixture is read).
+  /** Streaming schema for events.parquet, taken from a (metadata-only)
+    * batch read of the same fixture so the two paths can never disagree
+    * about the physical `ts` type again. The live fixture carries
+    * TIMESTAMP(MICROS) → TimestampType; an epoch-nanos-Long fixture (read
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`) would arrive as
+    * LongType — `Shapes.eventTimeMs` dispatches on whichever shows up.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, sfDir: String): StructType =
+    graft.Tables.events(spark, sfDir).schema
 
   /** Streaming `(event_time ms, port, word)` shape from the fixture dir —
-    * the streaming twin of Shapes.portWordEvents.
+    * the streaming twin of Shapes.portWordEvents (same ms derivation via
+    * Shapes.eventTimeMs, so batch and stream agree by construction).
     */
-  def portWordStream(spark: SparkSession, sfDir: String): DataFrame =
+  def portWordStream(spark: SparkSession, sfDir: String): DataFrame = {
     // Glob form: FileStreamSource requires a directory basePath; the glob
     // anchors it at sfDir while matching only the events table (works
     // whether events.parquet is a single file or a directory).
-    spark.readStream.schema(eventsSchema)
+    val src = spark.readStream.schema(eventsSchema(spark, sfDir))
       .parquet(s"$sfDir/events*")
-      .select(expr("ts div 1000000").as("event_time"),
-        pmod(col("user_id"), lit(3)).cast("long").as("port"),
-        col("event_type").as("word"))
+    src.select(graft.Shapes.eventTimeMs(src).as("event_time"),
+      pmod(col("user_id"), lit(3)).cast("long").as("port"),
+      col("event_type").as("word"))
+  }
 
   /** Q2 over the file stream with day windows (Shapes.LogicTimeSlotMs) —
     * append mode; closed windows match RefQueries.q2WindowedMinComplete.

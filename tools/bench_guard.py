@@ -63,6 +63,14 @@ def load_queries(path):
             text = doc["tail"]
     except json.JSONDecodeError:
         pass
+    # Round-11+ Bench prints a compact last line whose "full" field names
+    # the file (BENCH_FULL.json) carrying the complete per-query map —
+    # follow it when the tail's own metric lines are truncated away.
+    m = re.search(r'"full":"([^"]+)"', text)
+    if m:
+        import os
+        if os.path.exists(m.group(1)):
+            return json.loads(open(m.group(1)).read())["queries"]
     lines = re.findall(r'\{"metric":.*?"queries":\{.*?\}.*?\}', text)
     if not lines:
         sys.exit(f"bench_guard: no bench metric line found in {path}")
