@@ -807,7 +807,14 @@ object Dedup {
     // The vertex set is fixed across rounds, so one up-front count decides
     // the strategy for the whole loop (labels.count() reads the checkpoint
     // blocks just materialized — cheap).
-    val smallGraph = labels.count() <= broadcastLabelLimit
+    val nVertices = labels.count()
+    if (nVertices == 0) {
+      // Empty pair relation (e.g. a corpus with no near-dups at all):
+      // nothing to propagate — and labelSum over zero rows is NULL.
+      edges.unpersist()
+      return labels
+    }
+    val smallGraph = nVertices <= broadcastLabelLimit
     def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     var prevSum = labelSum(labels)
     var converged = false
@@ -917,6 +924,127 @@ object Dedup {
 
   val dedupClustersSql: String =
     closureSql(simhashPairsSql, "SELECT doc_id FROM documents", "doc_id")
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL cluster maintenance — the day-2 path for d_dedup_clusters
+  // and the missing twin of incrementalDedup/incrementalNearDup: a new
+  // batch of documents must update the stored cluster labels WITHOUT
+  // re-running connected components over the whole corpus. Same
+  // deterministic split convention (doc_id parity: even = corpus, odd =
+  // batch).
+  //
+  // Day-1 state: the corpus label relation (CC over corpus-only pairs) —
+  // in production a stored table keyed by doc_id, here memoized per
+  // session like the other converged label relations.
+  //
+  // Day-2 work, all of it batch-proportional:
+  //   1. NEW pairs only: batch bands ⋈ ALL bands (an R-S join like
+  //      incrementalNearDup — candidate volume scales with the batch,
+  //      never corpus²; the corpus side shuffles only (doc_id, band key,
+  //      fingerprint)).
+  //   2. REDUCED graph: project every pair endpoint through the stored
+  //      labels (corpus doc → its component label, batch doc → itself)
+  //      and run CC over THAT — its vertex set is batch docs + touched
+  //      component labels, orders of magnitude smaller than the corpus.
+  //      A batch doc near-dup to two different corpus clusters correctly
+  //      MERGES them here (the case naive "assign batch to nearest
+  //      cluster" schemes get wrong).
+  //   3. One label-map join: stored labels re-point through the reduced
+  //      result; untouched clusters pass through unchanged.
+  //
+  // The output is IDENTICAL to the full recompute — the gate runs it
+  // against the same full-closure oracle as d_dedup_clusters, and
+  // PropertySpec asserts incremental ≡ full CC on random edge sets with
+  // random even/odd splits.
+  // ------------------------------------------------------------------
+  /** Labels for every vertex in `corpusLabels` ∪ vertices(`newPairs`),
+    * equal to full-graph CC labels, computed from the stored corpus
+    * labels plus only the NEW pairs. `cc` injects the components runner
+    * (the gated query passes a memoized one; specs pass
+    * [[connectedComponents]] directly).
+    *
+    * Correctness: a corpus component's stored label is the min doc_id of
+    * its members, so CC over the label-projected edges yields, per merged
+    * component, min(stored labels ∪ batch ids) = the min over ALL member
+    * ids — exactly the full-recompute canonical.
+    */
+  def incrementalLabelUpdate(
+      corpusLabels: DataFrame,
+      newPairs: DataFrame,
+      cc: DataFrame => DataFrame = connectedComponents(_)): DataFrame = {
+    val cl = corpusLabels.select(col("doc_id"), col("comp"))
+    // Project both endpoints through the stored labels (left join: batch
+    // docs and corpus docs unpaired on day 1 keep their own id).
+    val projected = newPairs.select("id_a", "id_b")
+      .join(cl.select(col("doc_id").as("id_a"), col("comp").as("la")), Seq("id_a"), "left")
+      .join(cl.select(col("doc_id").as("id_b"), col("comp").as("lb")), Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+    val merged = cc(projected) // (doc_id = projected vertex, comp = new label)
+    // Stored labels re-point through the merged result; untouched
+    // components (label absent from the reduced graph) pass through.
+    val corpusSide = cl
+      .join(merged.select(col("doc_id").as("comp"), col("comp").as("nl")), Seq("comp"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("comp")).as("comp"))
+    // Vertices of the new pairs not covered by the stored labels (batch
+    // docs, day-1-unpaired corpus docs): they were projected as
+    // themselves, so their merged label is a direct lookup.
+    val newVertices = newPairs.select(col("id_a").as("doc_id"))
+      .union(newPairs.select(col("id_b").as("doc_id"))).distinct()
+      .join(cl.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newSide = newVertices
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    corpusSide.union(newSide)
+  }
+
+  /** The gated day-2 query: cluster labels over the whole `documents`
+    * table, maintained incrementally from the parity split — result-equal
+    * to [[dedupClusters]] (same full-closure oracle gates both).
+    */
+  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhash(spark, sfDir)
+    val bandCols = (0 until SimHashBands).map(i =>
+      struct(lit(i).as("band"), expr(simhashBandSpark("simhash", i)).as("bkey")))
+    val banded = sh.withColumn("bb", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val firstBand = (0 until SimHashBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (i, rest) =>
+        when(expr(simhashBandSpark("a.simhash", i)) === expr(simhashBandSpark("b.simhash", i)),
+          lit(i)).otherwise(rest)
+    }
+    // Day-1 pairs/labels: corpus-only band self-join (the stored state).
+    val corpusBands = banded.where(col("doc_id") % 2 === 0)
+    val corpusPairs = corpusBands.as("a").join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.band") === firstBand)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
+      .where(col("hamming") <= MaxHamming)
+    val corpusLabels = memoizedLabels(spark, "simhash_corpus", sfDir)(corpusPairs)
+    // Day-2 pairs: batch bands ⋈ all bands (batch-batch ordered to emit
+    // once; batch-corpus disjoint by parity, no order guard needed).
+    val batchBands = banded.where(col("doc_id") % 2 === 1)
+    val newPairs = batchBands.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          (col("b.doc_id") % 2 === 0 || col("a.doc_id") < col("b.doc_id")))
+      .where(col("a.band") === firstBand)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
+      .where(col("hamming") <= MaxHamming)
+    val labels = incrementalLabelUpdate(corpusLabels, newPairs,
+      p => memoizedLabels(spark, "simhash_incr_reduced", sfDir)(p))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Oracle: the SAME full transitive closure that gates d_dedup_clusters
+    * — the incremental path must be indistinguishable from the recompute.
+    */
+  val incrementalClustersSql: String = dedupClustersSql
 
   /** [[dedupClusters]] with the MinHash-LSH pair source swapped in — the
     * clustering loop is pair-source-agnostic (same `(id_a, id_b)`
@@ -1039,6 +1167,7 @@ object Dedup {
     "d_embedding_neardup" -> (embeddingNearDup _),
     "d_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "d_dedup_clusters" -> (dedupClusters _),
+    "d_incremental_clusters" -> (incrementalClusters _),
     "d_cluster_sizes" -> (clusterSizes _),
     "d_modality_agreement" -> (modalityAgreement _),
     "d_minhash_clusters" -> (minhashClusters _),
@@ -1061,6 +1190,7 @@ object Dedup {
     "d_embedding_neardup" -> embeddingNearDupSql,
     "d_embedding_neardup_lsh" -> embeddingNearDupLshSql,
     "d_dedup_clusters" -> dedupClustersSql,
+    "d_incremental_clusters" -> incrementalClustersSql,
     "d_cluster_sizes" -> clusterSizesSql,
     "d_modality_agreement" -> modalityAgreementSql,
     "d_minhash_clusters" -> minhashClustersSql,

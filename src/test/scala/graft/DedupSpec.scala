@@ -171,6 +171,20 @@ class DedupSpec extends SparkSpec {
       Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L), Seq(3L, 3L)))
   }
 
+  test("incremental clusters equal the full recompute, planted and real") {
+    // Planted: doc 0 (corpus) and 1 (batch) are identical → the batch doc
+    // joins the corpus doc's cluster through the day-2 path; 2 and 3 stay
+    // singletons. Then the real sf0.001 corpus: the incremental result
+    // must be row-identical to dedupClusters (same full-closure oracle
+    // gates both at sf0.01).
+    val dir = fixture()
+    assert(rows(Dedup.incrementalClusters(spark, dir)) ===
+      rows(Dedup.dedupClusters(spark, dir)))
+    val real = "/root/testdata/sf0.001"
+    assert(rows(Dedup.incrementalClusters(spark, real)) ===
+      rows(Dedup.dedupClusters(spark, real)))
+  }
+
   /** Driver-side union-find canon: every vertex → min id of its
     * component (itself if unpaired) — the wiring contract each cluster
     * variant must satisfy over ITS OWN pair source. (PropertySpec proves

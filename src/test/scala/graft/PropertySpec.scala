@@ -76,6 +76,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental label update equals full CC on random graphs with even/odd splits") {
+    // The day-2 contract: corpus labels (CC over even-even edges) plus
+    // ONLY the new edges (any edge touching an odd vertex) must reproduce
+    // the full-graph components exactly — including the hard case where
+    // one odd vertex merges two previously-separate corpus clusters.
+    val s = spark
+    import s.implicits._
+    for (seed <- 41 to 45) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      // Dense-ish: plenty of even-even edges (day-1 clusters) and odd
+      // bridge vertices with several edges each (cluster merges).
+      val edges = (List.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+          (0 until 6).map(i => (2L * i, 2L * i + 2))) // guaranteed corpus chains
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val (corpusEdges, newEdges) = edges.partition { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+      val corpusLabels = graft.operators.Dedup.connectedComponents(
+        corpusEdges.toDF("id_a", "id_b"))
+      val got = rows(graft.operators.Dedup.incrementalLabelUpdate(
+        corpusLabels, newEdges.toDF("id_a", "id_b")))
+      // Reference: union-find over ALL edges.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = edges.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = members.map(v => Seq[Any](v,
+        members.filter(u => find(u.toInt) == find(v.toInt)).min)).toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("as-of join equals the brute-force latest-quote scan on random events") {
     for (seed <- 21 to 25) {
       val rnd = new scala.util.Random(seed)
