@@ -1,5 +1,7 @@
 package graft
 
+import graft.functions.Parity._
+import graft.operators.{Curation, Dedup, NullSemantics, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The SQL face of the reference query family: every q1–q4 shape as a
@@ -30,6 +32,12 @@ object SqlQueries {
     * through unix_millis.
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    // The graft kernels (poly_hash, word_shingle_hashes, simhash64,
+    // minhash_sigs, long_vector_dot) — the dedup/similarity texts below
+    // need them; registration is idempotent (the registry overrides).
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
@@ -63,7 +71,9 @@ object SqlQueries {
   /** Reference query name → Spark SQL text. Keys match the gated
     * `SparkEntry.queries` names, so the parity spec pairs them directly.
     */
-  val sql: Map[String, String] = Map(
+  // lazy: the map closes over `trainingSql` (declared below for
+  // readability) — laziness defers assembly until after object init.
+  lazy val sql: Map[String, String] = Map(
     "q1_min_count_per_port" ->
       """SELECT word, min(cnt) AS min_cnt FROM (
         |  SELECT word, port, count(*) AS cnt FROM graft_pw GROUP BY word, port)
@@ -185,7 +195,255 @@ object SqlQueries {
     "a_daily_active" ->
       """SELECT event_time div 86400000 AS day,
         |  count(DISTINCT user_id) AS dau, count(*) AS n_events
-        |FROM graft_events GROUP BY 1""".stripMargin)
+        |FROM graft_events GROUP BY 1""".stripMargin) ++ trainingSql
+
+  /** The training-data-pipeline families at the SQL prompt — dedup,
+    * similarity, text analysis, curation, NULL semantics (the round-8
+    * coverage gap: their kernels were SQL-registered but no texts
+    * existed). Same parity discipline as above: every expression string
+    * is the one the DataFrame twin compiles (most come straight from
+    * functions/Parity), so the two surfaces produce bit-identical rows —
+    * SqlParitySpec pins each pair.
+    */
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private val simhashBandsSql: String = (0 until SimHashBands)
+    .map(i => s"SELECT doc_id, simhash, $i AS band, ${simhashBandSpark("simhash", i)} AS bkey FROM sh")
+    .mkString("\n  UNION ALL ")
+
+  private val minhashBandsSql: String = (0 until NumBands)
+    .map(b => s"SELECT doc_id, sig, $b AS band, ${bandKeySpark("sig", b)} AS bkey FROM sigs")
+    .mkString("\n  UNION ALL ")
+
+  private val quantizedSparkSql: String =
+    s"""SELECT vec_id, v, long_vector_dot(v, v) AS norm
+       |FROM (SELECT vec_id, ${quantizeSpark("embedding")} AS v FROM embeddings)""".stripMargin
+
+  private val featureHashSparkSql: String =
+    s"""SELECT doc_id, pmod(h, ${TextAnalysis.FeatureDims}) AS dim, count(*) AS w
+       |FROM (SELECT doc_id, explode(word_shingle_hashes(text, 1, false)) AS h
+       |      FROM documents)
+       |GROUP BY doc_id, pmod(h, ${TextAnalysis.FeatureDims})""".stripMargin
+
+  private val trainingSql: Map[String, String] = Map(
+    // ---- text analysis ------------------------------------------------
+    "t_token_stats" ->
+      s"""SELECT doc_id,
+         |  size(${tokensSpark("text")}) AS n_tokens,
+         |  regexp_count(text, '[a-z]+') AS n_words,
+         |  size(array_distinct(${tokensSpark("text")})) AS n_distinct,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(${tokensSpark("text")})
+         |    AS avg_token_len
+         |FROM documents""".stripMargin,
+    "t_quality_score" ->
+      s"""SELECT doc_id, n_tokens, stop_cnt,
+         |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+         |  0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |    + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+         |    + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    size(${tokensSpark("text")}) AS n_tokens,
+         |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
+         |    size(array_distinct(${tokensSpark("text")})) AS n_distinct
+         |  FROM documents)""".stripMargin,
+    "t_lang_id" ->
+      s"""SELECT doc_id, lang, en_cnt, es_cnt, fr_cnt,
+         |  CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
+         |       WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es'
+         |       WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.EnMarkers)})) AS en_cnt,
+         |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.EsMarkers)})) AS es_cnt,
+         |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.FrMarkers)})) AS fr_cnt
+         |  FROM documents)""".stripMargin,
+    "t_fingerprint" ->
+      s"""SELECT doc_id, poly_hash(text) AS fp,
+         |  CASE WHEN size(word_shingle_hashes(text, 4, true)) = 0 THEN CAST($P AS BIGINT)
+         |       ELSE array_min(word_shingle_hashes(text, 4, true)) END AS fp_min_shingle
+         |FROM documents""".stripMargin,
+    "t_collapse_repeats" ->
+      s"""SELECT doc_id, n_tokens, size(kept) AS n_kept,
+         |  n_tokens - size(kept) AS n_collapsed,
+         |  array_join(kept, ' ') AS clean_text
+         |FROM (
+         |  SELECT doc_id, size(toks) AS n_tokens,
+         |    filter(toks, (t, i) -> CASE WHEN i = 0 THEN true
+         |      ELSE t != element_at(toks, i) END) AS kept
+         |  FROM (SELECT doc_id, ${tokensSpark("text")} AS toks FROM documents))""".stripMargin,
+    "t_feature_hash" -> featureHashSparkSql,
+    // ---- dedup --------------------------------------------------------
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM (SELECT doc_id, poly_hash(text) AS fp FROM documents)
+        |GROUP BY fp""".stripMargin,
+    "d_exact_dedup_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct
+        |FROM (SELECT source, poly_hash(text) AS fp FROM documents)
+        |GROUP BY source""".stripMargin,
+    "d_incremental_dedup" ->
+      """WITH fps AS (SELECT doc_id, poly_hash(text) AS fp FROM documents),
+        |novel AS (
+        |  SELECT b.fp, b.doc_id
+        |  FROM (SELECT * FROM fps WHERE doc_id % 2 = 1) b
+        |  LEFT ANTI JOIN (SELECT fp FROM fps WHERE doc_id % 2 = 0) c ON b.fp = c.fp)
+        |SELECT min(doc_id) AS doc_id, count(*) AS batch_dups
+        |FROM novel GROUP BY fp""".stripMargin,
+    "d_simhash" ->
+      "SELECT doc_id, simhash64(text) AS simhash FROM documents",
+    "d_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, simhash64(text) AS simhash FROM documents),
+         |bands AS (
+         |  $simhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${hammingSpark("a.simhash", "b.simhash")} AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE ${hammingSpark("a.simhash", "b.simhash")} <= ${Dedup.MaxHamming}""".stripMargin,
+    "d_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ints AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+         |FROM ints
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}""".stripMargin,
+    "d_minhash_lsh_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sig FROM (
+         |    SELECT doc_id, minhash_sigs(text, ${Dedup.ShingleW}) AS sig FROM documents)
+         |  WHERE size(sig) > 0),
+         |bands AS (
+         |  $minhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+         |    0L, (acc, x) -> acc + x) AS sig_matches
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+    "d_embedding_neardup" ->
+      s"""WITH q AS ($quantizedSparkSql)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  long_vector_dot(a.v, b.v) AS dot, a.norm AS na, b.norm AS nb
+         |FROM q a JOIN q b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSpark("long_vector_dot(a.v, b.v)", "a.norm", "b.norm")}
+         |  > CAST(${Dedup.CosThreshold} AS DOUBLE)""".stripMargin,
+    // ---- similarity search --------------------------------------------
+    "s_cosine_topk" ->
+      s"""WITH corpus AS ($quantizedSparkSql),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    long_vector_dot(q.v, c.v) AS dot,
+         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+         |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
+         |  JOIN corpus c ON q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, rnk, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    "s_lsh_bucket_stats" ->
+      s"""SELECT bucket, count(*) AS n_vectors
+         |FROM (SELECT ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql))
+         |GROUP BY bucket""".stripMargin,
+    "s_lsh_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    long_vector_dot(q.v, c.v) AS dot,
+         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+         |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
+         |  JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, rnk, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    "s_lsh_multiprobe_topk" -> {
+      val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
+         |probes AS (
+         |  SELECT vec_id, v, norm, int(bucket ^ probe) AS pbucket
+         |  FROM (SELECT *, explode(array($offsets)) AS probe
+         |        FROM corpus WHERE vec_id < ${Similarity.NumQueries})),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    long_vector_dot(q.v, c.v) AS dot,
+         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+         |  FROM probes q JOIN corpus c ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, rnk, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+    },
+    "s_text_cosine_topk" ->
+      s"""WITH fv AS ($featureHashSparkSql),
+         |norms AS (SELECT doc_id, sum(w * w) AS nrm FROM fv GROUP BY doc_id),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, sum(q.w * c.w) AS dot
+         |  FROM fv q JOIN fv c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+         |  WHERE q.doc_id < ${Similarity.NumQueries}
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id, d.dot,
+         |    ${cosineSpark("d.dot", "nq.nrm", "nc.nrm")} AS cos
+         |  FROM dots d
+         |  JOIN norms nq ON nq.doc_id = d.query_id
+         |  JOIN norms nc ON nc.doc_id = d.neighbor_id)
+         |SELECT query_id, neighbor_id, rnk, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    // ---- curation -----------------------------------------------------
+    "p_vocab_freq" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+    "p_bigram_freq" ->
+      """SELECT gram, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (
+        |  SELECT doc_id, explode(CASE WHEN size(toks) >= 2
+        |    THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))
+        |    ELSE array() END) AS gram
+        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents))
+        |GROUP BY gram""".stripMargin,
+    "p_length_trim" ->
+      """WITH bounds AS (
+        |  SELECT source, percentile(n_chars, 0.05D) AS lo, percentile(n_chars, 0.95D) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi
+        |FROM documents d JOIN bounds b ON d.source = b.source
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
+    "p_split_assign" ->
+      """SELECT doc_id, fp, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, fp, pmod(fp, 100) AS bucket
+        |      FROM (SELECT doc_id, poly_hash(text) AS fp FROM documents))""".stripMargin,
+    "p_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT sh AS eval_sh FROM sh WHERE doc_id < ${Curation.EvalSetMax})
+         |SELECT s.doc_id, count(*) AS shared_shingles
+         |FROM sh s JOIN ev ON s.sh = ev.eval_sh
+         |WHERE s.doc_id >= ${Curation.EvalSetMax}
+         |GROUP BY s.doc_id""".stripMargin,
+    // ---- NULL semantics -----------------------------------------------
+    "n_null_agg" -> NullSemantics.nullAggSparkSql,
+    "n_null_join" -> NullSemantics.nullJoinSparkSql,
+    "n_null_distinct" -> NullSemantics.nullDistinctSparkSql)
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {

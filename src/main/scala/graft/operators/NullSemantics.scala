@@ -138,6 +138,38 @@ object NullSemantics {
     s"""SELECT coalesce(k, -1) AS k_s, coalesce(v, -1) AS v_s
        |FROM (SELECT DISTINCT k, v FROM ($nullableEventsDuck))""".stripMargin
 
+  // Spark-dialect twins for the SQL face (SqlQueries): the shapes are
+  // ANSI enough that the texts mirror the DuckDB oracles nearly verbatim
+  // — which is itself the point: the same SQL must mean the same thing
+  // on both engines, NULLs included.
+  val nullAggSparkSql: String =
+    s"""SELECT coalesce(k, -1) AS key_s, count(*) AS n_rows,
+       |  count(v) AS n_nonnull,
+       |  CAST(coalesce(sum(v), -1) AS BIGINT) AS sum_v,
+       |  coalesce(min(v), -1) AS min_v,
+       |  coalesce(max(v), -1) AS max_v,
+       |  count(DISTINCT v) AS n_distinct_v
+       |FROM ($nullableEventsSpark)
+       |GROUP BY k""".stripMargin
+
+  val nullJoinSparkSql: String =
+    s"""WITH l AS ($nullableEventsSpark),
+       |r AS (
+       |  SELECT k, count(*) AS n_cust FROM (
+       |    SELECT c_custkey % 50 AS k FROM customer)
+       |  WHERE k < 40 GROUP BY k)
+       |SELECT count(*) AS n_left,
+       |  count(l.k) AS n_nonnull_key,
+       |  CAST(sum(CASE WHEN r.n_cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  CAST(sum(CASE WHEN l.k IS NOT NULL AND r.n_cust IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unmatched_nonnull,
+       |  CAST(coalesce(sum(r.n_cust), -1) AS BIGINT) AS sum_matched_cust
+       |FROM l LEFT JOIN r ON l.k = r.k""".stripMargin
+
+  val nullDistinctSparkSql: String =
+    s"""SELECT coalesce(k, -1) AS k_s, coalesce(v, -1) AS v_s
+       |FROM (SELECT DISTINCT k, v FROM ($nullableEventsSpark))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_null_agg" -> (nullAgg _),
     "n_null_join" -> (nullJoin _),

@@ -29,8 +29,12 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
-  test("the SQL surface covers the reference family plus warehouse analytics") {
-    assert(SqlQueries.sql.size >= 16)
+  test("the SQL surface covers reference, warehouse, dedup, similarity, text, curation, null families") {
+    assert(SqlQueries.sql.size >= 40)
+    Seq("q", "a", "d", "s", "t", "p", "n").foreach { fam =>
+      assert(SqlQueries.sql.keys.exists(_.startsWith(fam + "_")) ||
+        SqlQueries.sql.keys.exists(_.startsWith(fam)), s"family $fam missing")
+    }
     SqlQueries.sql.keys.foreach(n => assert(SparkEntry.queries.contains(n)))
   }
 }
