@@ -17,20 +17,23 @@ import org.apache.spark.sql.functions._
   * planted payloads go through a REAL decoder — [[PpmCodec]], a
   * pure-JVM parser for binary Netpbm (PPM `P6` / PGM `P5`),
   * [[ImageIoCodec]], the in-JDK `javax.imageio` reader for PNG and BMP,
-  * or [[WavCodec]], a pure-JVM RIFF/WAVE PCM parser — while non-planted
-  * rows take [[FakeCodec]], a clearly-marked deterministic STUB now
-  * standing in only for VIDEO decode (no pure-JVM/in-JDK video codec
-  * exists) and for opaque text payloads. The surrounding plumbing —
-  * binary schema, typed Encoders, the mapPartitions batch shape,
-  * partitioning behavior, metadata pushdown — is identical for all
-  * paths.
+  * [[WavCodec]], a pure-JVM RIFF/WAVE PCM parser, or [[GifCodec]], the
+  * in-JDK `javax.imageio` ANIMATED-GIF reader (the real multi-frame
+  * container behind frame sampling) — while non-planted rows take
+  * [[FakeCodec]], a clearly-marked deterministic STUB standing in only
+  * for opaque text payloads (a true video codec — H.264 etc. — has no
+  * pure-JVM/in-JDK decoder; the multi-frame CONTAINER path is real via
+  * GIF). The surrounding plumbing — binary schema, typed Encoders, the
+  * mapPartitions batch shape, partitioning behavior, metadata pushdown —
+  * is identical for all paths.
   *
   * The media relation is derived deterministically from `documents`
   * (bytes := utf8(text); docs ≡ 0 mod 21 carry a planted, VALID image
-  * file — cycling PPM / PNG / BMP by doc_id — and docs ≡ 1 mod 21 a
-  * planted canonical WAV, with geometry and sample/pixel ramps derived
+  * file — cycling PPM / PNG / BMP by doc_id — docs ≡ 1 mod 21 a planted
+  * canonical WAV, and docs ≡ 2 mod 21 a planted ANIMATED GIF with a real
+  * per-frame pixel ramp, with geometry and sample/pixel ramps derived
   * from doc_id), so the DuckDB oracle replicates every branch exactly
-  * and the gate exercises four real parsers across two modalities, not
+  * and the gate exercises five real parsers across three modalities, not
   * just the stub. The planted PNG is written with stored (uncompressed)
   * deflate blocks so its byte LENGTH is a closed-form function of the
   * geometry the oracle can compute; the decode side still goes through
@@ -198,6 +201,67 @@ object Multimodal {
     buf.array()
   }
 
+  /** Animated GIF89a (spec: www.w3.org/Graphics/GIF/spec-gif89a.txt):
+    * header + logical screen descriptor + 256-entry grayscale global
+    * color table, then per frame a graphic-control extension, image
+    * descriptor, and LZW data written with the standard "uncompressed
+    * GIF" scheme — a Clear code before every literal pixel code, so the
+    * code width stays 9 bits, the dictionary never grows, and the LZW
+    * byte count is the closed form ⌈9·(2wh+1)/8⌉ the oracle can compute:
+    * total bytes = 782 + F·(21 + D). Frames are tiny by construction
+    * (wh ≤ 12 ⇒ D ≤ 29 < 255 ⇒ exactly one data sub-block per frame).
+    * Palette entry i is (i,i,i), so the decoder's RGB sample sum is
+    * exactly 3·Σ indices; the index ramp is (id·23 + f·41 + i·53) mod 256
+    * per frame f, pixel i. Decode still runs the genuine `javax.imageio`
+    * GIF/LZW machinery — the writer only controls what it must read back.
+    */
+  private[graft] def syntheticGif(id: Long): Array[Byte] = {
+    val w = (2 + id % 3).toInt
+    val h = (2 + id % 2).toInt
+    val frames = (2 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    out.write(0xf7) // global color table, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    var f = 0
+    while (f < frames) {
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0)  // disposal: none, no transparency
+      u16(5)        // delay: 50 ms
+      out.write(0)  // transparent index (unused)
+      out.write(0)  // extension terminator
+      out.write(0x2c); u16(0); u16(0); u16(w); u16(h); out.write(0)
+      out.write(8)  // LZW minimum code size
+      // 9-bit codes packed LSB-first: Clear(256) before every literal,
+      // then EOI(257).
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nbits = 0
+      def code(c: Int): Unit = {
+        acc |= (c.toLong << nbits); nbits += 9
+        while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      var i = 0
+      while (i < w * h) {
+        code(256); code(((id * 23 + f.toLong * 41 + i.toLong * 53) % 256).toInt)
+        i += 1
+      }
+      code(257)
+      if (nbits > 0) data.write((acc & 0xff).toInt)
+      val db = data.toByteArray
+      out.write(db.length) // single sub-block: db.length <= 29 < 255
+      out.write(db, 0, db.length)
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** documents → media relation: payload = utf8(text), kind cycles by id;
     * planted rows (see above) swap in a real P6 payload. The projection
     * pipelines into the scan; the planted swap is one typed map at the
@@ -217,6 +281,8 @@ object Multimodal {
           m.copy(payload = plantedPayload(m.media_id))
         else if (m.media_id % PlantedEvery == 1L)
           m.copy(payload = syntheticWav(m.media_id))
+        else if (m.media_id % PlantedEvery == 2L)
+          m.copy(payload = syntheticGif(m.media_id))
         else m)
   }
 
@@ -340,11 +406,12 @@ object Multimodal {
     * dispatch keyed on payload content while the oracle keys on doc_id
     * was a latent mismatch). Planted image rows (≡0 mod 21) pick the
     * real image parser by container magic; planted audio rows (≡1) go
-    * through the real WAV parser; a planted payload that fails its
-    * parse falls to the stub, which the oracle would flag as a hash
-    * mismatch — decode bugs surface in the gate instead of silently
-    * passing. The deterministic stub now stands in only for video and
-    * for non-planted opaque text payloads.
+    * through the real WAV parser; planted video rows (≡2) through the
+    * real animated-GIF reader; a planted payload that fails its parse
+    * falls to the stub, which the oracle would flag as a hash mismatch —
+    * decode bugs surface in the gate instead of silently passing. The
+    * deterministic stub stands in only for non-planted opaque text
+    * payloads.
     */
   def decode(m: MediaFile): DecodedMedia =
     if (m.media_id % PlantedEvery == 0L)
@@ -353,7 +420,57 @@ object Multimodal {
         .getOrElse(FakeCodec.decode(m))
     else if (m.media_id % PlantedEvery == 1L)
       WavCodec.tryDecode(m).getOrElse(FakeCodec.decode(m))
+    else if (m.media_id % PlantedEvery == 2L)
+      GifCodec.tryDecode(m).getOrElse(FakeCodec.decode(m))
     else FakeCodec.decode(m)
+
+  /** REAL decoder for multi-frame (animated) GIF via the in-JDK
+    * `javax.imageio` GIF plugin: `getNumImages(true)` walks every image
+    * descriptor in the container and `read(f)` runs the genuine LZW
+    * decode per frame — this is the multi-frame container path behind
+    * frame sampling (n_frames is a real frame count, not stub
+    * arithmetic). Field mapping: width/height from frame 0, n_frames =
+    * container frame count, checksum = additive RGB sample sum across
+    * ALL frames (the multi-frame analogue of the still-image raster
+    * sum).
+    */
+  object GifCodec {
+    def tryDecode(m: MediaFile): Option[DecodedMedia] = {
+      val b = m.payload
+      if (b.length < 6 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        var w = 0L
+        var h = 0L
+        var sum = 0L
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        Some(DecodedMedia(m.media_id, m.kind, b.length.toLong, w, h, n.toLong, sum))
+      } catch { case _: Exception => None } finally iis.close()
+    }
+  }
 
   /** REAL decoder for RIFF/WAVE PCM (public canonical-wave format):
     * validates the RIFF/WAVE signature, walks the chunk list to `fmt `
@@ -482,6 +599,21 @@ object Multimodal {
        |      i -> (doc_id * 19 + i * 37) % 256)) AS BIGINT) AS checksum
        |  FROM documents WHERE doc_id % $PlantedEvery = 1
        |  UNION ALL
+       |  SELECT doc_id AS media_id, 'video' AS kind,
+       |    CAST(782 + (2 + doc_id % 4) *
+       |      (21 + (9 * (2 * (2 + doc_id % 3) * (2 + doc_id % 2) + 1) + 7) // 8)
+       |      AS BIGINT) AS n_bytes,
+       |    CAST(2 + doc_id % 3 AS BIGINT) AS width,
+       |    CAST(2 + doc_id % 2 AS BIGINT) AS height,
+       |    CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(0, CAST((2 + doc_id % 4) * (2 + doc_id % 3) * (2 + doc_id % 2) AS BIGINT)),
+       |      j -> 3 * ((doc_id * 23
+       |                 + (j // ((2 + doc_id % 3) * (2 + doc_id % 2))) * 41
+       |                 + (j % ((2 + doc_id % 3) * (2 + doc_id % 2))) * 53) % 256)))
+       |      AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % $PlantedEvery = 2
+       |  UNION ALL
        |  SELECT media_id, kind, n_bytes, width, height,
        |    CASE WHEN kind = 'video' THEN 1 + n_bytes % 240
        |         WHEN kind = 'audio' THEN 1 + n_bytes % 16
@@ -497,7 +629,8 @@ object Multimodal {
        |      ${graft.functions.Parity.charPolyHash31Duck("text")} AS checksum
        |    FROM (SELECT doc_id, text FROM documents
        |          WHERE doc_id % $PlantedEvery <> 0
-       |            AND doc_id % $PlantedEvery <> 1)))""".stripMargin
+       |            AND doc_id % $PlantedEvery <> 1
+       |            AND doc_id % $PlantedEvery <> 2)))""".stripMargin
 
   /** Resize planning: target box fit preserving aspect ratio, integer
     * arithmetic only (floor division, matching SQL `//`). The real

@@ -23,9 +23,11 @@ class MultimodalSpec extends SparkSpec {
     // doc 0 is a planted P6 (0 % 21 == 0): w=4, h=3 → 11-byte header
     // ("P6\n4 3\n255\n") + 36 raster bytes. doc 1 is a planted WAV
     // (1 % 21 == 1): 44-byte canonical header + 64 + 1 % 100 samples.
+    // doc 2 is a planted animated GIF (2 % 21 == 2): w=4, h=2, 4 frames,
+    // LZW bytes/frame D = ceil(9·17/8) = 20 → 782 + 4·(21+20) = 946.
     assert(got(0L) === ("image", 47L))
     assert(got(1L) === ("audio", (44 + 64 + 1).toLong))
-    assert(got(2L) === ("video", 4L))
+    assert(got(2L) === ("video", 946L))
     assert(got(3L) === ("image", 4L))
   }
 
@@ -171,11 +173,51 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling emits every k-th frame for video rows only") {
-    val text = "x" * 100 // video doc_id=2 → n_frames = 1 + 100 % 240 = 101
-    val dir = writeFixture(documents = Seq(doc(2, text)))
+    // doc 5: non-planted video (5 % 3 == 2, 5 % 21 == 5) → stub
+    // n_frames = 1 + 100 % 240 = 101; doc 23: planted animated GIF
+    // (23 % 21 == 2) → REAL container frame count 2 + 23 % 4 = 5, so
+    // every-8th sampling keeps frame 0 only.
+    val text = "x" * 100
+    val dir = writeFixture(documents = Seq(doc(5, text), doc(23, "replaced")))
     val frames = Multimodal.frameSampleQuery(spark, dir).collect()
-    assert(frames.forall(_.getAs[Long]("media_id") == 2L))
-    val idx = frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq
-    assert(idx === (0L until 101L by 8L).toSeq)
+    val byId = frames.groupBy(_.getAs[Long]("media_id"))
+    assert(byId.keySet === Set(5L, 23L))
+    assert(byId(5L).map(_.getAs[Long]("frame_idx")).sorted.toSeq ===
+      (0L until 101L by 8L).toSeq)
+    assert(byId(23L).map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L))
+    assert(byId(23L).head.getAs[Long]("n_frames") === 5L)
+  }
+
+  test("planted animated GIF payloads are really parsed: frames, geometry, sums") {
+    // doc 23 ≡ 2 mod 21 → GIF: w = 2+23%3 = 4, h = 2+23%2 = 3,
+    // frames = 2+23%4 = 5; codes/frame = 2·12+1 = 25 → D = ⌈225/8⌉ = 29;
+    // n_bytes = 782 + 5·(21+29) = 1032. Checksum: grayscale palette ⇒
+    // 3 × the index-ramp sum across all five frames.
+    val dir = writeFixture(documents = Seq(doc(23, "this text is replaced")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "video")
+    assert(got.getAs[Long]("width") === 4L)
+    assert(got.getAs[Long]("height") === 3L)
+    assert(got.getAs[Long]("n_frames") === 5L)
+    assert(got.getAs[Long]("n_bytes") === 1032L)
+    val wantSum = (for { f <- 0 until 5; i <- 0 until 12 }
+      yield 3L * ((23L * 23 + f.toLong * 41 + i.toLong * 53) % 256)).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("GifCodec: multi-frame roundtrip directly; junk refuses") {
+    import Multimodal.GifCodec
+    // id 44: w = 2+44%3 = 4, h = 2+44%2 = 2, frames = 2+44%4 = 2.
+    val gif = Multimodal.syntheticGif(44)
+    val d = GifCodec.tryDecode(MediaFile(44, "video", gif)).get
+    assert((d.width, d.height, d.n_frames) === (4L, 2L, 2L))
+    assert(d.n_bytes === gif.length.toLong)
+    val wantSum = (for { f <- 0 until 2; i <- 0 until 8 }
+      yield 3L * ((44L * 23 + f.toLong * 41 + i.toLong * 53) % 256)).sum
+    assert(d.checksum === wantSum)
+    // Prose that merely starts with the magic must refuse (ImageIO can't
+    // parse it), and the dispatch then stubs it.
+    val junk = MediaFile(2, "video", "GIF89a is a file format".getBytes)
+    assert(GifCodec.tryDecode(junk).isEmpty)
   }
 }
