@@ -260,6 +260,11 @@ object ScaleOracles {
     "p_curation_cascade" -> Check("equality",
       Curation.curationCascadeSqlWith(
         "SELECT doc_id, canonical_id FROM out_d_dedup_clusters")),
+    // The day-2 incremental path's whole contract is row-identity with
+    // the full recompute, and d_dedup_clusters is union-find-verified in
+    // the same run — so the composed equality IS the complete check.
+    "d_incremental_clusters" -> Check("equality",
+      "SELECT doc_id, canonical_id FROM out_d_dedup_clusters"),
     "d_jaccard_pairs" -> Check("violations", jaccardPairsCheck),
     "d_jaccard_prefix_pairs" -> Check("violations", jaccardPrefixPairsCheck),
     "d_embedding_neardup" -> Check("violations", embeddingNearDupCheck))

@@ -73,7 +73,21 @@ def load_queries(path):
             return json.loads(open(m.group(1)).read())["queries"]
     lines = re.findall(r'\{"metric":.*?"queries":\{.*?\}.*?\}', text)
     if not lines:
-        sys.exit(f"bench_guard: no bench metric line found in {path}")
+        # Last resort for pre-round-11 driver wrappers whose 2000-char
+        # tail cut the metric line's HEAD off: scrape bare "name":sec
+        # pairs from the fragment (query names all contain '_'; min per
+        # name across whatever runs are visible). Partial by nature —
+        # the guard then compares the shared subset only.
+        pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', text)
+        pairs = [(k, float(v)) for k, v in pairs if "_" in k and k != "n_queries"]
+        if not pairs:
+            sys.exit(f"bench_guard: no bench metric line found in {path}")
+        merged = {}
+        for k, v in pairs:
+            merged[k] = min(merged.get(k, v), v)
+        print(f"bench_guard: {path} tail truncated; scraped "
+              f"{len(merged)} per-query timings from the fragment")
+        return merged
     runs = [json.loads(l)["queries"] for l in lines]
     merged = {}
     for run in runs:
