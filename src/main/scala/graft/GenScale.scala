@@ -72,8 +72,16 @@ object GenScale {
         .withColumn("l_partkey", col("l_partkey") + o)
         .withColumn("l_suppkey", col("l_suppkey") + o)
     }, "lineitem")
-    val ev = r.parquet(s"$src/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same type dispatch as Shapes.eventTimeMs: an epoch-nanos-Long `ts`
+    // (old fixture generations under nanosAsLong) rewrites to micro-
+    // second timestamps; the live TIMESTAMP(MICROS) fixtures pass
+    // through unchanged — both yield identical epoch-ms on read.
+    val evRaw = r.parquet(s"$src/events.parquet")
+    val ev = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => evRaw
+    }
     write(shards(ev) { (d, o) =>
       d.withColumn("event_id", col("event_id") + o)
         .withColumn("user_id", col("user_id") + o)

@@ -226,7 +226,7 @@ object SqlQueries {
        |      FROM documents)
        |GROUP BY doc_id, pmod(h, ${TextAnalysis.FeatureDims})""".stripMargin
 
-  private val trainingSql: Map[String, String] = Map(
+  private lazy val trainingSql: Map[String, String] = Map(
     // ---- text analysis ------------------------------------------------
     "t_token_stats" ->
       s"""SELECT doc_id,
@@ -443,7 +443,192 @@ object SqlQueries {
     // ---- NULL semantics -----------------------------------------------
     "n_null_agg" -> NullSemantics.nullAggSparkSql,
     "n_null_join" -> NullSemantics.nullJoinSparkSql,
-    "n_null_distinct" -> NullSemantics.nullDistinctSparkSql)
+    "n_null_distinct" -> NullSemantics.nullDistinctSparkSql) ++ eventAnalyticsSql
+
+  /** The event/warehouse analytics that were still DataFrame-only at the
+    * SQL prompt: windowed/sessionized event shapes over the
+    * `graft_events` ms-adapted view, the TPC-H Q3/Q4-shaped warehouse
+    * queries, and the as-of join in its window-carry form (Spark has no
+    * native ASOF JOIN — this text IS the documented composition).
+    */
+  private lazy val eventAnalyticsSql: Map[String, String] = Map(
+    "a_top_customers" ->
+      s"""SELECT c_mktsegment, rnk, c_custkey, revenue, n_orders FROM (
+         |  SELECT c.c_mktsegment, c.c_custkey,
+         |    CAST(r.revenue_dec AS DOUBLE) AS revenue, r.n_orders,
+         |    row_number() OVER (PARTITION BY c.c_mktsegment
+         |      ORDER BY r.revenue_dec DESC, c.c_custkey) AS rnk
+         |  FROM (
+         |    SELECT o_custkey,
+         |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue_dec,
+         |      count(*) AS n_orders
+         |    FROM orders GROUP BY o_custkey) r
+         |  JOIN customer c ON r.o_custkey = c.c_custkey)
+         |WHERE rnk <= ${graft.operators.Analytics.TopN}""".stripMargin,
+    "a_revenue_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)""".stripMargin,
+    "a_shipping_priority" -> {
+      val cut = graft.operators.Analytics.ShipCutoff
+      s"""SELECT l_orderkey, unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms,
+         |  o_orderpriority, CAST(revenue_dec AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         |      AS DECIMAL(38,4)) AS revenue_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '$cut'
+         |    AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '$cut'
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY revenue_dec DESC, l_orderkey
+         |LIMIT 10""".stripMargin
+    },
+    "a_order_priority_late" ->
+      s"""SELECT o_orderpriority, count(*) AS n_late_orders
+         |FROM orders o
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |    AND l.l_shipdate > o.o_orderdate + INTERVAL ${graft.operators.Analytics.LateDays} DAY)
+         |GROUP BY o_orderpriority""".stripMargin,
+    "a_sessionize" ->
+      s"""WITH ev AS (SELECT event_time AS t, user_id FROM graft_events),
+         |flagged AS (
+         |  SELECT user_id, t,
+         |    CASE WHEN lt IS NULL OR t - lt > ${graft.operators.Analytics.SessionGapMs}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM (SELECT user_id, t,
+         |          lag(t) OVER (PARTITION BY user_id ORDER BY t) AS lt
+         |        FROM ev)),
+         |s AS (
+         |  SELECT user_id, t,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t) AS sid
+         |  FROM flagged)
+         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+         |  max(t) - min(t) AS duration_ms, count(*) AS n_events
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "a_quantiles" ->
+      """SELECT l_returnflag, CAST(p AS BIGINT) AS q_idx, v AS q_val
+        |FROM (
+        |  SELECT l_returnflag, percentile(q, array(0.25D, 0.5D, 0.75D)) AS qs
+        |  FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |LATERAL VIEW posexplode(qs) t AS p, v""".stripMargin,
+    "a_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_time AS tms, event_type FROM graft_events),
+        |v AS (SELECT user_id, min(tms) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tms) AS t2 FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tms >= v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tms) AS t3 FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tms >= c.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin,
+    "a_funnel_windowed" -> {
+      val win = graft.operators.Analytics.FunnelWindowMs
+      s"""WITH ev AS (
+         |  SELECT user_id, event_time AS tms, event_type FROM graft_events),
+         |v AS (SELECT user_id, min(tms) AS t1 FROM ev
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.tms) AS t2 FROM ev e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.tms >= v.t1
+         |        AND e.tms <= v.t1 + $win GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.tms) AS t3 FROM ev e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.tms >= c.t2
+         |        AND e.tms <= c.t2 + $win GROUP BY e.user_id)
+         |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, count(*) AS n_users FROM v
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin
+    },
+    "a_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, event_time div 86400000 AS day FROM graft_events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM days d JOIN first f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "a_moving_window" ->
+      s"""SELECT user_id, tms, x,
+         |  sum(x) OVER w AS win_sum,
+         |  count(*) OVER w AS win_n,
+         |  CAST(sum(x) OVER w AS DOUBLE) / (count(*) OVER w) AS win_avg
+         |FROM (SELECT user_id, event_time AS tms,
+         |        CAST(floor(value) AS BIGINT) AS x FROM graft_events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+         |  RANGE BETWEEN ${graft.operators.Analytics.MovingWindowMs} PRECEDING AND CURRENT ROW)""".stripMargin,
+    "a_json_extract" ->
+      """SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value) AS BIGINT)) AS sum_x
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    "a_event_deltas" ->
+      """SELECT user_id, event_id, tms, x, tms - prev_tms AS dt, x - prev_x AS dx
+        |FROM (
+        |  SELECT user_id, event_id, tms, x,
+        |    lag(tms) OVER w AS prev_tms, lag(x) OVER w AS prev_x
+        |  FROM (SELECT user_id, event_id, event_time AS tms,
+        |          CAST(floor(value) AS BIGINT) AS x FROM graft_events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+        |WHERE prev_tms IS NOT NULL""".stripMargin,
+    "a_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS x FROM events),
+        |stats AS (
+        |  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+        |  FROM ev GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.x, st.n
+        |FROM ev e JOIN stats st USING (user_id)
+        |WHERE (e.x * st.n - st.s) * (e.x * st.n - st.s) >
+        |  4 * (st.n * st.q - st.s * st.s)""".stripMargin,
+    "a_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_time AS t, user_id,
+        |    CAST(floor(value) AS BIGINT) AS x,
+        |    event_id % 2 = 0 AS kind
+        |  FROM graft_events),
+        |carried AS (
+        |  SELECT user_id, event_id, t, kind,
+        |    last(CASE WHEN NOT kind THEN event_id END) IGNORE NULLS OVER w AS quote_id,
+        |    last(CASE WHEN NOT kind THEN x END) IGNORE NULLS OVER w AS quote_x
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS trade_id, t AS trade_t, quote_id, quote_x
+        |FROM carried WHERE kind AND quote_id IS NOT NULL""".stripMargin,
+    "a_interval_join" -> {
+      val w = graft.operators.Analytics.ContextWindowMs
+      s"""WITH ev AS (SELECT event_id, event_time AS t, value FROM graft_events),
+         |probe AS (SELECT event_id, t, t div $w AS bin FROM ev),
+         |anchors AS (
+         |  SELECT anchor_id, a_t, explode(array(b0, b0 + 1)) AS jbin
+         |  FROM (SELECT event_id AS anchor_id, t AS a_t, t div $w AS b0
+         |        FROM ev WHERE value >= ${graft.operators.Analytics.AnchorMinValue}))
+         |SELECT a.anchor_id, p.event_id, p.t - a.a_t AS delta_ms
+         |FROM probe p JOIN anchors a
+         |  ON p.bin = a.jbin AND p.t >= a.a_t AND p.t < a.a_t + $w
+         |  AND p.event_id <> a.anchor_id""".stripMargin
+    },
+    "a_daily_active_approx" ->
+      """WITH pairs AS (
+        |  SELECT event_time div 86400000 AS day, user_id, count(*) AS c
+        |  FROM graft_events GROUP BY 1, 2)
+        |SELECT day, count(*) AS dau, sum(c) AS n_events,
+        |  CASE WHEN abs(approx_count_distinct(user_id, 0.01D) - count(*)) * 100
+        |            <= 3 * count(*)
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS approx_ok
+        |FROM pairs GROUP BY day""".stripMargin)
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
