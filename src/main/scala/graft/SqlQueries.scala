@@ -226,6 +226,28 @@ object SqlQueries {
        |      FROM documents)
        |GROUP BY doc_id, pmod(h, ${TextAnalysis.FeatureDims})""".stripMargin
 
+  /** Spark-dialect quality-score relation, shared by t_quality_score and
+    * its curation consumers below (same sharing the oracle side does via
+    * TextAnalysis.qualityScoreSql).
+    */
+  private lazy val qualityScoreSparkSql: String =
+    s"""SELECT doc_id, n_tokens, stop_cnt,
+       |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       |  0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |    + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+       |    + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    size(${tokensSpark("text")}) AS n_tokens,
+       |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
+       |    size(array_distinct(${tokensSpark("text")})) AS n_distinct
+       |  FROM documents)""".stripMargin
+
+  private lazy val shingleRelSparkSql: String =
+    s"""SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
+       |FROM documents""".stripMargin
+
   private lazy val trainingSql: Map[String, String] = Map(
     // ---- text analysis ------------------------------------------------
     "t_token_stats" ->
@@ -236,19 +258,7 @@ object SqlQueries {
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(${tokensSpark("text")})
          |    AS avg_token_len
          |FROM documents""".stripMargin,
-    "t_quality_score" ->
-      s"""SELECT doc_id, n_tokens, stop_cnt,
-         |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
-         |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
-         |  0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-         |    + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
-         |    + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score
-         |FROM (
-         |  SELECT doc_id,
-         |    size(${tokensSpark("text")}) AS n_tokens,
-         |    size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
-         |    size(array_distinct(${tokensSpark("text")})) AS n_distinct
-         |  FROM documents)""".stripMargin,
+    "t_quality_score" -> qualityScoreSparkSql,
     "t_lang_id" ->
       s"""SELECT doc_id, lang, en_cnt, es_cnt, fr_cnt,
          |  CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
@@ -628,7 +638,98 @@ object SqlQueries {
         |  CASE WHEN abs(approx_count_distinct(user_id, 0.01D) - count(*)) * 100
         |            <= 3 * count(*)
         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS approx_ok
-        |FROM pairs GROUP BY day""".stripMargin)
+        |FROM pairs GROUP BY day""".stripMargin) ++ longTailSql
+
+  /** The corpus-diagnostic long tail: shingle-df repetition/novelty and
+    * the mix/quality curation accounting — the last DataFrame-only
+    * members of their families with straightforward SQL forms.
+    */
+  private lazy val longTailSql: Map[String, String] = Map(
+    "d_dup_shingle_stats" ->
+      s"""WITH sh AS ($shingleRelSparkSql),
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  CAST(n_shared AS DOUBLE) / n_shingles AS dup_frac,
+         |  n_shared * 10 > n_shingles * 3 AS flagged
+         |FROM (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN d.df > 1 THEN 1L ELSE 0L END) AS n_shared
+         |  FROM sh s JOIN dfreq d ON s.sh = d.sh
+         |  GROUP BY s.doc_id)""".stripMargin,
+    "d_shingle_novelty" ->
+      s"""WITH sh AS ($shingleRelSparkSql),
+         |first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  CAST(n_novel AS DOUBLE) / n_shingles AS novel_frac
+         |FROM (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN f.first_doc = s.doc_id THEN 1L ELSE 0L END) AS n_novel
+         |  FROM sh s JOIN first_seen f ON s.sh = f.sh
+         |  GROUP BY s.doc_id)""".stripMargin,
+    "p_source_overlap" ->
+      """WITH sf AS (
+        |  SELECT DISTINCT source, poly_hash(text) AS fp FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "p_top_quality" ->
+      s"""SELECT source, rk, doc_id, quality_score
+         |FROM (
+         |  SELECT d.source, q.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality_score DESC, q.doc_id) AS rk
+         |  FROM ($qualityScoreSparkSql) q
+         |  JOIN (SELECT doc_id, source FROM documents) d ON q.doc_id = d.doc_id)
+         |WHERE rk <= ${Curation.QualityTopK}""".stripMargin,
+    "p_mix_weights" ->
+      s"""SELECT source, n_docs, n_tokens, total_tokens,
+         |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    CAST(total_tokens div n_sources AS DOUBLE) / n_tokens) AS sample_ratio
+         |FROM (
+         |  SELECT source, n_docs, n_tokens,
+         |    sum(n_tokens) OVER () AS total_tokens,
+         |    count(*) OVER () AS n_sources
+         |  FROM (
+         |    SELECT source, count(*) AS n_docs,
+         |      sum(CAST(size(${tokensSpark("text")}) AS BIGINT)) AS n_tokens
+         |    FROM documents
+         |    GROUP BY source))""".stripMargin,
+    "p_mix_sample" -> {
+      val m = Curation.MixHashMod
+      s"""WITH t AS (
+         |  SELECT source AS t_source,
+         |    least($m, (total_tokens div n_sources) * $m div src_tokens)
+         |      AS keep_thresh
+         |  FROM (
+         |    SELECT source, src_tokens,
+         |      sum(src_tokens) OVER () AS total_tokens,
+         |      count(*) OVER () AS n_sources
+         |    FROM (
+         |      SELECT source,
+         |        sum(CAST(size(${tokensSpark("text")}) AS BIGINT)) AS src_tokens
+         |      FROM documents
+         |      GROUP BY source)))
+         |SELECT doc_id, source, keep_thresh
+         |FROM (SELECT doc_id, source, poly_hash(text) AS fp FROM documents) d
+         |JOIN t ON d.source = t.t_source
+         |WHERE pmod(fp, $m) < keep_thresh""".stripMargin
+    },
+    "p_quality_dup_calibration" ->
+      s"""WITH q AS ($qualityScoreSparkSql),
+         |buckets AS (
+         |  SELECT doc_id, least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bucket
+         |  FROM q),
+         |fps AS (SELECT doc_id, poly_hash(text) AS fp FROM documents),
+         |dup_fps AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+         |dup_docs AS (
+         |  SELECT doc_id, 1L AS is_dup FROM fps
+         |  WHERE fp IN (SELECT fp FROM dup_fps))
+         |SELECT bucket, count(*) AS n_docs,
+         |  sum(coalesce(is_dup, 0L)) AS n_dup_docs,
+         |  CAST(sum(coalesce(is_dup, 0L)) AS DOUBLE) / count(*) AS dup_rate
+         |FROM buckets LEFT JOIN dup_docs USING (doc_id)
+         |GROUP BY bucket""".stripMargin)
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
