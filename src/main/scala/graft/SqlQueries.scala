@@ -248,6 +248,35 @@ object SqlQueries {
     s"""SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
        |FROM documents""".stripMargin
 
+  private lazy val cosineTopKSparkSql: String =
+    s"""WITH corpus AS ($quantizedSparkSql),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    long_vector_dot(q.v, c.v) AS dot,
+       |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+       |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
+       |  JOIN corpus c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
+  private lazy val lshTopKSparkSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    long_vector_dot(q.v, c.v) AS dot,
+       |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+       |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
+       |  JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
   private lazy val trainingSql: Map[String, String] = Map(
     // ---- text analysis ------------------------------------------------
     "t_token_stats" ->
@@ -347,37 +376,12 @@ object SqlQueries {
          |WHERE ${cosineSpark("long_vector_dot(a.v, b.v)", "a.norm", "b.norm")}
          |  > CAST(${Dedup.CosThreshold} AS DOUBLE)""".stripMargin,
     // ---- similarity search --------------------------------------------
-    "s_cosine_topk" ->
-      s"""WITH corpus AS ($quantizedSparkSql),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    long_vector_dot(q.v, c.v) AS dot,
-         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
-         |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
-         |  JOIN corpus c ON q.vec_id <> c.vec_id)
-         |SELECT query_id, neighbor_id, rnk, dot FROM (
-         |  SELECT query_id, neighbor_id, dot,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    "s_cosine_topk" -> cosineTopKSparkSql,
     "s_lsh_bucket_stats" ->
       s"""SELECT bucket, count(*) AS n_vectors
          |FROM (SELECT ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql))
          |GROUP BY bucket""".stripMargin,
-    "s_lsh_topk" ->
-      s"""WITH corpus AS (
-         |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    long_vector_dot(q.v, c.v) AS dot,
-         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
-         |  FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
-         |  JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-         |SELECT query_id, neighbor_id, rnk, dot FROM (
-         |  SELECT query_id, neighbor_id, dot,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    "s_lsh_topk" -> lshTopKSparkSql,
     "s_lsh_multiprobe_topk" -> {
       val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString(", ")
       s"""WITH corpus AS (
@@ -643,8 +647,63 @@ object SqlQueries {
   /** The corpus-diagnostic long tail: shingle-df repetition/novelty and
     * the mix/quality curation accounting — the last DataFrame-only
     * members of their families with straightforward SQL forms.
+    *
+    * Deliberately NOT given SQL texts (DataFrame-only by design):
+    * the cluster family (`d_*_clusters`, `d_cluster_sizes`,
+    * `d_canonical_stats`, `p_curation_cascade`) — connected components
+    * is a driver-controlled iteration and Spark SQL has no recursive
+    * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`) — iterative
+    * training, same reason; the multimodal family (`m_*`) — binary
+    * decode through typed mapPartitions codecs, not expressible as a
+    * SQL projection; and the plan-demonstration twins
+    * (`q3_windowed_count_salted`, `a_moving_window_bucketed`,
+    * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
+    * `s_text_lsh_topk`, `p_pack_sequences`, `p_stratified_sample`,
+    * `a_profile`, `a_timeseries_similarity`, `q3_skew_stats*`,
+    * `d_incremental_*`) whose value is a specific physical plan or a
+    * long expr pipeline the Column form already states more clearly —
+    * their SEMANTIC twins (the unsalted/unbucketed/brute-force forms)
+    * all have SQL texts above.
     */
   private lazy val longTailSql: Map[String, String] = Map(
+    "s_lsh_recall" ->
+      s"""WITH exact AS ($cosineTopKSparkSql),
+         |approx AS ($lshTopKSparkSql)
+         |SELECT e.query_id, count(*) AS k,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1L ELSE 0L END) AS hits
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
+    "d_minhash_jaccard_eval" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sig FROM (
+         |    SELECT doc_id, minhash_sigs(text, ${Dedup.ShingleW}) AS sig FROM documents)
+         |  WHERE size(sig) > 0),
+         |bands AS (
+         |  $minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+         |      0L, (acc, x) -> acc + x) AS sig_matches
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleRelSparkSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ints AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cands c
+         |  JOIN sh x ON x.doc_id = c.id_a
+         |  JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT c.id_a, c.id_b, c.sig_matches,
+         |  coalesce(i.i, 0L) AS inter,
+         |  sa.n + sb.n - coalesce(i.i, 0L) AS uni,
+         |  CAST(c.sig_matches AS DOUBLE) / ${NumHashes} AS est_j,
+         |  CAST(coalesce(i.i, 0L) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0L)) AS true_j
+         |FROM cands c
+         |LEFT JOIN ints i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin,
     "d_dup_shingle_stats" ->
       s"""WITH sh AS ($shingleRelSparkSql),
          |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
