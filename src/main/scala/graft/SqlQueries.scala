@@ -457,7 +457,8 @@ object SqlQueries {
     // ---- NULL semantics -----------------------------------------------
     "n_null_agg" -> NullSemantics.nullAggSparkSql,
     "n_null_join" -> NullSemantics.nullJoinSparkSql,
-    "n_null_distinct" -> NullSemantics.nullDistinctSparkSql) ++ eventAnalyticsSql
+    "n_null_distinct" -> NullSemantics.nullDistinctSparkSql,
+    "n_null_safe_eq" -> NullSemantics.nullSafeEqSparkSql) ++ eventAnalyticsSql
 
   /** The event/warehouse analytics that were still DataFrame-only at the
     * SQL prompt: windowed/sessionized event shapes over the

@@ -170,13 +170,47 @@ object NullSemantics {
     s"""SELECT coalesce(k, -1) AS k_s, coalesce(v, -1) AS v_s
        |FROM (SELECT DISTINCT k, v FROM ($nullableEventsSpark))""".stripMargin
 
+  // ------------------------------------------------------------------
+  // NULL-SAFE equality — the deliberate opposite of the join above:
+  // Spark's `<=>` and DuckDB's `IS NOT DISTINCT FROM` treat NULL as a
+  // matchable value, so the NULL-key rows that n_null_join dropped now
+  // pair with each other. Self-join of the distinct key relation under
+  // both operators in one result: n_eq (plain =) must exclude the NULL
+  // key, n_nullsafe_eq must include it — the gate pins that both
+  // engines' null-safe operator means the same thing.
+  // ------------------------------------------------------------------
+  def nullSafeEq(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = nullableEvents(spark, sfDir).select("k").distinct()
+    val eq = keys.as("a").join(keys.as("b"), col("a.k") === col("b.k"))
+      .agg(count(lit(1)).as("n")).select(col("n").as("n_eq"))
+    val nse = keys.as("a").join(keys.as("b"), col("a.k") <=> col("b.k"))
+      .agg(count(lit(1)).as("n")).select(col("n").as("n_nullsafe_eq"))
+    eq.crossJoin(nse)
+  }
+
+  val nullSafeEqSql: String =
+    s"""WITH keys AS (SELECT DISTINCT k FROM ($nullableEventsDuck)),
+       |eq AS (SELECT count(*) AS n_eq FROM keys a JOIN keys b ON a.k = b.k),
+       |nse AS (SELECT count(*) AS n_nullsafe_eq
+       |        FROM keys a JOIN keys b ON a.k IS NOT DISTINCT FROM b.k)
+       |SELECT n_eq, n_nullsafe_eq FROM eq CROSS JOIN nse""".stripMargin
+
+  val nullSafeEqSparkSql: String =
+    s"""WITH keys AS (SELECT DISTINCT k FROM ($nullableEventsSpark)),
+       |eq AS (SELECT count(*) AS n_eq FROM keys a JOIN keys b ON a.k = b.k),
+       |nse AS (SELECT count(*) AS n_nullsafe_eq
+       |        FROM keys a JOIN keys b ON a.k <=> b.k)
+       |SELECT n_eq, n_nullsafe_eq FROM eq CROSS JOIN nse""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_null_agg" -> (nullAgg _),
     "n_null_join" -> (nullJoin _),
-    "n_null_distinct" -> (nullDistinct _))
+    "n_null_distinct" -> (nullDistinct _),
+    "n_null_safe_eq" -> (nullSafeEq _))
 
   val oracles: Map[String, String] = Map(
     "n_null_agg" -> nullAggSql,
     "n_null_join" -> nullJoinSql,
-    "n_null_distinct" -> nullDistinctSql)
+    "n_null_distinct" -> nullDistinctSql,
+    "n_null_safe_eq" -> nullSafeEqSql)
 }

@@ -58,6 +58,13 @@ class NullSemanticsSpec extends SparkSpec {
       Seq(10L, 7L), Seq(45L, 3L), Seq(20L, -1L)))
   }
 
+  test("null-safe equality matches NULL keys where plain equality drops them") {
+    // Distinct keys on the fixture: {null, 10, 45, 20}. Plain = self-join
+    // pairs only the 3 non-null keys (3 rows); <=> also pairs null with
+    // null (4 rows).
+    assert(rows(NullSemantics.nullSafeEq(spark, dir)) === Set(Seq(3L, 4L)))
+  }
+
   test("every null-semantics query is gated (queries + oracle SQL)") {
     NullSemantics.queries.keys.foreach { n =>
       assert(SparkEntry.queries.contains(n))
