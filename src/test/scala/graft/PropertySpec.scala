@@ -111,6 +111,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental label updates COMPOSE: day-3 over day-2 output equals full CC") {
+    // The production property behind iterated maintenance: the label
+    // relation produced by one incremental update is valid stored state
+    // for the next batch, because its labels are true min-id component
+    // labels of the graph so far. Random edges split three ways (corpus,
+    // batch A, batch B); two chained updates must equal one full CC.
+    val s = spark
+    import s.implicits._
+    for (seed <- 46 to 50) {
+      val rnd = new scala.util.Random(seed)
+      val n = 36
+      val edges = (List.fill(28)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+          (0 until 5).map(i => (3L * i, 3L * i + 3))) // guaranteed corpus chains
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // corpus = both ids ≡ 0 (mod 3); batch A touches ≡ 1; batch B the rest.
+      val (corpusEdges, rest) = edges.partition { case (a, b) => a % 3 == 0 && b % 3 == 0 }
+      val (batchA, batchB) = rest.partition { case (a, b) => a % 3 == 1 || b % 3 == 1 }
+      val day1 = graft.operators.Dedup.connectedComponents(
+        corpusEdges.toDF("id_a", "id_b"))
+      val day2 = graft.operators.Dedup.incrementalLabelUpdate(
+        day1, batchA.toDF("id_a", "id_b"))
+      val day3 = graft.operators.Dedup.incrementalLabelUpdate(
+        day2, batchB.toDF("id_a", "id_b"))
+      val got = rows(day3)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = edges.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = members.map(v => Seq[Any](v,
+        members.filter(u => find(u.toInt) == find(v.toInt)).min)).toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("as-of join equals the brute-force latest-quote scan on random events") {
     for (seed <- 21 to 25) {
       val rnd = new scala.util.Random(seed)
