@@ -117,4 +117,58 @@ object Bucketing {
         Seq("bkey"))
       .select("batch_id", "corpus_id").distinct()
   }
+
+  // ------------------------------------------------------------------
+  // The SAME layout lever for day-2 CLUSTER maintenance
+  // (Dedup.incrementalClustersSplit): its one expensive step is the
+  // batch-bands ⋈ corpus-bands simhash probe, so the corpus's
+  // (corpus_id, folded band key, simhash) index persisted bucketed by
+  // the band key makes that probe corpus-shuffle-free too — the
+  // fingerprint rides along for the in-join Hamming verify, which
+  // filters joined rows and costs no extra exchange.
+  // ------------------------------------------------------------------
+  /** Folded simhash band rows: bkey = bandValue·SimHashBands + band
+    * (< 2¹⁷) — one join key equal to the bucket key, same reasoning as
+    * [[bandRows]].
+    */
+  private def simhashBandRows(sh: DataFrame, idName: String,
+      simhashName: String): DataFrame =
+    (0 until Parity.SimHashBands).map(i =>
+      sh.select(col("doc_id").as(idName),
+        (expr(Parity.simhashBandSpark("simhash", i)) * Parity.SimHashBands + i)
+          .as("bkey"),
+        col("simhash").as(simhashName)))
+      .reduce(_ union _)
+
+  /** Writes the parity-corpus simhash band index bucketed+sorted by bkey. */
+  def writeSimhashBandIndex(spark: SparkSession, sfDir: String, location: String,
+      table: String): Unit =
+    simhashBandRows(Dedup.simhash(spark, sfDir)
+        .where(col("doc_id") % 2 === 0), "corpus_id", "c_simhash")
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "bkey").sortBy("bkey")
+      .option("path", s"$location/$table")
+      .saveAsTable(table)
+
+  /** Verified batch→corpus near-dup pairs via the bucketed simhash index —
+    * the day-2 cluster probe's NEW-pair relation (batch-corpus arm),
+    * Hamming-verified in the join output.
+    */
+  def bucketedSimhashProbe(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    simhashBandRows(Dedup.simhash(spark, sfDir)
+        .where(col("doc_id") % 2 === 1), "batch_id", "b_simhash").hint("merge")
+      .join(spark.table(table), Seq("bkey"))
+      .where(expr(Parity.hammingSpark("b_simhash", "c_simhash")) <= Dedup.MaxHamming)
+      .select("batch_id", "corpus_id").distinct()
+
+  /** Same verified pairs over the raw relations — the shuffling baseline. */
+  def unbucketedSimhashProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.simhash(spark, sfDir)
+    simhashBandRows(sh.where(col("doc_id") % 2 === 1), "batch_id", "b_simhash")
+      .hint("merge")
+      .join(simhashBandRows(sh.where(col("doc_id") % 2 === 0), "corpus_id", "c_simhash"),
+        Seq("bkey"))
+      .where(expr(Parity.hammingSpark("b_simhash", "c_simhash")) <= Dedup.MaxHamming)
+      .select("batch_id", "corpus_id").distinct()
+  }
 }

@@ -70,4 +70,26 @@ class BucketingSpec extends SparkSpec {
         s"baseline sanity: the raw probe shuffles the corpus side too:\n${plain.queryExecution.executedPlan}")
     } finally s.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("bucketed simhash band index: the day-2 CLUSTER probe never shuffles the corpus") {
+    // Same layout lever applied to incremental cluster maintenance: the
+    // new-pair probe (its one expensive step) reads the corpus band
+    // index in place, Hamming verify included.
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val loc = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    val t = "graft_simhash_band_index"
+    try {
+      Bucketing.writeSimhashBandIndex(s, sfDir, loc, t)
+      val bucketed = Bucketing.bucketedSimhashProbe(s, sfDir, t)
+      val plain = Bucketing.unbucketedSimhashProbe(s, sfDir)
+      assert(rows(bucketed) === rows(plain))
+      assert(rows(bucketed).nonEmpty)
+      bucketed.collect(); plain.collect()
+      assert(shuffleCount(bucketed) === 2,
+        s"bucketed cluster probe must not shuffle the corpus index:\n${bucketed.queryExecution.executedPlan}")
+      assert(shuffleCount(plain) === 3,
+        s"baseline sanity: the raw cluster probe shuffles the corpus side too:\n${plain.queryExecution.executedPlan}")
+    } finally s.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
