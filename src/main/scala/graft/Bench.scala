@@ -42,12 +42,17 @@ object Bench {
     // fails any record whose errors list is non-empty, so a broken query
     // turns the official record red instead of silently recording the
     // wall-time of the failed attempt.
+    // run_id ties the compact stdout summary to the BENCH_FULL.json it
+    // points at: the full file is overwritten every run, so the guard
+    // refuses a pointer whose run_id differs from the pointed file's
+    // (round-11 advice — a stale pointer made the guard self-compare).
+    val runId = s"${System.currentTimeMillis()}-${ProcessHandle.current().pid()}"
     def record(results: Map[String, Double], errors: Set[String]): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","run_id":"$runId"}"""
     }
     val perRun = (1 to runs).map { _ =>
       var errors = Set.empty[String]
@@ -77,12 +82,24 @@ object Bench {
     val finalErrors = perRun.flatMap(_._2).toSet
     val full = record(finalResults, finalErrors)
     println(full)
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    // Anchor the full-record path: cwd-relative broke under launchers with
+    // a different working directory (the committed record and the stdout
+    // pointer silently diverged). SPARK_GRAFT_BENCH_OUT overrides; default
+    // is the repo root, falling back to cwd only if the repo root is
+    // absent (e.g. running from a checkout elsewhere).
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val repoRoot = java.nio.file.Paths.get("/root/repo")
+        if (java.nio.file.Files.isDirectory(repoRoot))
+          repoRoot.resolve("BENCH_FULL.json")
+        else java.nio.file.Paths.get("BENCH_FULL.json")
+      }
     java.nio.file.Files.write(fullPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val errs = finalErrors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (finalResults.nonEmpty) finalResults.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalResults.size},"errors":$errs,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalResults.size},"errors":$errs,"sf":"$sfDir","run_id":"$runId","full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

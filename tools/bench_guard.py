@@ -64,13 +64,36 @@ def load_queries(path):
     except json.JSONDecodeError:
         pass
     # Round-11+ Bench prints a compact last line whose "full" field names
-    # the file (BENCH_FULL.json) carrying the complete per-query map —
-    # follow it when the tail's own metric lines are truncated away.
-    m = re.search(r'"full":"([^"]+)"', text)
+    # the file (BENCH_FULL.json) carrying the complete per-query map.
+    # That file is MUTABLE — each Bench run overwrites it — so a pointer
+    # inside an OLD round record may now name a NEWER run's data
+    # (round-11 advice: following it blindly made the guard compare the
+    # new run to itself and pass unconditionally). Follow the pointer
+    # only when the pointed file provably matches the compact summary it
+    # came from: same run_id when both carry one, else same n_queries AND
+    # total (±0.05s). On mismatch, fall through to scraping the tail.
+    m = re.search(r'\{[^{}]*"full":"([^"]+)"[^{}]*\}', text)
     if m:
         import os
         if os.path.exists(m.group(1)):
-            return json.loads(open(m.group(1)).read())["queries"]
+            try:
+                summary = json.loads(m.group(0))
+                full_doc = json.loads(open(m.group(1)).read())
+                sid, fid = summary.get("run_id"), full_doc.get("run_id")
+                if sid is not None and fid is not None:
+                    ok = sid == fid
+                else:
+                    ok = (summary.get("n_queries") == len(full_doc["queries"])
+                          and abs(summary.get("value", -1)
+                                  - sum(full_doc["queries"].values())) < 0.05)
+                if ok:
+                    return full_doc["queries"]
+                print(f"bench_guard: {path} points at {m.group(1)} but the "
+                      "summary does not match its contents (stale pointer "
+                      "to an overwritten file); ignoring pointer")
+            except (json.JSONDecodeError, KeyError):
+                print(f"bench_guard: unreadable full record {m.group(1)}; "
+                      "ignoring pointer")
     lines = re.findall(r'\{"metric":.*?"queries":\{.*?\}.*?\}', text)
     if not lines:
         # Last resort for pre-round-11 driver wrappers whose 2000-char
