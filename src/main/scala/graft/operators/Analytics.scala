@@ -492,14 +492,19 @@ object Analytics {
   // ------------------------------------------------------------------
   // Column profiling (data-quality audit): per profiled column, row/null/
   // distinct counts and min/max — the schema-health pass a pipeline runs
-  // before trusting a new data drop. ONE scan: all 20 aggregates compute
-  // in a single agg (Catalyst expands the multi-DISTINCT into one
-  // Expand + two-phase HashAggregate — rows × 5 in the map side, still a
-  // single job, no join); the wide one-row result then unpivots via
-  // stack(), a pure projection. At 100 TB swap the exact countDistinct
-  // for approx_count_distinct to drop the Expand (the gated form keeps
-  // exactness for the oracle). All profiled columns cast to BIGINT so the
-  // stack rows share one type.
+  // before trusting a new data drop. One UNION branch per column, each a
+  // two-phase distinct: groupBy(value).count collapses to the column's
+  // distinct values map-side (partial HashAggregate), shuffles ONLY those
+  // values, then a one-row rollup derives n_rows (sum of counts), n_null
+  // (counts where the value is null), n_distinct (non-null group count),
+  // min and max. This replaces the earlier single-agg formulation whose
+  // 5-way exact countDistinct made Catalyst Expand the scan 6x (round-11
+  // advice: a_profile was the 3rd-slowest query at 1.40 s). Each branch
+  // prunes to exactly one parquet column, so the union's total I/O equals
+  // the old single scan's — without the Expand. At 100 TB the same shape
+  // holds: per-branch shuffles carry distinct values, not rows; swap in
+  // approx_count_distinct only if a single pass over all columns at once
+  // is required.
   // ------------------------------------------------------------------
   private val ProfileCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity_floor")
@@ -509,17 +514,17 @@ object Analytics {
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
       col("l_linenumber").cast("long").as("l_linenumber"),
       floor(col("l_quantity")).cast("long").as("l_quantity_floor"))
-    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      min(col(c)).as(s"${c}_min"),
-      max(col(c)).as(s"${c}_max")))
-    val stackArgs = ProfileCols
-      .map(c => s"'$c', ${c}_nnull, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("n_rows",
-        s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
-      .select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+    ProfileCols.map { c =>
+      li.select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum("cnt").as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_.unionAll(_))
   }
 
   val profileLineitemSql: String = {
