@@ -168,10 +168,14 @@ object RefQueries {
   // All inputs to the doubles are exact longs and the expression shape is
   // identical in the oracle, so the FP results match bit-for-bit.
   // --------------------------------------------------------------------
-  def q3SkewStats(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The skew-stats + strategy plan over ANY `(ltw, z, cnt)` per-key
+    * counts relation — factored out so the per-batch adaptive loop
+    * (streaming/AdaptiveAgg.scala) evaluates the SAME plan the gated
+    * q3_skew_stats query is oracle-checked against, not a
+    * reimplementation of the cost model.
+    */
+  def skewStatsPlan(counts: DataFrame): DataFrame = {
     val lambda = 0.01
-    val counts = zxLtw(spark, sfDir)
-      .groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
     // Same broadcast-totals shape as q3HeavyHitters (no window function).
     val totals = counts.groupBy("ltw").agg(sum("cnt").as("total"))
     val withTotal = counts.join(broadcast(totals), "ltw")
@@ -190,6 +194,10 @@ object RefQueries {
           <= col("m_total") / lit(12.0) + lit(lambda) * (col("k_keys") + col("head_num") * 10 - col("single_num")),
         lit(0L)).otherwise(lit(1L)).as("strategy"))
   }
+
+  def q3SkewStats(spark: SparkSession, sfDir: String): DataFrame =
+    skewStatsPlan(zxLtw(spark, sfDir)
+      .groupBy("ltw", "z").agg(count(lit(1)).as("cnt")))
 
   /** Q3c's 100 TB escape hatch (SURVEY §9): when the key domain K
     * explodes, the exact stats' (ltw, z) pre-aggregation is the first
@@ -235,6 +243,57 @@ object RefQueries {
        |                  <= m_total / 12.0 + 0.01 * (k_keys + head_num * 10 - single_num)
        |            THEN 0 ELSE 1 END AS BIGINT) AS strategy
        |FROM s""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q3d — the adaptive loop's BATCH face: the cost-model decision
+  // (skewStatsPlan's strategy column, DGrouping.scala:51-70) actually
+  // SWITCHES the executed aggregation per window — plain two-phase
+  // groupBy where strategy = 0 (HH), salted two-stage where strategy = 1
+  // (APK/PKG, Salting.scala's d-replica split). The salt must never
+  // change the answer, only the shuffle layout, so the oracle is the
+  // plain windowed count joined with the per-window strategy — identical
+  // values either way is exactly the contract. The streaming form of the
+  // same loop (per-batch decision + ratchet + head-set carry-over,
+  // DGrouping.scala:214-288) is streaming/AdaptiveAgg.scala.
+  // --------------------------------------------------------------------
+  def q3AdaptiveWindowedCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = zxLtw(spark, sfDir)
+    val decisions = skewStatsPlan(
+        raw.groupBy("ltw", "z").agg(count(lit(1)).as("cnt")))
+      .select("ltw", "strategy")
+    // |windows| decision rows — always broadcastable.
+    val tagged = raw.join(broadcast(decisions), "ltw")
+    val plain = tagged.where(col("strategy") === 0)
+      .groupBy("z", "ltw", "strategy").agg(count(lit(1)).as("cnt"))
+    val salted = tagged.where(col("strategy") === 1)
+      .withColumn("salt", pmod(col("x") + col("event_time"), lit(Salting.D)))
+      .groupBy("z", "ltw", "strategy", "salt").agg(count(lit(1)).as("pcnt"))
+      .groupBy("z", "ltw", "strategy").agg(sum("pcnt").as("cnt"))
+    plain.select("z", "ltw", "cnt", "strategy")
+      .unionByName(salted.select("z", "ltw", "cnt", "strategy"))
+  }
+
+  val q3AdaptiveWindowedCountSql: String =
+    s"""WITH counts AS (
+       |  SELECT event_time // $slot AS ltw, z, count(*) AS cnt
+       |  FROM ($zxSql) GROUP BY 1, 2),
+       |wt AS (
+       |  SELECT ltw, z, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY ltw) AS BIGINT) AS total
+       |  FROM counts),
+       |s AS (
+       |  SELECT ltw, max(total) AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+       |         CAST(sum(CASE WHEN cnt * 60 > total THEN 1 ELSE 0 END) AS BIGINT) AS head_num,
+       |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_num
+       |  FROM wt GROUP BY 1),
+       |strat AS (
+       |  SELECT ltw,
+       |         CAST(CASE WHEN (13.26 * (max_cnt / m_total) + 1.02) * m_total / 12.0
+       |                    <= m_total / 12.0 + 0.01 * (k_keys + head_num * 10 - single_num)
+       |              THEN 0 ELSE 1 END AS BIGINT) AS strategy
+       |  FROM s)
+       |SELECT counts.z, counts.ltw, counts.cnt, strat.strategy
+       |FROM counts JOIN strat ON counts.ltw = strat.ltw""".stripMargin
 
   // --------------------------------------------------------------------
   // Q4 — 3-way star-join cardinality per key: |R0(z)|·|R1(z)|·|R2(z)|
@@ -349,6 +408,7 @@ object RefQueries {
     "q3_heavy_hitters" -> (q3HeavyHitters _),
     "q3_skew_stats" -> (q3SkewStats _),
     "q3_skew_stats_approx" -> (q3SkewStatsApprox _),
+    "q3_adaptive_windowed_count" -> (q3AdaptiveWindowedCount _),
     "q4_star_cardinality" -> (q4StarCardinality _),
     "q4_windowed_cardinality" -> (q4WindowedCardinality _),
     "q4_star_join" -> (q4StarJoin _),
@@ -364,6 +424,7 @@ object RefQueries {
     "q3_heavy_hitters" -> q3HeavyHittersSql,
     "q3_skew_stats" -> q3SkewStatsSql,
     "q3_skew_stats_approx" -> q3SkewStatsApproxSql,
+    "q3_adaptive_windowed_count" -> q3AdaptiveWindowedCountSql,
     "q4_star_cardinality" -> q4StarCardinalitySql,
     "q4_windowed_cardinality" -> q4WindowedCardinalitySql,
     "q4_star_join" -> q4StarJoinSql,
