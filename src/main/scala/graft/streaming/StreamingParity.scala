@@ -134,6 +134,27 @@ object StreamingParity {
         expr(s"unix_millis(window.start) div $SlotMs").as("ltw"),
         col("min_cnt"))
 
+  /** Late/out-of-order observability: total rows the engine dropped for
+    * arriving behind the watermark, summed across every stateful operator
+    * and every progress update of the query so far. The reference LOGGED
+    * each out-of-order violation as it discarded the row
+    * (state/src/main/scala/timetable/MyStateJoinUtils.scala:44-45 — "data
+    * come late ignore"); Structured Streaming surfaces the same event as
+    * the per-operator `numRowsDroppedByWatermark` counter in
+    * StreamingQueryProgress, so a pipeline can alert on late-data volume
+    * instead of silently losing it. A row dropped at the first stateful
+    * operator never reaches the second, so the sum counts each late row
+    * once. (recentProgress is a bounded buffer —
+    * spark.sql.streaming.numRecentProgressUpdates, default 100; a
+    * production monitor would stream these via StreamingQueryListener
+    * rather than poll.)
+    */
+  def rowsDroppedByWatermark(
+      query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.iterator
+      .flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+
   /** Reference-shaped Q2: explicit keyed state (per-port counts) with
     * event-time timeout at window close — the Structured Streaming
     * analogue of the forked mapWithState operator (C4). The timeout

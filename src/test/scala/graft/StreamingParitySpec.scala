@@ -967,4 +967,28 @@ class StreamingParitySpec extends SparkSpec {
       st -> finalStages.values.count(_ >= st).toLong).toMap
     assert(streamCounts === batchCounts)
   }
+
+  test("late rows are counted by the watermark-drop metric, not silently lost") {
+    // The reference logged every out-of-order violation it discarded
+    // (MyStateJoinUtils.scala:44-45); the engine form is the
+    // numRowsDroppedByWatermark counter. Plant a row behind the watermark
+    // and assert it is (a) excluded from results and (b) counted dropped.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[PwEvent]
+    val query = StreamingParity.q2WindowedAgg(input.toDS())
+      .writeStream.format("memory").queryName("q2_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable() // watermark -> 10500
+      val before = StreamingParity.rowsDroppedByWatermark(query)
+      input.addData(Seq(PwEvent(100, 1, "LATE"))); query.processAllAvailable()
+      val after = StreamingParity.rowsDroppedByWatermark(query)
+      assert(after - before === 1L, "the late row must be counted dropped")
+      val words = s.table("q2_late").select("word").as[String].collect().toSet
+      assert(!words.contains("LATE"), "the late row must not reach results")
+    } finally query.stop()
+  }
 }
