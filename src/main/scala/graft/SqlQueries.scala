@@ -220,6 +220,21 @@ object SqlQueries {
     s"""SELECT vec_id, v, long_vector_dot(v, v) AS norm
        |FROM (SELECT vec_id, ${quantizeSpark("embedding")} AS v FROM embeddings)""".stripMargin
 
+  /** Shared CTE chain producing the simhash near-dup pair relation
+    * `spairs(id_a, id_b, hamming)` — used by d_simhash_pairs and its
+    * cross-modality consumer d_modality_agreement.
+    */
+  private lazy val simhashPairsSparkCtes: String =
+    s"""sh AS (SELECT doc_id, simhash64(text) AS simhash FROM documents),
+       |bands AS (
+       |  $simhashBandsSql),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${hammingSpark("a.simhash", "b.simhash")} AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE ${hammingSpark("a.simhash", "b.simhash")} <= ${Dedup.MaxHamming})""".stripMargin
+
   private val featureHashSparkSql: String =
     s"""SELECT doc_id, pmod(h, ${TextAnalysis.FeatureDims}) AS dim, count(*) AS w
        |FROM (SELECT doc_id, explode(word_shingle_hashes(text, 1, false)) AS h
@@ -334,14 +349,8 @@ object SqlQueries {
     "d_simhash" ->
       "SELECT doc_id, simhash64(text) AS simhash FROM documents",
     "d_simhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, simhash64(text) AS simhash FROM documents),
-         |bands AS (
-         |  $simhashBandsSql)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  ${hammingSpark("a.simhash", "b.simhash")} AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |WHERE ${hammingSpark("a.simhash", "b.simhash")} <= ${Dedup.MaxHamming}""".stripMargin,
+      s"""WITH $simhashPairsSparkCtes
+         |SELECT id_a, id_b, hamming FROM spairs""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH sh AS (
          |  SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
@@ -659,12 +668,14 @@ object SqlQueries {
     * SQL projection; and the plan-demonstration twins
     * (`q3_windowed_count_salted`, `a_moving_window_bucketed`,
     * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
-    * `s_text_lsh_topk`, `p_pack_sequences`, `p_stratified_sample`,
-    * `a_profile`, `a_timeseries_similarity`, `q3_skew_stats*`,
+    * `s_ivf_recall` — it composes `s_ivf_topk`; the SQL-face recall
+    * eval is `s_lsh_recall`, `s_text_lsh_topk`, `p_pack_sequences`,
+    * `p_stratified_sample`, `a_profile`, `a_timeseries_similarity`,
     * `d_incremental_*`) whose value is a specific physical plan or a
     * long expr pipeline the Column form already states more clearly —
     * their SEMANTIC twins (the unsalted/unbucketed/brute-force forms)
-    * all have SQL texts above.
+    * all have SQL texts above. Every other gated batch query has a SQL
+    * text; SqlParitySpec pins the boundary by exhaustive complement.
     */
   private lazy val longTailSql: Map[String, String] = Map(
     "s_lsh_recall" ->
@@ -789,7 +800,88 @@ object SqlQueries {
          |  sum(coalesce(is_dup, 0L)) AS n_dup_docs,
          |  CAST(sum(coalesce(is_dup, 0L)) AS DOUBLE) / count(*) AS dup_rate
          |FROM buckets LEFT JOIN dup_docs USING (doc_id)
-         |GROUP BY bucket""".stripMargin)
+         |GROUP BY bucket""".stripMargin,
+    "a_quantiles_approx" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag,
+         |    approx_percentile(CAST(floor(l_quantity) AS BIGINT),
+         |      array(0.25D, 0.5D, 0.75D),
+         |      ${graft.operators.Analytics.ApproxQuantileAccuracy}) AS qs
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(q_idx AS BIGINT) AS q_idx, q_val
+         |FROM agg LATERAL VIEW posexplode(qs) t AS q_idx, q_val""".stripMargin,
+    "d_modality_agreement" ->
+      s"""WITH $simhashPairsSparkCtes,
+         |q AS ($quantizedSparkSql)
+         |SELECT p.id_a, p.id_b, p.hamming,
+         |  long_vector_dot(a.v, b.v) AS dot, a.norm AS na, b.norm AS nb,
+         |  ${cosineSpark("long_vector_dot(a.v, b.v)", "a.norm", "b.norm")} AS cos
+         |FROM spairs p
+         |JOIN q a ON a.vec_id = p.id_a
+         |JOIN q b ON b.vec_id = p.id_b""".stripMargin,
+    "p_corpus_curation" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, source, text, poly_hash(text) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |annotated AS (
+         |  SELECT f.doc_id, f.source,
+         |    size(split(f.text, ' ')) AS n_tokens,
+         |    size(filter(split(f.text, ' '), t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
+         |    size(array_distinct(split(f.text, ' '))) AS n_distinct,
+         |    size(filter(split(f.text, ' '), t -> t IN ${inList(TextAnalysis.EnMarkers)})) AS en_cnt,
+         |    size(filter(split(f.text, ' '), t -> t IN ${inList(TextAnalysis.EsMarkers)})) AS es_cnt,
+         |    size(filter(split(f.text, ' '), t -> t IN ${inList(TextAnalysis.FrMarkers)})) AS fr_cnt
+         |  FROM fps f JOIN keep k ON f.doc_id = k.doc_id),
+         |scored AS (
+         |  SELECT *,
+         |    0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |      + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+         |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality_score,
+         |    CASE WHEN en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
+         |         WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es'
+         |         WHEN fr_cnt > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+         |  FROM annotated)
+         |SELECT source, lang_pred, count(*) AS n_docs,
+         |  sum(n_tokens) AS sum_tokens, sum(stop_cnt) AS sum_stop
+         |FROM scored
+         |WHERE quality_score > 0.5 AND n_tokens >= 10
+         |GROUP BY source, lang_pred""".stripMargin,
+    "q3_skew_stats" -> q3SkewStatsSparkSql,
+    "q3_skew_stats_approx" ->
+      s"""SELECT event_time div $slot AS ltw, count(*) AS m_total,
+         |  approx_count_distinct(z, 0.01D) AS k_keys_approx
+         |FROM graft_zx GROUP BY event_time div $slot""".stripMargin,
+    "q3_adaptive_windowed_count" ->
+      s"""WITH strat AS (SELECT ltw, strategy FROM ($q3SkewStatsSparkSql)),
+         |counts AS (
+         |  SELECT z, event_time div $slot AS ltw, count(*) AS cnt
+         |  FROM graft_zx GROUP BY z, event_time div $slot)
+         |SELECT counts.z, counts.ltw, counts.cnt, strat.strategy
+         |FROM counts JOIN strat ON counts.ltw = strat.ltw""".stripMargin)
+
+  /** Spark-dialect skew-stats + cost-model strategy (the q3_skew_stats
+    * gate; also the `strat` input of q3_adaptive_windowed_count). Window
+    * total via sum() OVER rather than the DataFrame form's broadcast
+    * totals join — value-identical longs either way.
+    */
+  private lazy val q3SkewStatsSparkSql: String =
+    s"""WITH counts AS (
+       |  SELECT event_time div $slot AS ltw, z, count(*) AS cnt
+       |  FROM graft_zx GROUP BY event_time div $slot, z),
+       |wt AS (
+       |  SELECT ltw, z, cnt, sum(cnt) OVER (PARTITION BY ltw) AS total
+       |  FROM counts),
+       |s AS (
+       |  SELECT ltw, max(total) AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+       |    sum(CASE WHEN cnt * 60 > total THEN 1L ELSE 0L END) AS head_num,
+       |    sum(CASE WHEN cnt = 1 THEN 1L ELSE 0L END) AS single_num
+       |  FROM wt GROUP BY ltw)
+       |SELECT ltw, m_total, k_keys, max_cnt,
+       |  max_cnt / m_total AS p1, head_num, single_num,
+       |  CASE WHEN (13.26D * (max_cnt / m_total) + 1.02D) * m_total / 12.0D
+       |            <= m_total / 12.0D + 0.01D * (k_keys + head_num * 10 - single_num)
+       |       THEN 0L ELSE 1L END AS strategy
+       |FROM s""".stripMargin
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {

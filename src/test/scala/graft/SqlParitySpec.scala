@@ -30,11 +30,34 @@ class SqlParitySpec extends SparkSpec {
   }
 
   test("the SQL surface covers reference, warehouse, dedup, similarity, text, curation, null families") {
-    assert(SqlQueries.sql.size >= 68)
+    assert(SqlQueries.sql.size >= 75)
     Seq("q", "a", "d", "s", "t", "p", "n").foreach { fam =>
       assert(SqlQueries.sql.keys.exists(_.startsWith(fam + "_")) ||
         SqlQueries.sql.keys.exists(_.startsWith(fam)), s"family $fam missing")
     }
     SqlQueries.sql.keys.foreach(n => assert(SparkEntry.queries.contains(n)))
+  }
+
+  test("the SQL surface covers every gated batch query not on the documented boundary") {
+    // The exhaustive complement of SqlQueries' scaladoc boundary list:
+    // iterative driver-controlled queries (clusters, k-means), typed
+    // binary-decode (m_*), and plan-demonstration twins whose semantic
+    // siblings have texts. Anything new that is added to SparkEntry
+    // without either a SQL text or a boundary entry fails here.
+    val boundary = Set(
+      "d_dedup_clusters", "d_minhash_clusters", "d_embedding_clusters",
+      "d_incremental_clusters", "d_cluster_sizes", "d_canonical_stats",
+      "p_curation_cascade",
+      "s_kmeans_train", "s_kmeans_inertia", "s_ivf_kmeans_topk",
+      "m_decode_media", "m_extract_features", "m_frame_sample", "m_resize_plan",
+      "q3_windowed_count_salted", "a_moving_window_bucketed",
+      "d_jaccard_prefix_pairs", "d_embedding_neardup_lsh",
+      "s_ivf_topk", "s_ivf_recall", "s_text_lsh_topk",
+      "p_pack_sequences", "p_stratified_sample",
+      "a_profile", "a_timeseries_similarity",
+      "d_incremental_neardup")
+    val uncovered = SparkEntry.queries.keySet -- SqlQueries.sql.keySet -- boundary
+    assert(uncovered === Set.empty,
+      s"gated queries with neither a SQL text nor a boundary entry: $uncovered")
   }
 }
