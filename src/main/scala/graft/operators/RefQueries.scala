@@ -316,6 +316,24 @@ object RefQueries {
         sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
       .select(col("z"), (col("c0") * col("c1") * col("c2")).as("card"))
 
+  /** SURVEY §1's overflow escape hatch made concrete: the identical
+    * single-aggregation count-product with the counts cast to
+    * DECIMAL(38,0) BEFORE the multiply. The Long product of three
+    * per-key counts wraps once one key holds ≳2.1 M rows per port
+    * (c³ > 2⁶³); the decimal form stays exact to 38 digits with the same
+    * plan shape (one shuffle, map-side partial aggregate). PropertySpec
+    * plants the overflow regime and pins Long-wraps / decimal-exact.
+    */
+  def q4CardinalityPlanDecimal(portWord: DataFrame): DataFrame =
+    portWord.groupBy(col("word").as("z"))
+      .agg(
+        sum(when(col("port") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("port") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("port") === 2, 1L).otherwise(0L)).as("c2"))
+      .select(col("z"),
+        (col("c0").cast("decimal(38,0)") * col("c1").cast("decimal(38,0)") *
+          col("c2").cast("decimal(38,0)")).as("card"))
+
   def q4StarCardinality(spark: SparkSession, sfDir: String): DataFrame =
     q4CardinalityPlan(Shapes.portWordEvents(spark, sfDir))
 

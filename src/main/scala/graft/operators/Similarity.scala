@@ -356,10 +356,7 @@ object Similarity {
     // build), then exact floor-division and reassembly into the array.
     def update(asg: DataFrame): DataFrame = {
       val joined = q.join(asg.select("vec_id", "cluster"), "vec_id")
-      val aggs = count(lit(1)).as("n") +:
-        (0 until EmbeddingDim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      joined.groupBy(col("cluster").as("cid"))
-        .agg(aggs.head, aggs.tail: _*)
+      centroidSums(joined, EmbeddingDim, decimal = false)
         .select(col("cid"),
           array((0 until EmbeddingDim)
             .map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
@@ -374,6 +371,23 @@ object Similarity {
       i += 1
     }
     (cents, asgs)
+  }
+
+  /** The centroid-update aggregation in isolation, with the documented
+    * overflow escape hatch selectable (class scaladoc above: per-dimension
+    * Long sums overflow first at ~10¹² rows · 10⁶ quantized units; the
+    * swap is `sum(CAST AS DECIMAL(38,0))`, same one-pass k-group
+    * HashAggregate plan). `clustered` is any `(cluster, v: array<long>)`
+    * relation; output is (cid, n, s0…s{dim−1}). PropertySpec plants
+    * vectors whose per-dimension sums exceed 2⁶³ and asserts the decimal
+    * form stays exact where the Long form wraps.
+    */
+  def centroidSums(clustered: DataFrame, dim: Int, decimal: Boolean): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: (0 until dim).map { i =>
+      val e = element_at(col("v"), i + 1)
+      sum(if (decimal) e.cast("decimal(38,0)") else e).as(s"s$i")
+    }
+    clustered.groupBy(col("cluster").as("cid")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (final centroids c1, final assignment over c1) at the gated depth. */

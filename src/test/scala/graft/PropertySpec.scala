@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.RefQueries
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Property tests (SURVEY.md §5.3): results must be independent of input
   * order and linear under amplification, and the count-product must equal
@@ -420,5 +421,68 @@ class PropertySpec extends SparkSpec {
       assert(amped === plain.view.mapValues(_ * RefQueries.DuplicateRate).toMap,
         s"seed $seed")
     }
+  }
+
+  test("q4 count product: DECIMAL(38,0) variant stays exact where the Long product overflows") {
+    // The overflow regime SURVEY §1 names: one key with ≥2.1M rows per
+    // port makes c0·c1·c2 exceed 2⁶³. Plant 2.2M per port (6.6M rows via
+    // range — cheap codegen input) plus a small in-range key. Under
+    // Spark 4's default ANSI mode the Long plan fails LOUDLY
+    // (ARITHMETIC_OVERFLOW) — never a silent wrong answer — and the
+    // documented DECIMAL(38,0) swap is the plan that stays exact.
+    val s = spark
+    import s.implicits._
+    val perPort = 2200000L
+    val big = s.range(3 * perPort)
+      .select((col("id") % 3).cast("int").as("port"), lit("HOT").as("word"))
+    val small = s.range(6)
+      .select((col("id") % 3).cast("int").as("port"), lit("ok").as("word"))
+    val pw = big.unionAll(small)
+    val expected = Map(
+      "HOT" -> BigInt(perPort).pow(3),
+      "ok" -> BigInt(8))
+    val e1 = intercept[Exception] { RefQueries.q4CardinalityPlan(pw).collect() }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("ARITHMETIC_OVERFLOW"))
+    val decCard = RefQueries.q4CardinalityPlanDecimal(pw).collect()
+      .map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    assert(decCard === expected)
+    // In-range inputs agree between the two plans (the swap changes
+    // nothing below the overflow regime).
+    val longSmall = RefQueries.q4CardinalityPlan(small).collect()
+      .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    assert(longSmall === Map("ok" -> expected("ok")))
+  }
+
+  test("centroid-update sums: DECIMAL(38,0) variant stays exact where Long sums overflow") {
+    val s = spark
+    import s.implicits._
+    // 8 vectors of dim 3 in one cluster, each element ~1.6e18: the
+    // per-dimension Long sum is ~1.28e19 > 2⁶³ — ANSI Spark fails the
+    // Long aggregation loudly; the documented decimal swap stays exact.
+    // A second cluster stays in Long range as the agreement control.
+    val bigV = 1600000000000000000L
+    val rows = (0 until 8).map(i => (1L, Array(bigV, bigV - i, 7L))) ++
+      (0 until 4).map(i => (2L, Array(10L + i, 20L, 30L)))
+    val clustered = rows.toDF("cluster", "v")
+    val expect = Map(
+      1L -> Seq(BigInt(bigV) * 8, BigInt(bigV) * 8 - 28, BigInt(56)),
+      2L -> Seq(BigInt(46), BigInt(80), BigInt(120)))
+    val dec = graft.operators.Similarity.centroidSums(clustered, 3, decimal = true)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (1 to 3).map(i => BigInt(r.getDecimal(i + 1).toBigInteger))).toMap
+    assert(dec === expect)
+    val e2 = intercept[Exception] {
+      graft.operators.Similarity.centroidSums(clustered, 3, decimal = false).collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("ARITHMETIC_OVERFLOW"))
+    // The in-range cluster alone runs fine through the Long plan — the
+    // production path below the overflow regime is untouched.
+    val inRange = graft.operators.Similarity
+      .centroidSums(clustered.where(col("cluster") === 2L), 3, decimal = false)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (1 to 3).map(i => BigInt(r.getLong(i + 1)))).toMap
+    assert(inRange === Map(2L -> expect(2L)))
   }
 }
