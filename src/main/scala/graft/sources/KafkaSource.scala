@@ -52,6 +52,16 @@ object KafkaSource {
     maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
   }
 
+  /** [[reader]] from a typed [[graft.EngineConfig]] (S5): brokers, topic
+    * set, and the reference's old-consumer offset vocabulary
+    * (`largest`/`smallest`, stream.json:8) already translated to
+    * `startingOffsets` — the config-file-driven entry the reference's
+    * driver mains use (`HashJoin.scala:31` reads the 12-tuple, :64 builds
+    * the direct stream from its brokers/topics/offset fields).
+    */
+  def reader(spark: SparkSession, cfg: graft.EngineConfig): DataStreamReader =
+    reader(spark, cfg.brokers, cfg.topicsCsv, cfg.startingOffsets)
+
   /** Kafka wire relation → the engine's `(event_time, port, word)` shape:
     * value is the `;`-joined record batch; the key is unused in the
     * stateless form (HashJoin.scala:66 ignores it).

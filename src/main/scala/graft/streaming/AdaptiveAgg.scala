@@ -50,10 +50,12 @@ import graft.streaming.StreamingParity.PwEvent
   */
 object AdaptiveAgg {
 
-  /** Reference worker count m and replication cost λ
-    * (DGrouping.scala:51-70; stream.json:6).
+  /** Reference worker count m (DGrouping.scala:51-70; stream.json:6),
+    * read through the typed config (S5) so a deployment overriding
+    * `spark.graft.numMappers` moves the cost model with it. λ is a code
+    * constant in the reference (DGrouping.scala:64), not config.
     */
-  val NumWorkers: Int = 12
+  val NumWorkers: Int = graft.EngineConfig.default.numMappers
   val Lambda: Double = 0.01
 
   /** One per-window decision record: the cost-model inputs, the raw
