@@ -678,6 +678,68 @@ object SqlQueries {
     * text; SqlParitySpec pins the boundary by exhaustive complement.
     */
   private lazy val longTailSql: Map[String, String] = Map(
+    "d_span_scrub" ->
+      s"""WITH docs AS (SELECT doc_id, ${tokensSpark("text")} AS toks FROM documents),
+         |spans AS (
+         |  SELECT doc_id, pos, sh FROM documents
+         |  LATERAL VIEW posexplode(word_shingle_hashes(text, ${Dedup.ScrubW}, false)) t AS pos, sh),
+         |dup AS (
+         |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM spans)
+         |  GROUP BY sh HAVING count(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + k.cp AS cp
+         |  FROM spans s JOIN dup d ON s.sh = d.sh
+         |  LATERAL VIEW explode(sequence(0, ${Dedup.ScrubW - 1})) k AS cp),
+         |toksr AS (
+         |  SELECT doc_id, pos, tok FROM docs
+         |  LATERAL VIEW posexplode(toks) t AS pos, tok),
+         |clean AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM toksr t
+         |  LEFT ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    array_join(transform(array_sort(collect_list(struct(pos, tok))),
+         |      s -> s.tok), ' ') AS clean_text
+         |  FROM clean GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(size(d.toks) AS BIGINT) AS n_tokens,
+         |  CAST(size(d.toks) AS BIGINT) - coalesce(a.n_kept, 0L) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "t_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(regexp_count(aug, '${TextAnalysis.EmailPat}') AS BIGINT) AS n_emails,
+         |  CAST(regexp_count(aug, '${TextAnalysis.PhonePat}') AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(aug, '${TextAnalysis.EmailPat}', '<EMAIL>'),
+         |    '${TextAnalysis.PhonePat}', '<PHONE>') AS scrubbed
+         |FROM (
+         |  SELECT doc_id, concat(text,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN concat(' user', CAST(doc_id AS STRING), '@example.org')
+         |         ELSE '' END,
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+         |         ELSE '' END) AS aug
+         |  FROM documents)""".stripMargin,
+    "p_upsert_merge" ->
+      s"""WITH merged AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS version, poly_hash(text) AS fp
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST(2 AS BIGINT) AS version,
+         |    poly_hash(concat(text, ' rev2')) AS fp
+         |  FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + ${Curation.UpsertIdOffset}L AS doc_id,
+         |    CAST(1 AS BIGINT) AS version, poly_hash(concat('new ', text)) AS fp
+         |  FROM documents WHERE doc_id % 4 = 2),
+         |winner AS (SELECT doc_id, max(version) AS version FROM merged GROUP BY doc_id)
+         |SELECT m.doc_id, m.version,
+         |  CASE WHEN m.version = 2 THEN 'updated'
+         |       WHEN m.doc_id >= ${Curation.UpsertIdOffset}L THEN 'inserted'
+         |       ELSE 'carried' END AS status,
+         |  m.fp
+         |FROM merged m JOIN winner w
+         |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin,
     "s_lsh_recall" ->
       s"""WITH exact AS ($cosineTopKSparkSql),
          |approx AS ($lshTopKSparkSql)

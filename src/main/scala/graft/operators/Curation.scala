@@ -601,7 +601,74 @@ object Curation {
        |FROM fps f JOIN rates r USING (source)
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Snapshot upsert merge — the MERGE INTO / Delta-style "apply a change
+  // batch to the corpus" step a continuously-refreshed training corpus
+  // needs: day-2 re-crawls REVISE existing documents (same doc_id, new
+  // text) and ADD new ones; the merged view is latest-version-wins.
+  // The change batch is derived deterministically from the fixture (no
+  // second table exists): docs with doc_id % 4 = 1 arrive revised
+  // (text + ' rev2', version 2); docs with doc_id % 4 = 2 spawn a new
+  // insert under doc_id + 10M ('new ' + text, version 1). Output is one
+  // row per surviving key: its winning version, a change-status class,
+  // and the 62-bit fingerprint of the winning text (the fingerprint —
+  // not the text — is what a downstream incremental-dedup pass consumes,
+  // see incrementalDedup).
+  //
+  // Winner selection is groupBy(key).max(version) joined back on
+  // (key, version) — two hash exchanges on the 8-byte key, no window
+  // sort. Scale shape: the change batch is ~25% here but tiny in
+  // production — broadcast the batch keyset and the merge is map-side
+  // except for the single key-partitioned union scan; this is
+  // copy-on-write MERGE semantics (Delta/Iceberg), where the engine
+  // cost is one co-partitioned anti-join + union per batch.
+  // ------------------------------------------------------------------
+  val UpsertIdOffset = 10000000L
+
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id"), lit(1L).as("version"),
+      TextHashOps.polyHash(col("text")).as("fp"))
+    val revised = docs.where(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), lit(2L).as("version"),
+        TextHashOps.polyHash(concat(col("text"), lit(" rev2"))).as("fp"))
+    val inserted = docs.where(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + UpsertIdOffset).as("doc_id"), lit(1L).as("version"),
+        TextHashOps.polyHash(concat(lit("new "), col("text"))).as("fp"))
+    val merged = base.unionByName(revised).unionByName(inserted)
+    val winner = merged.groupBy("doc_id").agg(max("version").as("version"))
+    merged.join(winner, Seq("doc_id", "version"))
+      .select(col("doc_id"), col("version"),
+        when(col("version") === 2, "updated")
+          .when(col("doc_id") >= UpsertIdOffset, "inserted")
+          .otherwise("carried").as("status"),
+        col("fp"))
+  }
+
+  val upsertMergeSql: String =
+    s"""WITH merged AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS version,
+       |    ${charPolyHashDuck("text")} AS fp
+       |  FROM ($docsSql)
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS BIGINT) AS version,
+       |    ${charPolyHashDuck("concat(text, ' rev2')")} AS fp
+       |  FROM ($docsSql) WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $UpsertIdOffset AS doc_id, CAST(1 AS BIGINT) AS version,
+       |    ${charPolyHashDuck("concat('new ', text)")} AS fp
+       |  FROM ($docsSql) WHERE doc_id % 4 = 2),
+       |winner AS (SELECT doc_id, max(version) AS version FROM merged GROUP BY doc_id)
+       |SELECT m.doc_id, m.version,
+       |  CASE WHEN m.version = 2 THEN 'updated'
+       |       WHEN m.doc_id >= $UpsertIdOffset THEN 'inserted'
+       |       ELSE 'carried' END AS status,
+       |  m.fp
+       |FROM merged m JOIN winner w
+       |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_upsert_merge" -> (upsertMerge _),
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
@@ -618,6 +685,7 @@ object Curation {
     "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "p_upsert_merge" -> upsertMergeSql,
     "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,

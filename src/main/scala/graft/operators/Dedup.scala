@@ -232,6 +232,103 @@ object Dedup {
        |  GROUP BY s.doc_id)""".stripMargin
 
   // ------------------------------------------------------------------
+  // Duplicate-SPAN removal — the RefinedWeb/Gopher "exact substring
+  // dedup" step as an actual text TRANSFORM, not just the statistic
+  // (dupShingleStats reports the signal; this produces the cleaned
+  // corpus a tokenizer would consume). A span is the w=8 word window
+  // starting at token position p; a span is duplicated when the same
+  // 8-gram occurs in ≥2 DISTINCT documents (cross-doc df over each
+  // doc's distinct span set — intra-doc repetition is t_collapse_repeats'
+  // job). Every token covered by any duplicated span is dropped and the
+  // survivors are re-joined in order; w=8 plays the role of RefinedWeb's
+  // 50-token window, scaled to this corpus's ~55-token documents
+  // (removes ~9% of tokens at sf0.001–sf0.1 — the planted near-dup
+  // templates — where w=3 would scrub the whole word-soup fixture).
+  //
+  // Scale shape (100 TB): candidate work is all equi-joins/aggregates on
+  // the 8-byte span hash or doc_id — (1) distinct-span df aggregate,
+  // (2) spans ⋈ dup-set (the dup side is the small one: df>1 survivors;
+  // at 100 TB broadcast it, or a bloom filter of it, and the join is
+  // map-side), (3) covered-position distinct, anti-join and final
+  // re-assembly all hash-partition by doc_id and reuse one exchange.
+  // The token relation shuffles once — unavoidable for a positional
+  // rewrite; text itself never joins on a text key. The whole rewrite
+  // is O(corpus + dup-span occurrences), never pairwise.
+  // ------------------------------------------------------------------
+  val ScrubW = 8
+
+  /** Positional (non-distinct) span-hash relation: (doc_id, pos, sh)
+    * where sh = 31-bit hash of the w-token window starting at pos.
+    */
+  private def spanRel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextHashOps.shingleHashes(col("text"), ScrubW, distinct = false)))
+      .toDF("doc_id", "pos", "sh")
+
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val spans = spanRel(spark, sfDir)
+    val dup = spans.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > 1).select("sh")
+    val cov = spans.join(dup, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(ScrubW - 1))).as("cp"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "tok")
+    val clean = toks.as("t")
+      .join(cov.as("c"),
+        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cp"),
+        "left_anti")
+    val agg = clean.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
+          "s -> s.tok), ' ')").as("clean_text"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  private def posShinglesDuck(toks: String, w: Int): String =
+    s"CASE WHEN len($toks) >= $w THEN list_transform(" +
+      s"range(0, len($toks) - ${w - 1}), i -> array_to_string($toks[i + 1:i + $w], ' ')) " +
+      s"ELSE [] END"
+
+  val spanScrubSql: String =
+    s"""WITH docs AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM ($docsSql)),
+       |spans AS (
+       |  SELECT doc_id, unnest(range(0, len(hl))) AS pos, unnest(hl) AS sh
+       |  FROM (SELECT doc_id,
+       |          ${hashedArrayDuck(posShinglesDuck("toks", ScrubW))} AS hl
+       |        FROM docs)),
+       |dup AS (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM spans)
+       |  GROUP BY sh HAVING count(*) > 1),
+       |cov AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + k.cp AS cp
+       |  FROM spans s JOIN dup d ON s.sh = d.sh, unnest(range(0, $ScrubW)) k(cp)),
+       |toksr AS (
+       |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+       |  FROM docs),
+       |clean AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toksr t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM clean GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks) AS n_tokens,
+       |  CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Prefix-filtered Jaccard at a production threshold (J > 1/2) — the
   // EXACT scale path for near-dup joins (AllPairs/PPJoin prefix lemma):
   // order every doc's shingles by ascending global document frequency
@@ -1196,6 +1293,7 @@ object Dedup {
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_dup_shingle_stats" -> (dupShingleStats _),
+    "d_span_scrub" -> (spanScrub _),
     "d_shingle_novelty" -> (shingleNovelty _),
     "d_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
@@ -1219,6 +1317,7 @@ object Dedup {
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_dup_shingle_stats" -> dupShingleStatsSql,
+    "d_span_scrub" -> spanScrubSql,
     "d_shingle_novelty" -> shingleNoveltySql,
     "d_jaccard_prefix_pairs" -> jaccardPrefixPairsSql,
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,

@@ -372,7 +372,60 @@ object TextAnalysis {
        |WHERE rnk <= ${Similarity.TopK}""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // PII redaction — the scrubbing pass every released training corpus
+  // runs (emails/phones → typed placeholder tokens). The fixture corpus
+  // is synthetic word-soup with no real PII, so the query PLANTS
+  // deterministic PII first (an email on every 3rd doc, a phone on every
+  // 2nd — both derived from doc_id, identically in both dialects) and
+  // then redacts it: the gate exercises the actual regex machinery
+  // (Spark's Java regex vs DuckDB's RE2 — the patterns below stay inside
+  // the common subset: character classes, +, bounded repetition, no
+  // backreferences/lookaround) end-to-end, including the zero-redaction
+  // path on the unplanted rows. Counts are taken on the pre-scrub text.
+  //
+  // Scale shape: a pure per-row projection fused into the parquet scan —
+  // no shuffle, no state; at 100 TB this runs at scan throughput and
+  // parallelizes with executors, which is exactly why production PII
+  // scrubbing is regex-first with a model-based pass only on the resid.
+  // ------------------------------------------------------------------
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PhonePat = "[0-9]{3}-[0-9]{3,8}"
+
+  private val plantSparkExpr =
+    "concat(text," +
+      " CASE WHEN doc_id % 3 = 0 THEN concat(' user', CAST(doc_id AS STRING), '@example.org')" +
+      " ELSE '' END," +
+      " CASE WHEN doc_id % 2 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))" +
+      " ELSE '' END)"
+
+  private val plantDuckExpr =
+    "concat(text," +
+      " CASE WHEN doc_id % 3 = 0 THEN concat(' user', CAST(doc_id AS VARCHAR), '@example.org')" +
+      " ELSE '' END," +
+      " CASE WHEN doc_id % 2 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))" +
+      " ELSE '' END)"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(plantSparkExpr).as("aug"))
+      .select(col("doc_id"),
+        expr(s"CAST(regexp_count(aug, '$EmailPat') AS BIGINT)").as("n_emails"),
+        expr(s"CAST(regexp_count(aug, '$PhonePat') AS BIGINT)").as("n_phones"),
+        expr(s"regexp_replace(regexp_replace(aug, '$EmailPat', '<EMAIL>'), " +
+          s"'$PhonePat', '<PHONE>')").as("scrubbed"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailPat')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$PhonePat')) AS n_phones,
+       |  regexp_replace(regexp_replace(aug, '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS scrubbed
+       |FROM (SELECT doc_id, $plantDuckExpr AS aug
+       |      FROM (SELECT doc_id, text FROM documents))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pii_scrub" -> (piiScrub _),
     "t_feature_hash" -> (featureHash _),
     "s_text_cosine_topk" -> (textCosineTopK _),
     "s_text_lsh_topk" -> (textLshTopK _),
@@ -383,6 +436,7 @@ object TextAnalysis {
     "t_collapse_repeats" -> (collapseRepeats _))
 
   val oracles: Map[String, String] = Map(
+    "t_pii_scrub" -> piiScrubSql,
     "t_feature_hash" -> featureHashSql,
     "s_text_cosine_topk" -> textCosineTopKSql,
     "s_text_lsh_topk" -> textLshTopKSql,

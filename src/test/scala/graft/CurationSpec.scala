@@ -16,6 +16,31 @@ class CurationSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(got(3L)._2))
   }
 
+  test("upsert merge: latest version wins, statuses classify the change batch") {
+    // docs 1 and 3 share a text: 3 carries the base fingerprint while 1 is
+    // revised, pinning that the update actually re-fingerprints the text.
+    val dir = writeFixture(documents =
+      (0L to 5L).map(i => doc(i, if (i == 1L || i == 3L) "shared text body"
+                                 else s"document number $i body")))
+    val got = Curation.upsertMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("version"), r.getAs[String]("status"), r.getAs[Long]("fp")))
+      .toMap
+    // 6 base keys + one insert spawned from doc 2; one row per key.
+    assert(got.size === 7)
+    // doc_id % 4 == 1 → revised to version 2; the base version-1 row loses.
+    assert(got(1L)._1 === 2L && got(1L)._2 === "updated")
+    assert(got(5L)._1 === 2L && got(5L)._2 === "updated")
+    // doc_id % 4 == 2 → spawns an insert under the offset id, version 1.
+    val ins = Curation.UpsertIdOffset + 2L
+    assert(got(ins)._1 === 1L && got(ins)._2 === "inserted")
+    // everything else carries its version-1 row through unchanged.
+    Seq(0L, 2L, 3L, 4L).foreach(i => assert(got(i) ===
+      ((1L, "carried", got(i)._3))))
+    // A revised text hashes differently from its (shared) base text.
+    assert(got(1L)._3 !== got(3L)._3)
+  }
+
   test("sequence packing: shard-local running offsets chopped at CtxLen") {
     def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
     val dir = writeFixture(documents = Seq(

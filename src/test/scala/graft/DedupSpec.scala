@@ -281,6 +281,44 @@ class DedupSpec extends SparkSpec {
     assert(q.getAs[Long]("stop_cnt") === 3L) // the, and, the
   }
 
+  test("span scrub removes exactly the tokens under cross-doc duplicate 8-gram windows") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // one ScrubW window
+    val dir = writeFixture(documents = Seq(
+      doc(0, s"$shared unique1 unique2"),  // shared span at pos 0 → pos 0..7 covered
+      doc(1, s"prefixb $shared unique3"),  // shared span at pos 1 → pos 1..8 covered
+      doc(2, "totally unrelated words nothing here at all whatsoever okay fine"),
+      doc(3, "short doc under eight tokens")))  // no spans → untouched
+    val got = Dedup.spanScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got(0L) === ((10L, 8L, "unique1 unique2")))
+    assert(got(1L) === ((10L, 8L, "prefixb unique3")))
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === "totally unrelated words nothing here at all whatsoever okay fine")
+    assert(got(3L) === ((5L, 0L, "short doc under eight tokens")))
+  }
+
+  test("pii scrub plants deterministically and redacts emails and phones") {
+    val dir = writeFixture(documents = Seq(
+      doc(1, "plain words"),    // %2≠0, %3≠0 → nothing planted
+      doc(3, "email only"),     // %3=0 → email planted
+      doc(4, "phone only"),     // %2=0 → phone planted
+      doc(6, "both kinds")))    // both planted
+    val got = TextAnalysis.piiScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("scrubbed"))).toMap
+    assert(got(1L) === ((0L, 0L, "plain words")))
+    assert(got(3L) === ((1L, 0L, "email only <EMAIL>")))
+    assert(got(4L) === ((0L, 1L, "phone only call <PHONE>")))
+    assert(got(6L) === ((1L, 1L, "both kinds <EMAIL> call <PHONE>")))
+    // No residual PII survives the scrub anywhere.
+    got.values.foreach { case (_, _, s) =>
+      assert(!s.contains("@") && !s.matches(".*[0-9]{3}-[0-9].*"))
+    }
+  }
+
   test("repetition collapse drops consecutive duplicate tokens only") {
     val dir = writeFixture(documents = Seq(
       doc(0, "a a b b b c a"),   // runs collapse; the non-adjacent 'a' stays
