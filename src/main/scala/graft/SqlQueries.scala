@@ -679,32 +679,29 @@ object SqlQueries {
     */
   private lazy val longTailSql: Map[String, String] = Map(
     "d_span_scrub" ->
-      s"""WITH docs AS (SELECT doc_id, ${tokensSpark("text")} AS toks FROM documents),
+      s"""WITH dup AS (
+         |  SELECT sh FROM (
+         |    SELECT explode(word_shingle_hashes(text, ${Dedup.ScrubW}, true)) AS sh
+         |    FROM documents)
+         |  GROUP BY sh HAVING count(*) > 1),
          |spans AS (
          |  SELECT doc_id, pos, sh FROM documents
          |  LATERAL VIEW posexplode(word_shingle_hashes(text, ${Dedup.ScrubW}, false)) t AS pos, sh),
-         |dup AS (
-         |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM spans)
-         |  GROUP BY sh HAVING count(*) > 1),
          |cov AS (
-         |  SELECT DISTINCT s.doc_id, s.pos + k.cp AS cp
+         |  SELECT s.doc_id, collect_set(s.pos + k.cp) AS cov
          |  FROM spans s JOIN dup d ON s.sh = d.sh
-         |  LATERAL VIEW explode(sequence(0, ${Dedup.ScrubW - 1})) k AS cp),
-         |toksr AS (
-         |  SELECT doc_id, pos, tok FROM docs
-         |  LATERAL VIEW posexplode(toks) t AS pos, tok),
-         |clean AS (
-         |  SELECT t.doc_id, t.pos, t.tok FROM toksr t
-         |  LEFT ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_kept,
-         |    array_join(transform(array_sort(collect_list(struct(pos, tok))),
-         |      s -> s.tok), ' ') AS clean_text
-         |  FROM clean GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(size(d.toks) AS BIGINT) AS n_tokens,
-         |  CAST(size(d.toks) AS BIGINT) - coalesce(a.n_kept, 0L) AS n_removed,
-         |  coalesce(a.clean_text, '') AS clean_text
-         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+         |  LATERAL VIEW explode(sequence(0, ${Dedup.ScrubW - 1})) k AS cp
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  n_tokens - CAST(size(kept) AS BIGINT) AS n_removed,
+         |  array_join(kept, ' ') AS clean_text
+         |FROM (
+         |  SELECT d.doc_id, CAST(size(d.toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN c.cov IS NULL THEN d.toks
+         |         ELSE filter(d.toks, (t, i) -> NOT array_contains(c.cov, i)) END
+         |      AS kept
+         |  FROM (SELECT doc_id, ${tokensSpark("text")} AS toks FROM documents) d
+         |  LEFT JOIN cov c ON d.doc_id = c.doc_id)""".stripMargin,
     "t_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(regexp_count(aug, '${TextAnalysis.EmailPat}') AS BIGINT) AS n_emails,

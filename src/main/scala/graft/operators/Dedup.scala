@@ -246,14 +246,21 @@ object Dedup {
   // templates — where w=3 would scrub the whole word-soup fixture).
   //
   // Scale shape (100 TB): candidate work is all equi-joins/aggregates on
-  // the 8-byte span hash or doc_id — (1) distinct-span df aggregate,
-  // (2) spans ⋈ dup-set (the dup side is the small one: df>1 survivors;
-  // at 100 TB broadcast it, or a bloom filter of it, and the join is
-  // map-side), (3) covered-position distinct, anti-join and final
-  // re-assembly all hash-partition by doc_id and reuse one exchange.
-  // The token relation shuffles once — unavoidable for a positional
-  // rewrite; text itself never joins on a text key. The whole rewrite
-  // is O(corpus + dup-span occurrences), never pairwise.
+  // the 8-byte span hash or doc_id — (1) the df aggregate runs over the
+  // kernel's per-doc-DISTINCT span arrays (row-level array_distinct, so
+  // no distinct exchange precedes the count), (2) positional spans ⋈
+  // dup-set (the dup side is the small one: df>1 survivors; at 100 TB
+  // broadcast it, or a bloom filter of it, and the join is map-side),
+  // (3) covered positions fold straight into a per-doc collect_set —
+  // the set dedups overlapping windows, so no DISTINCT exchange either.
+  // The REWRITE is then a single join of documents against the tiny
+  // (doc_id, covered-positions[]) relation plus an indexed-lambda
+  // filter: the text column itself never explodes and never shuffles
+  // (an earlier formulation exploded every token and re-assembled via
+  // sort+collect_list — 1.85 s at sf0.1 vs ~0.5 s for this plan; the
+  // DuckDB oracle deliberately keeps that exploded formulation, making
+  // the two engines independent implementations of the semantics).
+  // O(corpus + dup-span occurrences), never pairwise.
   // ------------------------------------------------------------------
   val ScrubW = 8
 
@@ -268,30 +275,28 @@ object Dedup {
 
   def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val spans = spanRel(spark, sfDir)
-    val dup = spans.select("doc_id", "sh").distinct()
+    // df over per-doc-distinct span arrays: the kernel dedups within the
+    // row, so one explode + one count — no DISTINCT exchange.
+    val dup = docs
+      .select(explode(
+        TextHashOps.shingleHashes(col("text"), ScrubW, distinct = true)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > 1).select("sh")
-    val cov = spans.join(dup, "sh")
+    // Covered positions per doc: positional spans that hit the dup set,
+    // widened to their ScrubW window; collect_set dedups overlaps.
+    val covArr = spanRel(spark, sfDir).join(dup, "sh")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(ScrubW - 1))).as("cp"))
-      .distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "tok")
-    val clean = toks.as("t")
-      .join(cov.as("c"),
-        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cp"),
-        "left_anti")
-    val agg = clean.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
-          "s -> s.tok), ' ')").as("clean_text"))
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(collect_set("cp").as("cov"))
+    // Rewrite = one join + an indexed-lambda filter; text never explodes.
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CASE WHEN cov IS NULL THEN toks " +
+          "ELSE filter(toks, (t, i) -> NOT array_contains(cov, i)) END").as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        expr("n_tokens - CAST(size(kept) AS BIGINT)").as("n_removed"),
+        expr("array_join(kept, ' ')").as("clean_text"))
   }
 
   private def posShinglesDuck(toks: String, w: Int): String =
