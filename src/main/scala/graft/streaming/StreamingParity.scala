@@ -871,6 +871,65 @@ object StreamingParity {
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "fp")
 
+  // ------------------------------------------------------------------
+  // Streaming upsert — the continuous twin of Curation.upsertMerge
+  // (p_upsert_merge): a change stream of (doc_id, version, fp) rows
+  // folds into latest-version-wins keyed state; each arrival emits the
+  // key's CURRENT winner classified as "inserted" (first sight of the
+  // key) or "updated" (version strictly above the held one), while a
+  // stale or replayed arrival (version ≤ held) emits nothing and never
+  // downgrades state — the idempotence MERGE INTO requires under
+  // at-least-once replay. TimeMode.None: winner-fold is arrival-driven,
+  // versions carry the ordering, no timers. Typed ValueState holds one
+  // (version, fp) pair per live key — state is the current-corpus
+  // keyset, the same footprint the batch winner-join materializes.
+  // ------------------------------------------------------------------
+
+  /** A change-stream row: key, monotone version, text fingerprint. */
+  case class DocChange(doc_id: Long, version: Long, fp: Long)
+
+  /** An emitted current winner with its change class. */
+  case class DocCurrent(doc_id: Long, version: Long, fp: Long, status: String)
+
+  class UpsertStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DocChange, DocCurrent] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var cur: streaming.ValueState[DocChange] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[DocChange](
+        "currentDoc", Encoders.product[DocChange], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DocChange],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DocCurrent] = {
+      val held = Option(cur.get())
+      // Intra-batch: fold to the batch's max version first (a batch may
+      // carry both the insert and its revision); emit ONE row per batch
+      // per key at most — the winner after the whole batch.
+      val best = rows.maxBy(_.version)
+      held match {
+        case Some(h) if best.version <= h.version => Iterator.empty
+        case prior =>
+          cur.update(best)
+          Iterator.single(DocCurrent(key, best.version, best.fp,
+            if (prior.isEmpty) "inserted" else "updated"))
+      }
+    }
+  }
+
+  def upsertStream(changes: Dataset[DocChange]): Dataset[DocCurrent] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.doc_id)
+      .transformWithState(new UpsertStatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming NEAR-dup guard: drop an arriving doc whose 60-bit SimHash
     * equals one already seen inside the watermark. The per-row SimHash64
     * kernel makes the fingerprint available before any grouping exists —

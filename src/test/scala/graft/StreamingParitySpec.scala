@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingParity
 import graft.streaming.StreamingParity.{PwEvent, Q2Result}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, struct}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming Q2 parity (SURVEY.md Phase 3): append-mode emission of
@@ -381,6 +381,53 @@ class StreamingParitySpec extends SparkSpec {
       // its first-view timestamp then purchases late-batch, users 3/4
       // view only.
       assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming upsert: latest version wins, stale replays emit nothing") {
+    import graft.streaming.StreamingParity.{DocChange, DocCurrent}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // key 3 carries its insert AND revision in one batch (intra-batch
+      // fold → single emission at v2); key 2's b2 row and key 1's b3 row
+      // are at-least-once replays that must not emit or downgrade.
+      val b1 = Seq(DocChange(1, 1, 11), DocChange(2, 1, 21),
+        DocChange(3, 1, 31), DocChange(3, 2, 32))
+      val b2 = Seq(DocChange(1, 2, 12), DocChange(4, 1, 41), DocChange(2, 1, 21))
+      val b3 = Seq(DocChange(1, 1, 11))
+      val input = MemoryStream[DocChange]
+      val query = StreamingParity.upsertStream(input.toDS())
+        .writeStream.format("memory").queryName("upsert_tws")
+        .outputMode(OutputMode.Update()).start()
+      val emitted = try {
+        input.addData(b1); query.processAllAvailable()
+        input.addData(b2); query.processAllAvailable()
+        input.addData(b3); query.processAllAvailable()
+        s.table("upsert_tws").as[DocCurrent].collect().toSeq
+      } finally query.stop()
+      // Exactly one emission per effective change — the stale rows are
+      // swallowed by the version guard.
+      assert(emitted.size === 5)
+      assert(emitted.count(_.status == "inserted") === 4)
+      assert(emitted.filter(_.status == "updated").map(d => (d.doc_id, d.version, d.fp))
+        === Seq((1L, 2L, 12L)))
+      // The last emission per key IS the batch latest-version-wins fold
+      // over the full change log (the p_upsert_merge winner rule).
+      val finalByKey = emitted.groupBy(_.doc_id)
+        .map { case (k, es) => k -> es.maxBy(_.version) }
+      val batchWinners = (b1 ++ b2 ++ b3).toDF()
+        .groupBy("doc_id").agg(max(struct($"version", $"fp")).as("w"))
+        .select($"doc_id", $"w.version", $"w.fp").as[(Long, Long, Long)]
+        .collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(finalByKey.map { case (k, d) => k -> ((d.version, d.fp)) } === batchWinners)
     } finally prev match {
       case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
