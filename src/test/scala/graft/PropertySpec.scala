@@ -383,6 +383,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span scrub equals the driver-side string scan on random templated corpora") {
+    import graft.operators.Dedup
+    val w = Dedup.ScrubW
+    for (seed <- 71 to 75) {
+      val rnd = new scala.util.Random(seed)
+      // Template chunks planted across documents create genuine cross-doc
+      // 8-gram overlaps (with padding, sometimes none at all — both sides
+      // of the df>1 gate); fillers keep most spans unique.
+      val chunks = Vector.tabulate(3)(c =>
+        Vector.tabulate(5 + c)(j => s"c${c}w$j"))
+      val docs = (0 until 25).map { i =>
+        val toks = Vector.fill(2 + rnd.nextInt(3))(
+          if (rnd.nextBoolean()) chunks(rnd.nextInt(3))
+          else Vector.fill(3 + rnd.nextInt(6))(s"r${rnd.nextInt(50)}")).flatten
+        i.toLong -> toks
+      }
+      val dir = writeFixture(documents = docs.map { case (id, toks) =>
+        doc(id, toks.mkString(" "))
+      })
+      // Reference scan on STRINGS (the engine works on 31-bit span
+      // hashes — agreement is the no-collision-in-practice property).
+      val spanSets = docs.map { case (id, tk) =>
+        id -> (0 to tk.size - w).map(i => tk.slice(i, i + w).mkString(" ")).toSet
+      }.toMap
+      val dup = spanSets.values.flatten.groupBy(identity)
+        .collect { case (s, o) if o.size > 1 => s }.toSet
+      val expected = docs.map { case (id, tk) =>
+        val cov = (0 to tk.size - w)
+          .flatMap(i => if (dup(tk.slice(i, i + w).mkString(" "))) i until i + w else Nil)
+          .toSet
+        val kept = tk.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+        id -> ((tk.size.toLong, (tk.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.spanScrub(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("sequence packing equals the driver-side per-shard scan on random corpora") {
     import graft.operators.Curation
     for (seed <- 51 to 55) {
