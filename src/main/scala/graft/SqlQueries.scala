@@ -717,6 +717,41 @@ object SqlQueries {
          |         THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
          |         ELSE '' END) AS aug
          |  FROM documents)""".stripMargin,
+    "p_bpe_merges" -> {
+      def iter(i: Int): String =
+        s"""pairs$i AS (
+           |  SELECT p, sum(wf) AS cnt FROM (
+           |    SELECT wf, explode(transform(sequence(0, size(sl) - 2),
+           |      k -> concat(element_at(sl, k + 1), ' ', element_at(sl, k + 2)))) AS p
+           |    FROM (SELECT wf, split(syms, ' ') AS sl FROM syms${i - 1})
+           |    WHERE size(sl) >= 2)
+           |  GROUP BY p),
+           |rule$i AS (
+           |  SELECT p, cnt FROM pairs$i ORDER BY cnt DESC, p LIMIT 1),
+           |syms$i AS (
+           |  SELECT word, wf,
+           |    aggregate(split(syms, ' '), '', (acc, s) -> CASE
+           |      WHEN s = split(r.p, ' ')[1]
+           |           AND (acc = split(r.p, ' ')[0]
+           |                OR endswith(acc, concat(' ', split(r.p, ' ')[0])))
+           |      THEN concat(acc, split(r.p, ' ')[1])
+           |      WHEN acc = '' THEN s
+           |      ELSE concat(acc, ' ', s) END) AS syms
+           |  FROM syms${i - 1}, rule$i r)""".stripMargin
+      val stats = (1 to Curation.BpeIters).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
+           |  (SELECT cnt FROM rule$i) AS cnt,
+           |  (SELECT sum(wf * CAST(size(split(syms, ' ')) AS BIGINT))
+           |   FROM syms$i) AS corpus_syms""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf
+         |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |syms0 AS (
+         |  SELECT word, wf, array_join(split(word, ''), ' ') AS syms FROM vocab),
+         |${(1 to Curation.BpeIters).map(iter).mkString(",\n")}
+         |$stats""".stripMargin
+    },
     "p_upsert_merge" ->
       s"""WITH merged AS (
          |  SELECT doc_id, CAST(1 AS BIGINT) AS version, poly_hash(text) AS fp

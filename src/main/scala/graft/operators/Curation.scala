@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{CacheRegistry, Tables}
 import graft.functions.TextHashOps
 import graft.functions.Parity.charPolyHashDuck
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -667,7 +667,122 @@ object Curation {
        |FROM merged m JOIN winner w
        |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer training — the first merge steps of byte-pair encoding
+  // as distributed aggregates (the algorithm every modern tokenizer
+  // trains with): start from the word vocab with corpus frequencies,
+  // symbols = characters; each iteration (1) counts adjacent symbol
+  // pairs weighted by word frequency, (2) picks the most frequent pair
+  // under a deterministic total order (count desc, pair asc), (3) merges
+  // every occurrence of that pair corpus-wide. Output: the learned merge
+  // rule per iteration plus the post-merge corpus symbol count (strictly
+  // decreasing by cnt each step — the compression the merge buys).
+  //
+  // The merge-apply is the subtle part: canonical BPE merges greedily
+  // LEFT-TO-RIGHT over the symbol sequence ("a a a a" under (a,a) must
+  // become "aa aa", where a naive non-overlapping string replace of
+  // ' a a ' consumes the shared boundary space and yields "aa a a").
+  // The apply is therefore a sequential string-accumulator fold —
+  // Spark `aggregate`, DuckDB `list_reduce` — whose merge condition is
+  // "current symbol = y AND the accumulator's LAST symbol = x" (exact:
+  // acc = x, or acc ends with ' '||x — symbols never contain spaces),
+  // in which case the separator is simply not emitted. Both engines
+  // fold strictly left-to-right, so the greedy semantics agree
+  // bit-for-bit, and a just-merged symbol can never falsely re-match
+  // (the ends-with test sees the whole merged symbol).
+  //
+  // Scale shape (100 TB): everything after the one corpus scan operates
+  // on the VOCAB relation (distinct words + frequencies — millions of
+  // rows where the corpus has trillions), exactly why production BPE
+  // trainers pre-aggregate to word counts. Per iteration: one
+  // vocab-sized pair explode + an 8-byte-keyed sum, a 1-row argmax
+  // broadcast back, and a vocab rewrite projection. Iterations are
+  // driver-unrolled (the kmeansTrain pattern); each iteration's symbol
+  // relation is registry-persisted so the chain is linear, not
+  // exponential, across its two consumers (next iteration + stats).
+  // ------------------------------------------------------------------
+  val BpeIters = 3
+
+  private def bpeChain(spark: SparkSession, sfDir: String): Seq[(DataFrame, DataFrame)] = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+    var syms = vocab.select(col("word"), col("wf"),
+      expr("array_join(split(word, ''), ' ')").as("syms"))
+    (1 to BpeIters).map { it =>
+      val sl = "split(syms, ' ')"
+      val pairs = syms.where(expr(s"size($sl) >= 2"))
+        .select(col("wf"), explode(expr(
+          s"transform(sequence(0, size($sl) - 2), " +
+            s"k -> concat(element_at($sl, k + 1), ' ', element_at($sl, k + 2)))")).as("p"))
+        .groupBy("p").agg(sum("wf").as("cnt"))
+      val rule = CacheRegistry.cached(spark, s"curation.bpeRule$it:$sfDir") {
+        pairs.orderBy(col("cnt").desc, col("p")).limit(1)
+      }
+      syms = CacheRegistry.cached(spark, s"curation.bpeSyms$it:$sfDir") {
+        syms.crossJoin(broadcast(rule.select(
+            expr("split(p, ' ')[0]").as("rx"), expr("split(p, ' ')[1]").as("ry"))))
+          .select(col("word"), col("wf"),
+            expr("aggregate(split(syms, ' '), '', (acc, s) -> CASE " +
+              "WHEN s = ry AND (acc = rx OR endswith(acc, concat(' ', rx))) " +
+              "THEN concat(acc, ry) " +
+              "WHEN acc = '' THEN s " +
+              "ELSE concat(acc, ' ', s) END)").as("syms"))
+      }
+      (rule, syms)
+    }
+  }
+
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeChain(spark, sfDir).zipWithIndex.map { case ((rule, syms), i) =>
+      val stat = syms.agg(
+        sum(expr("wf * CAST(size(split(syms, ' ')) AS BIGINT)")).as("corpus_syms"))
+      rule.crossJoin(stat)
+        .select(lit((i + 1).toLong).as("it"), col("p").as("pair"),
+          col("cnt"), col("corpus_syms"))
+    }.reduce(_ unionByName _)
+
+  private def bpePairsDuck(i: Int): String =
+    s"""pairs$i AS (
+       |  SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+       |    SELECT wf, unnest(list_transform(range(0, len(sl) - 1),
+       |      k -> sl[k + 1] || ' ' || sl[k + 2])) AS p
+       |    FROM (SELECT wf, string_split(syms, ' ') AS sl FROM syms${i - 1})
+       |    WHERE len(sl) >= 2)
+       |  GROUP BY p),
+       |rule$i AS (
+       |  SELECT p, cnt FROM pairs$i ORDER BY cnt DESC, p LIMIT 1),
+       |syms$i AS (
+       |  SELECT word, wf,
+       |    list_reduce(list_prepend('', string_split(syms, ' ')), (acc, s) -> CASE
+       |      WHEN s = string_split(r.p, ' ')[2]
+       |           AND (acc = string_split(r.p, ' ')[1]
+       |                OR ends_with(acc, ' ' || string_split(r.p, ' ')[1]))
+       |      THEN acc || string_split(r.p, ' ')[2]
+       |      WHEN acc = '' THEN s
+       |      ELSE acc || ' ' || s END) AS syms
+       |  FROM syms${i - 1}, rule$i r)""".stripMargin
+
+  val bpeMergesSql: String = {
+    val iters = (1 to BpeIters).map(bpePairsDuck).mkString(",\n")
+    val stats = (1 to BpeIters).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
+         |  (SELECT cnt FROM rule$i) AS cnt,
+         |  (SELECT CAST(sum(wf * len(string_split(syms, ' '))) AS BIGINT)
+         |   FROM syms$i) AS corpus_syms""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT tok AS word, count(*) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM ($docsSql))
+       |  GROUP BY tok),
+       |syms0 AS (
+       |  SELECT word, wf, array_to_string(string_split(word, ''), ' ') AS syms
+       |  FROM vocab),
+       |$iters
+       |$stats""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_bpe_merges" -> (bpeMerges _),
     "p_upsert_merge" -> (upsertMerge _),
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
@@ -685,6 +800,7 @@ object Curation {
     "p_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "p_bpe_merges" -> bpeMergesSql,
     "p_upsert_merge" -> upsertMergeSql,
     "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,

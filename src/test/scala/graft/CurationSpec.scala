@@ -16,6 +16,25 @@ class CurationSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(got(3L)._2))
   }
 
+  test("BPE merges: frequency-ranked rules, canonical greedy apply, shrinking corpus") {
+    // vocab: aaaa wf=3 (the adjacency case a naive replace gets wrong),
+    // ab wf=1, xy wf=1.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "aaaa ab"), doc(1, "aaaa aaaa"), doc(2, "xy")))
+    val got = Curation.bpeMerges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("it"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("corpus_syms"))).toSet
+    // it1: 'a a' scores 3 pairs × wf 3 = 9; greedy apply gives "aa aa"
+    //      (4 syms → 2), corpus = 3·2 + 2 + 2 = 10.
+    // it2: 'aa aa' (3) merges to one symbol, corpus = 3·1 + 2 + 2 = 7.
+    // it3: 'a b' ties 'x y' at 1 — pair-asc tiebreak picks 'a b';
+    //      corpus = 3 + 1 + 2 = 6.
+    assert(got === Set(
+      (1L, "a a", 9L, 10L),
+      (2L, "aa aa", 3L, 7L),
+      (3L, "a b", 1L, 6L)))
+  }
+
   test("upsert merge: latest version wins, statuses classify the change batch") {
     // docs 1 and 3 share a text: 3 carries the base fingerprint while 1 is
     // revised, pinning that the update actually re-fingerprints the text.
