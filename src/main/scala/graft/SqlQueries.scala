@@ -662,7 +662,9 @@ object SqlQueries {
     * the cluster family (`d_*_clusters`, `d_cluster_sizes`,
     * `d_canonical_stats`, `p_curation_cascade`) — connected components
     * is a driver-controlled iteration and Spark SQL has no recursive
-    * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`) — iterative
+    * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`) and the PQ
+    * family (`s_pq_*` — per-subspace codebook training is the same
+    * driver-unrolled Lloyd chain) — iterative
     * training, same reason; the multimodal family (`m_*`) — binary
     * decode through typed mapPartitions codecs, not expressible as a
     * SQL projection; and the plan-demonstration twins

@@ -74,6 +74,42 @@ class SimilaritySpec extends SparkSpec {
     assert(k3 >= k1)
   }
 
+  test("PQ codes: one code per subspace, identical vectors encode identically") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 9).map(i => EmbRow(i.toLong, vec(), 0))
+    // vec 9 duplicates vec 1 — same subvectors ⇒ same nearest codeword
+    // in every subspace (deterministic tiebreak included).
+    val dir = writeFixture(embeddings = base :+ EmbRow(9L, base(1).embedding.clone(), 0))
+    val codes = Similarity.pqCodes(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) -> r.getAs[Long]("code"))
+      .toMap
+    assert(codes.size === 10 * Similarity.PqM)
+    (0 until Similarity.PqM).foreach { m =>
+      assert(codes((9L, m)) === codes((1L, m)), s"subspace $m")
+    }
+    // Every code addresses a real codeword: 0 <= code < PqK.
+    assert(codes.values.forall(c => c >= 0L && c < Similarity.PqK))
+  }
+
+  test("PQ re-rank dominates raw ADC per query (live data)") {
+    // Theorem (see Similarity scaladoc): ADC's top-k is inside the
+    // shortlist and fewer than k vectors are exact-closer than any
+    // global exact-top-k member, so per query hits_rerank >= hits_adc.
+    val rows = Similarity.pqRecall(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === Similarity.NumQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits_rerank") >= r.getAs[Long]("hits_adc"),
+        s"query ${r.getAs[Long]("query_id")}")
+    }
+    // And the compression is not free: on structure-free random
+    // embeddings raw ADC misses most exact neighbors (the documented
+    // 0.13-vs-0.48 gap) — re-rank must add strictly positive recall.
+    val (adc, rr) = (rows.map(_.getAs[Long]("hits_adc")).sum,
+      rows.map(_.getAs[Long]("hits_rerank")).sum)
+    assert(rr > adc)
+  }
+
   test("k-means training matches a driver-side Lloyd run on the same integers") {
     import graft.functions.Parity
     // 32 vectors in 4 well-separated 64-dim groups (plus jitter), so the
