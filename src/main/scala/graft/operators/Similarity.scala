@@ -604,14 +604,20 @@ object Similarity {
       pqAssign(pqSubvectors(spark, sfDir), pqCodebooks(spark, sfDir))
     }
 
-  /** ADC-scored (query, neighbor, adist) with an ADC rank column. */
-  private def pqAdcRanked(spark: SparkSession, sfDir: String): DataFrame = {
-    val dtab = pqSubvectors(spark, sfDir).where(col("vec_id") < NumQueries)
+  /** Per-query (m, codeword) → exact ||q_m − c_mk||² table: PqM·PqK rows
+    * per query — the whole search-time vector arithmetic of ADC.
+    */
+  private def pqDistanceTable(spark: SparkSession, sfDir: String): DataFrame =
+    pqSubvectors(spark, sfDir).where(col("vec_id") < NumQueries)
       .toDF("query_id", "m", "qsv")
       .join(broadcast(pqCodebooks(spark, sfDir)), "m")
       .select(col("query_id"), col("m"), col("cid"),
         (longDot(col("qsv"), col("qsv")) - lit(2L) * longDot(col("qsv"), col("cv")) +
           longDot(col("cv"), col("cv"))).as("d"))
+
+  /** ADC-scored (query, neighbor, adist) with an ADC rank column. */
+  private def pqAdcRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dtab = pqDistanceTable(spark, sfDir)
     pqCodes(spark, sfDir).as("c")
       .join(broadcast(dtab).as("t"),
         col("c.m") === col("t.m") && col("c.code") === col("t.cid") &&
@@ -634,11 +640,13 @@ object Similarity {
     */
   val PqShortK = 50L
 
-  def pqRerankTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact-integer re-rank of a (query_id, neighbor_id) shortlist: only
+    * shortlist rows join back to full vectors.
+    */
+  private def exactRerank(spark: SparkSession, sfDir: String,
+      short: DataFrame): DataFrame = {
     val corpus = quantized(spark, sfDir)
-    val short = pqAdcRanked(spark, sfDir).where(col("rnk") <= PqShortK)
-      .select("query_id", "neighbor_id")
-    short
+    short.select("query_id", "neighbor_id")
       .join(corpus.select(col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qn")), "query_id")
       .join(corpus.select(col("vec_id").as("neighbor_id"),
@@ -649,6 +657,46 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
       .where(col("rnk") <= TopK)
       .select("query_id", "neighbor_id", "rnk", "dist2")
+  }
+
+  def pqRerankTopK(spark: SparkSession, sfDir: String): DataFrame =
+    exactRerank(spark, sfDir,
+      pqAdcRanked(spark, sfDir).where(col("rnk") <= PqShortK))
+
+  /** Classic IVF-PQ — both halves composed: the trained k-means cells
+    * prune candidates (only the query's NProbe nearest cells are
+    * scored), PQ codes score them (table lookups, no vectors), and the
+    * exact re-rank runs on the surviving shortlist. Per query the work
+    * is: 8 centroid distances + |probed cells|·(4 lookups + 1 add)/
+    * candidate + PqShortK exact distances — the 100 TB ANN serving
+    * plan, end-to-end as three equi-joins and two grouped aggregates.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = quantized(spark, sfDir).where(col("vec_id") < NumQueries)
+    val probes = broadcast(qs.as("q"))
+      .join(broadcast(kmeansCentroids(spark, sfDir).as("ce")))
+      .select(col("q.vec_id").as("query_id"), col("ce.cid").as("cell"),
+        (col("q.norm") - lit(2L) * longDot(col("q.v"), col("ce.cv")) + col("ce.cnorm"))
+          .as("cdist"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))))
+      .where(col("crnk") <= NProbe)
+      .select("query_id", "cell")
+    val cand = kmeansTrain(spark, sfDir).select("vec_id", "cluster").as("c")
+      .join(broadcast(probes).as("p"),
+        col("c.cluster") === col("p.cell") && col("p.query_id") =!= col("c.vec_id"))
+      .select(col("p.query_id").as("query_id"), col("c.vec_id").as("vec_id"))
+    val dtab = pqDistanceTable(spark, sfDir).toDF("t_query", "t_m", "t_cid", "d")
+    val scored = cand
+      .join(pqCodes(spark, sfDir), "vec_id")
+      .join(broadcast(dtab),
+        col("t_query") === col("query_id") &&
+          col("t_m") === col("m") && col("t_cid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))))
+    exactRerank(spark, sfDir, scored.where(col("rnk") <= PqShortK))
   }
 
   /** PQ hits against the exact integer-L2 top-k (the metric ADC
@@ -786,10 +834,76 @@ object Similarity {
        |$pqAdcScoredSql
        |SELECT query_id, neighbor_id, rnk, dist2 FROM rr_topk""".stripMargin
 
+  /** IVF-PQ oracle: the km_-prefixed kmeans training chain (the same
+    * recipe as kmeansCtesSql — renamed because the PQ chain owns the
+    * unprefixed seeds/a1/sums/c1 names) + cell probing + code scoring
+    * restricted to probed cells + exact re-rank.
+    */
+  val ivfPqTopKSql: String = {
+    val dimSums = (0 until EmbeddingDim)
+      .map(i => s"CAST(sum(q.v[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+    val fdivArr = (0 until EmbeddingDim)
+      .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
+    val subDist = s"${dotDuck("q.sv", "q.sv")} - 2 * ${dotDuck("q.sv", "c.cv")}" +
+      s" + ${dotDuck("c.cv", "c.cv")}"
+    val exactDist = s"q.norm - 2 * ${dotDuck("q.v", "c.v")} + c.norm"
+    s"""WITH $pqCtesSql,
+       |km_seeds AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM corpus
+       |  WHERE vec_id < $KmeansK),
+       |km_a1 AS (${kmeansAssignSql("corpus", "km_seeds")}),
+       |km_sums AS (
+       |  SELECT a.cluster AS cid, count(*) AS n, $dimSums
+       |  FROM corpus q JOIN km_a1 a ON q.vec_id = a.vec_id
+       |  GROUP BY a.cluster),
+       |km_c1 AS (
+       |  SELECT cid, cv, ${dotDuck("cv", "cv")} AS cnorm
+       |  FROM (SELECT cid, $fdivArr AS cv FROM km_sums)),
+       |assignment AS (${kmeansAssignSql("corpus", "km_c1")}),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, ce.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.norm - 2 * ${dotDuck("q.v", "ce.cv")} + ce.cnorm, ce.cid)
+       |        AS crnk
+       |    FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q
+       |    CROSS JOIN km_c1 ce)
+       |  WHERE crnk <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id FROM assignment c
+       |  JOIN probes p ON c.cluster = p.cell AND p.query_id <> c.vec_id),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid, $subDist AS d
+       |  FROM (SELECT * FROM sub WHERE vec_id < $NumQueries) q
+       |  JOIN c1 c ON q.m = c.m),
+       |scored AS (
+       |  SELECT n.query_id, n.vec_id AS neighbor_id, CAST(sum(t.d) AS BIGINT) AS adist
+       |  FROM cand n
+       |  JOIN codes k ON k.vec_id = n.vec_id
+       |  JOIN dtab t ON t.query_id = n.query_id AND t.m = k.m AND t.cid = k.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $PqShortK)
+       |SELECT query_id, neighbor_id, rnk, dist2 FROM (
+       |  SELECT s.query_id, s.neighbor_id, $exactDist AS dist2,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY $exactDist, s.neighbor_id) AS rnk
+       |  FROM short s
+       |  JOIN corpus q ON q.vec_id = s.query_id
+       |  JOIN corpus c ON c.vec_id = s.neighbor_id)
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_pq_codes" -> (pqCodes _),
     "s_pq_adc_topk" -> (pqAdcTopK _),
     "s_pq_rerank_topk" -> (pqRerankTopK _),
+    "s_ivfpq_topk" -> (ivfPqTopK _),
     "s_pq_recall" -> (pqRecall _),
     "s_cosine_topk" -> (cosineTopK _),
     "s_lsh_bucket_stats" -> (lshBucketStats _),
@@ -804,6 +918,7 @@ object Similarity {
     "s_pq_codes" -> pqCodesSql,
     "s_pq_adc_topk" -> pqAdcTopKSql,
     "s_pq_rerank_topk" -> pqRerankTopKSql,
+    "s_ivfpq_topk" -> ivfPqTopKSql,
     "s_pq_recall" -> pqRecallSql,
     "s_cosine_topk" -> cosineTopKSql,
     "s_lsh_bucket_stats" -> lshBucketStatsSql,

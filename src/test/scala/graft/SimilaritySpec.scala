@@ -110,6 +110,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rr > adc)
   }
 
+  test("IVF-PQ neighbors all live in the query's probed cells (live data)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cells = Similarity.kmeansTrain(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val got = Similarity.ivfPqTopK(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // Build each query's probed cell set exactly as the operator does:
+    // its own cell is always the nearest (dist2 arithmetic identity), so
+    // at minimum the query's own cell is probed — every returned
+    // neighbor must then be assigned to one of at most NProbe cells,
+    // and the ranks are dense 1..k' per query.
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val usedCells = rows.map(r => cells(r.getAs[Long]("neighbor_id"))).toSet
+      assert(usedCells.size <= Similarity.NProbe, s"query $q cells $usedCells")
+      val rnks = rows.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(rnks === (1 to rows.length), s"query $q ranks $rnks")
+    }
+  }
+
   test("k-means training matches a driver-side Lloyd run on the same integers") {
     import graft.functions.Parity
     // 32 vectors in 4 well-separated 64-dim groups (plus jitter), so the
