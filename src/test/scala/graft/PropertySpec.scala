@@ -424,6 +424,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE merges equal the driver-side trainer on random corpora") {
+    import graft.operators.Curation
+    for (seed <- 81 to 85) {
+      val rnd = new scala.util.Random(seed)
+      // 3-letter alphabet, words of 4-8 chars: dense pair collisions so
+      // ties and repeated-adjacent runs (the greedy-fold edge) occur,
+      // and 3 merge rounds never exhaust the pair supply.
+      def word() = List.fill(4 + rnd.nextInt(5))("abc" (rnd.nextInt(3))).mkString
+      val pool = Vector.fill(8)(word())
+      val docs = (0 until 12).map(i =>
+        i.toLong -> List.fill(4 + rnd.nextInt(5))(pool(rnd.nextInt(pool.size))))
+      val dir = writeFixture(documents = docs.map { case (id, ws) =>
+        doc(id, ws.mkString(" "))
+      })
+      // Driver-side reference trainer over the same token counts.
+      val wf = docs.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      var syms: Map[String, Seq[String]] = wf.keys.map(w => w -> w.split("").toSeq).toMap
+      val expected = (1 to Curation.BpeIters).map { it =>
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        syms.foreach { case (w, sl) =>
+          sl.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + wf(w)
+            case _ =>
+          }
+        }
+        val ((x, y), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        syms = syms.map { case (w, sl) =>
+          val out = scala.collection.mutable.Buffer.empty[String]
+          sl.foreach { s =>
+            if (out.nonEmpty && out.last == x && s == y) out(out.size - 1) = x + y
+            else out += s
+          }
+          w -> out.toSeq
+        }
+        val corpus = syms.map { case (w, sl) => sl.size * wf(w) }.sum
+        (it.toLong, s"$x $y", cnt, corpus)
+      }.toSet
+      val got = Curation.bpeMerges(spark, dir).collect()
+        .map(r => (r.getAs[Long]("it"), r.getAs[String]("pair"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("corpus_syms"))).toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("sequence packing equals the driver-side per-shard scan on random corpora") {
     import graft.operators.Curation
     for (seed <- 51 to 55) {
