@@ -679,6 +679,30 @@ object SqlQueries {
     * all have SQL texts above. Every other gated batch query has a SQL
     * text; SqlParitySpec pins the boundary by exhaustive complement.
     */
+  /** One BPE iteration's CTE triple (pairsN, ruleN, symsN) in the Spark
+    * SQL dialect — shared by the p_bpe_merges and p_bpe_tokenize texts.
+    */
+  private def bpeIterSparkSql(i: Int): String =
+    s"""pairs$i AS (
+       |  SELECT p, sum(wf) AS cnt FROM (
+       |    SELECT wf, explode(transform(sequence(0, size(sl) - 2),
+       |      k -> concat(element_at(sl, k + 1), ' ', element_at(sl, k + 2)))) AS p
+       |    FROM (SELECT wf, split(syms, ' ') AS sl FROM syms${i - 1})
+       |    WHERE size(sl) >= 2)
+       |  GROUP BY p),
+       |rule$i AS (
+       |  SELECT p, cnt FROM pairs$i ORDER BY cnt DESC, p LIMIT 1),
+       |syms$i AS (
+       |  SELECT word, wf,
+       |    aggregate(split(syms, ' '), '', (acc, s) -> CASE
+       |      WHEN s = split(r.p, ' ')[1]
+       |           AND (acc = split(r.p, ' ')[0]
+       |                OR endswith(acc, concat(' ', split(r.p, ' ')[0])))
+       |      THEN concat(acc, split(r.p, ' ')[1])
+       |      WHEN acc = '' THEN s
+       |      ELSE concat(acc, ' ', s) END) AS syms
+       |  FROM syms${i - 1}, rule$i r)""".stripMargin
+
   private lazy val longTailSql: Map[String, String] = Map(
     "d_span_scrub" ->
       s"""WITH dup AS (
@@ -719,27 +743,26 @@ object SqlQueries {
          |         THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
          |         ELSE '' END) AS aug
          |  FROM documents)""".stripMargin,
+    "a_expectations" ->
+      """SELECT 'lineitem_nonempty' AS check_name, count(*) AS observed,
+        |  count(*) > 0 AS passed FROM lineitem
+        |UNION ALL
+        |SELECT 'null_orderkeys', count(*), count(*) = 0
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'orphan_lineitems', count(*), count(*) = 0
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'dup_orderkeys', count(*), count(*) = 0
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'qty_out_of_range', count(*), count(*) = 0
+        |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        |UNION ALL
+        |SELECT 'nonpositive_price', count(*), count(*) = 0
+        |FROM lineitem WHERE l_extendedprice <= 0""".stripMargin,
     "p_bpe_merges" -> {
-      def iter(i: Int): String =
-        s"""pairs$i AS (
-           |  SELECT p, sum(wf) AS cnt FROM (
-           |    SELECT wf, explode(transform(sequence(0, size(sl) - 2),
-           |      k -> concat(element_at(sl, k + 1), ' ', element_at(sl, k + 2)))) AS p
-           |    FROM (SELECT wf, split(syms, ' ') AS sl FROM syms${i - 1})
-           |    WHERE size(sl) >= 2)
-           |  GROUP BY p),
-           |rule$i AS (
-           |  SELECT p, cnt FROM pairs$i ORDER BY cnt DESC, p LIMIT 1),
-           |syms$i AS (
-           |  SELECT word, wf,
-           |    aggregate(split(syms, ' '), '', (acc, s) -> CASE
-           |      WHEN s = split(r.p, ' ')[1]
-           |           AND (acc = split(r.p, ' ')[0]
-           |                OR endswith(acc, concat(' ', split(r.p, ' ')[0])))
-           |      THEN concat(acc, split(r.p, ' ')[1])
-           |      WHEN acc = '' THEN s
-           |      ELSE concat(acc, ' ', s) END) AS syms
-           |  FROM syms${i - 1}, rule$i r)""".stripMargin
       val stats = (1 to Curation.BpeIters).map(i =>
         s"""SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
            |  (SELECT cnt FROM rule$i) AS cnt,
@@ -751,9 +774,24 @@ object SqlQueries {
          |  GROUP BY word),
          |syms0 AS (
          |  SELECT word, wf, array_join(split(word, ''), ' ') AS syms FROM vocab),
-         |${(1 to Curation.BpeIters).map(iter).mkString(",\n")}
+         |${(1 to Curation.BpeIters).map(bpeIterSparkSql).mkString(",\n")}
          |$stats""".stripMargin
     },
+    "p_bpe_tokenize" ->
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf
+         |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |syms0 AS (
+         |  SELECT word, wf, array_join(split(word, ''), ' ') AS syms FROM vocab),
+         |${(1 to Curation.BpeIters).map(bpeIterSparkSql).mkString(",\n")},
+         |sized AS (
+         |  SELECT word, CAST(size(split(syms, ' ')) AS BIGINT) AS n_sub
+         |  FROM syms${Curation.BpeIters})
+         |SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_tokens_bpe
+         |FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents) t
+         |JOIN sized s ON t.word = s.word
+         |GROUP BY doc_id""".stripMargin,
     "p_upsert_merge" ->
       s"""WITH merged AS (
          |  SELECT doc_id, CAST(1 AS BIGINT) AS version, poly_hash(text) AS fp

@@ -1114,7 +1114,65 @@ object Analytics {
       |  CAST(1 AS BIGINT) AS approx_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Data-quality expectations — the Deequ/Great-Expectations capability
+  // class: a validation suite evaluated IN the engine, one pass per
+  // check, emitted as (check_name, observed, passed) rows a pipeline
+  // gate consumes. The checks exercise the canonical families: volume
+  // (non-empty), completeness (NULL keys), referential integrity
+  // (orphan facts via LEFT ANTI — no join amplification), uniqueness
+  // (duplicate dimension keys), and domain ranges. Each check is an
+  // independent scalar aggregate over a pushed-down filter — at 100 TB
+  // they run as parallel scan-bound jobs (or fuse into one pass with
+  // conditional aggregates if scan count dominates; both forms are
+  // linear, the per-check form keeps filters in PushedFilters).
+  // ------------------------------------------------------------------
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    def row(name: String, observed: DataFrame, expectZero: Boolean): DataFrame =
+      observed.agg(count(lit(1)).as("observed"))
+        .select(lit(name).as("check_name"), col("observed"),
+          (if (expectZero) col("observed") === 0L else col("observed") > 0L)
+            .as("passed"))
+    row("lineitem_nonempty", li, expectZero = false)
+      .unionByName(row("null_orderkeys",
+        li.where(col("l_orderkey").isNull), expectZero = true))
+      .unionByName(row("orphan_lineitems",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"),
+        expectZero = true))
+      .unionByName(row("dup_orderkeys",
+        ord.groupBy("o_orderkey").agg(count(lit(1)).as("c")).where(col("c") > 1),
+        expectZero = true))
+      .unionByName(row("qty_out_of_range",
+        li.where(col("l_quantity") < 1 || col("l_quantity") > 50),
+        expectZero = true))
+      .unionByName(row("nonpositive_price",
+        li.where(col("l_extendedprice") <= 0), expectZero = true))
+  }
+
+  val expectationsSql: String =
+    """SELECT 'lineitem_nonempty' AS check_name, count(*) AS observed,
+      |  count(*) > 0 AS passed FROM lineitem
+      |UNION ALL
+      |SELECT 'null_orderkeys', count(*), count(*) = 0
+      |FROM lineitem WHERE l_orderkey IS NULL
+      |UNION ALL
+      |SELECT 'orphan_lineitems', count(*), count(*) = 0
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'dup_orderkeys', count(*), count(*) = 0
+      |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'qty_out_of_range', count(*), count(*) = 0
+      |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      |UNION ALL
+      |SELECT 'nonpositive_price', count(*), count(*) = 0
+      |FROM lineitem WHERE l_extendedprice <= 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_expectations" -> (expectations _),
     "a_daily_active" -> (dailyActive _),
     "a_daily_active_approx" -> (dailyActiveApprox _),
     "a_interval_join" -> (intervalJoin _),
@@ -1144,6 +1202,7 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_expectations" -> expectationsSql,
     "a_daily_active" -> dailyActiveSql,
     "a_daily_active_approx" -> dailyActiveApproxSql,
     "a_interval_join" -> intervalJoinSql,

@@ -781,8 +781,50 @@ object Curation {
        |$stats""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Tokenize with the TRAINED merges — the apply leg of the BPE loop:
+  // the iteration-3 symbol table is a (word → symbol count) dictionary;
+  // tokenizing the corpus is one explode + one broadcast dictionary
+  // join + one per-doc sum (token counts are what a packing/budgeting
+  // pass consumes — the symbol STRINGS stay in the vocab relation and
+  // never shuffle with the corpus). At 100 TB the dictionary is
+  // vocab-sized: broadcast it (or hash-join on the word key when the
+  // vocab outgrows broadcast — same plan minus the hint).
+  // ------------------------------------------------------------------
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val sized = bpeChain(spark, sfDir).last._2
+      .select(col("word"),
+        expr("CAST(size(split(syms, ' ')) AS BIGINT)").as("n_sub"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(sized), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens_bpe"))
+  }
+
+  val bpeTokenizeSql: String = {
+    val iters = (1 to BpeIters).map(bpePairsDuck).mkString(",\n")
+    s"""WITH vocab AS (
+       |  SELECT tok AS word, count(*) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM ($docsSql))
+       |  GROUP BY tok),
+       |syms0 AS (
+       |  SELECT word, wf, array_to_string(string_split(word, ''), ' ') AS syms
+       |  FROM vocab),
+       |$iters,
+       |sized AS (
+       |  SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_sub
+       |  FROM syms$BpeIters)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_tokens_bpe
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM ($docsSql)) t
+       |JOIN sized s ON t.word = s.word
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bpe_merges" -> (bpeMerges _),
+    "p_bpe_tokenize" -> (bpeTokenize _),
     "p_upsert_merge" -> (upsertMerge _),
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
@@ -801,6 +843,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "p_bpe_merges" -> bpeMergesSql,
+    "p_bpe_tokenize" -> bpeTokenizeSql,
     "p_upsert_merge" -> upsertMergeSql,
     "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,

@@ -94,6 +94,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(relErr <= 3 * rsd, s"approx $approx vs exact $exact: relErr $relErr")
   }
 
+  test("expectations suite: every check evaluates and passes on the clean fixture") {
+    import graft.operators.Analytics
+    val got = Analytics.expectations(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("observed"), r.getAs[Boolean]("passed")))).toMap
+    assert(got.keySet === Set("lineitem_nonempty", "null_orderkeys",
+      "orphan_lineitems", "dup_orderkeys", "qty_out_of_range",
+      "nonpositive_price"))
+    // The generated fixture is referentially clean: the volume check
+    // observes rows, every violation check observes zero.
+    assert(got("lineitem_nonempty")._1 > 0L)
+    got.filter(_._1 != "lineitem_nonempty").foreach { case (name, (obs, _)) =>
+      assert(obs === 0L, name)
+    }
+    assert(got.values.forall(_._2), "all checks pass")
+  }
+
   test("column profile reports invariant-consistent stats per profiled column") {
     val sfDir = "/root/testdata/sf0.001"
     val got = Analytics.profileLineitem(spark, sfDir).collect()

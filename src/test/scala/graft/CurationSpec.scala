@@ -35,6 +35,17 @@ class CurationSpec extends SparkSpec {
       (3L, "a b", 1L, 6L)))
   }
 
+  test("BPE tokenize applies the trained merges per document") {
+    // Same corpus as the merges test: rules (a a), (aa aa), (a b) leave
+    // aaaa and ab as single tokens and xy as two.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "aaaa ab"), doc(1, "aaaa aaaa"), doc(2, "xy")))
+    val got = Curation.bpeTokenize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens_bpe")))).toMap
+    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
+  }
+
   test("upsert merge: latest version wins, statuses classify the change batch") {
     // docs 1 and 3 share a text: 3 carries the base fingerprint while 1 is
     // revised, pinning that the update actually re-fingerprints the text.

@@ -30,7 +30,7 @@ class SqlParitySpec extends SparkSpec {
   }
 
   test("the SQL surface covers reference, warehouse, dedup, similarity, text, curation, null families") {
-    assert(SqlQueries.sql.size >= 79)
+    assert(SqlQueries.sql.size >= 81)
     Seq("q", "a", "d", "s", "t", "p", "n").foreach { fam =>
       assert(SqlQueries.sql.keys.exists(_.startsWith(fam + "_")) ||
         SqlQueries.sql.keys.exists(_.startsWith(fam)), s"family $fam missing")
