@@ -743,6 +743,71 @@ object SqlQueries {
          |         THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
          |         ELSE '' END) AS aug
          |  FROM documents)""".stripMargin,
+    "p_chunk_docs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, split(text, ' ') AS toks,
+         |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, source, toks, n_tokens,
+         |    explode(sequence(0L, CASE WHEN n_tokens <= ${Curation.ChunkSize} THEN 0L
+         |      ELSE (n_tokens - ${Curation.ChunkSize} + ${Curation.ChunkStride - 1})
+         |        div ${Curation.ChunkStride} END)) AS chunk_id
+         |  FROM base),
+         |sliced AS (
+         |  SELECT doc_id, source, chunk_id,
+         |    chunk_id * ${Curation.ChunkStride} AS chunk_start,
+         |    least(${Curation.ChunkSize}L,
+         |      n_tokens - chunk_id * ${Curation.ChunkStride}) AS chunk_tokens,
+         |    concat_ws(' ', slice(toks,
+         |      CAST(chunk_id * ${Curation.ChunkStride} + 1 AS INT),
+         |      ${Curation.ChunkSize})) AS chunk_text
+         |  FROM chunks)
+         |SELECT doc_id, source, chunk_id, chunk_start, chunk_tokens, chunk_text,
+         |  poly_hash(chunk_text) AS chunk_fp
+         |FROM sliced""".stripMargin,
+    "t_repetition_stats" ->
+      """WITH base AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        |stats AS (
+        |  SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens,
+        |    CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM base),
+        |grams AS (
+        |  SELECT doc_id, explode(CASE WHEN size(toks) >= 2
+        |    THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))
+        |    ELSE array() END) AS gram
+        |  FROM base),
+        |top AS (
+        |  SELECT doc_id, max(struct(cnt, gram)) AS top FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  (s.n_tokens - s.n_distinct) * 1000000L div s.n_tokens AS dup_token_frac_e6,
+        |  coalesce(t.top.gram, '') AS top_bigram,
+        |  coalesce(t.top.cnt, 0L) AS top_bigram_cnt,
+        |  coalesce(t.top.cnt, 0L) * 2000000L div s.n_tokens AS top_bigram_frac_e6
+        |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin,
+    "s_hard_negatives" -> {
+      val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, label, v, long_vector_dot(v, v) AS norm,
+         |    ${lshBucketSpark("v")} AS bucket
+         |  FROM (SELECT vec_id, label, ${quantizeSpark("embedding")} AS v FROM embeddings)),
+         |probes AS (
+         |  SELECT vec_id, label, v, norm, int(bucket ^ probe) AS pbucket
+         |  FROM (SELECT *, explode(array($offsets)) AS probe
+         |        FROM corpus WHERE vec_id < ${Similarity.NumQueries})),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |    long_vector_dot(q.v, c.v) AS dot,
+         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+         |  FROM probes q JOIN corpus c ON q.pbucket = c.bucket AND q.label <> c.label)
+         |SELECT query_id, neighbor_id, neighbor_label, rnk, dot FROM (
+         |  SELECT query_id, neighbor_id, neighbor_label, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+    },
     "a_expectations" ->
       """SELECT 'lineitem_nonempty' AS check_name, count(*) AS observed,
         |  count(*) > 0 AS passed FROM lineitem

@@ -267,6 +267,68 @@ object Curation {
        |    FROM (SELECT doc_id, source, text FROM documents)))""".stripMargin
 
   // ------------------------------------------------------------------
+  // Fixed-size overlapping chunking: slice each document's token stream
+  // into ChunkSize-token windows advancing by ChunkStride tokens (the
+  // RAG / long-context preprocessing chunker; overlap = ChunkSize −
+  // ChunkStride tokens keeps boundary context in two chunks). Chunk c
+  // of a doc covers token positions [c·stride, c·stride + size); a doc
+  // of n tokens yields 1 chunk when n ≤ size, else
+  // ceil((n − size)/stride) + 1 — the last chunk is the first whose
+  // window reaches token n−1 and may run short. Each chunk carries its
+  // re-assembled text and the 62-bit content fingerprint, so chunks
+  // feed straight into the exact-dedup / split-assignment operators.
+  //
+  // Plan shape (the 100 TB story): tokens never explode — the chunk-id
+  // `sequence` explodes one row per CHUNK (amplification ≈ 1/stride of
+  // a per-token explode), with slice + concat_ws + the fingerprint all
+  // fused into the same codegen stage. Zero shuffles: chunking is a
+  // scan-bound projection at any corpus size.
+  // ------------------------------------------------------------------
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        expr(graft.functions.Parity.tokensSpark("text")).as("toks"))
+      .withColumn("n_tokens", expr("size(toks)").cast("long"))
+      .select(col("doc_id"), col("source"), col("toks"), col("n_tokens"),
+        explode(expr(
+          s"sequence(0L, CASE WHEN n_tokens <= $ChunkSize THEN 0L " +
+            s"ELSE (n_tokens - $ChunkSize + $ChunkStride - 1) div $ChunkStride END)"))
+          .as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * lit(ChunkStride))
+      .withColumn("chunk_text",
+        expr(s"concat_ws(' ', slice(toks, CAST(chunk_start + 1 AS INT), $ChunkSize))"))
+      .select(col("doc_id"), col("source"), col("chunk_id"), col("chunk_start"),
+        least(lit(ChunkSize), col("n_tokens") - col("chunk_start")).as("chunk_tokens"),
+        col("chunk_text"),
+        expr(graft.functions.Parity.charPolyHashSpark("chunk_text")).as("chunk_fp"))
+
+  val chunkDocsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, ${graft.functions.Parity.tokensDuck("text")} AS toks,
+       |    CAST(len(${graft.functions.Parity.tokensDuck("text")}) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, source, text FROM documents)),
+       |chunks AS (
+       |  SELECT doc_id, source, toks, n_tokens,
+       |    unnest(range(0, CASE WHEN n_tokens <= $ChunkSize THEN 1
+       |      ELSE (n_tokens - $ChunkSize + $ChunkStride - 1) // $ChunkStride + 1 END))
+       |      AS chunk_id
+       |  FROM base),
+       |sliced AS (
+       |  SELECT doc_id, source, chunk_id, chunk_id * $ChunkStride AS chunk_start,
+       |    least($ChunkSize, n_tokens - chunk_id * $ChunkStride) AS chunk_tokens,
+       |    array_to_string(toks[chunk_id * $ChunkStride + 1:
+       |      chunk_id * $ChunkStride + $ChunkSize], ' ') AS chunk_text
+       |  FROM chunks)
+       |SELECT doc_id, source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_start AS BIGINT) AS chunk_start,
+       |  CAST(chunk_tokens AS BIGINT) AS chunk_tokens, chunk_text,
+       |  ${graft.functions.Parity.charPolyHashDuck("chunk_text")} AS chunk_fp
+       |FROM sliced""".stripMargin
+
+  // ------------------------------------------------------------------
   // Training-mix accounting: per-source token totals and the sampling
   // ratio that caps every source at an equal share of the token budget
   // (sources under their share keep everything, over-represented ones
@@ -835,6 +897,7 @@ object Curation {
     "p_split_assign" -> (splitAssign _),
     "p_contamination" -> (contamination _),
     "p_pack_sequences" -> (packSequences _),
+    "p_chunk_docs" -> (chunkDocs _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
@@ -854,6 +917,7 @@ object Curation {
     "p_split_assign" -> splitAssignSql,
     "p_contamination" -> contaminationSql,
     "p_pack_sequences" -> packSequencesSql,
+    "p_chunk_docs" -> chunkDocsSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,

@@ -193,6 +193,65 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Hard-negative mining (contrastive-training data prep): for each
+  // query vector, the top-k nearest CORPUS vectors whose label differs —
+  // semantically close but differently-labeled examples, the negatives
+  // that make contrastive/embedding training informative. Candidate
+  // generation rides the same multiprobe sign-LSH index as
+  // [[lshMultiprobeTopK]] (query bucket + 8 single-bit-flip probes, ~9/256
+  // of the corpus per query); the label-mismatch predicate then prunes
+  // candidates further, so the mining pass stays sublinear at any corpus
+  // size — at 100 TB this is one equi-shuffle on (bucket) against a
+  // broadcast query set, never a full scan per query.
+  // ------------------------------------------------------------------
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorOps.quantize(col("embedding")).as("v"))
+      .withColumn("norm", longDot(col("v"), col("v")))
+      .withColumn("bucket", lshBucketCol(col("v")))
+    val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
+    val queries = corpus.where(col("vec_id") < NumQueries)
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    val scored = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.pbucket") === col("c.bucket") &&
+          col("q.label") =!= col("c.label"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("neighbor_label"),
+        longDot(col("q.v"), col("c.v")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "neighbor_label", "rnk", "dot")
+  }
+
+  val hardNegativesSql: String = {
+    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, label, v, ${dotDuck("v", "v")} AS norm, ${lshBucketDuck("v")} AS bucket
+       |  FROM (SELECT vec_id, label, ${quantizeDuck("embedding")} AS v FROM embeddings)),
+       |probes AS (
+       |  SELECT vec_id, label, v, norm,
+       |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
+       |  FROM (SELECT *, unnest($offsets) AS probe FROM corpus WHERE vec_id < $NumQueries)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |    ${dotDuck("q.v", "c.v")} AS dot,
+       |    ${cosineDuck(dotDuck("q.v", "c.v"), "q.norm", "c.norm")} AS cos
+       |  FROM probes q JOIN corpus c
+       |    ON q.pbucket = c.bucket AND q.label <> c.label)
+       |SELECT query_id, neighbor_id, neighbor_label, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, neighbor_label, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // IVF-style ANN: coarse partitions (the `label` column stands in for
   // k-means cell ids — at 100 TB you'd train cells offline the same way),
   // centroid = exact integer SUM vector + count per cell (no FP until the
@@ -909,6 +968,7 @@ object Similarity {
     "s_lsh_bucket_stats" -> (lshBucketStats _),
     "s_lsh_topk" -> (lshTopK _),
     "s_lsh_multiprobe_topk" -> (lshMultiprobeTopK _),
+    "s_hard_negatives" -> (hardNegatives _),
     "s_ivf_topk" -> (ivfTopK _),
     "s_kmeans_train" -> (kmeansTrain _),
     "s_kmeans_inertia" -> (kmeansInertia _),
@@ -924,6 +984,7 @@ object Similarity {
     "s_lsh_bucket_stats" -> lshBucketStatsSql,
     "s_lsh_topk" -> lshTopKSql,
     "s_lsh_multiprobe_topk" -> lshMultiprobeTopKSql,
+    "s_hard_negatives" -> hardNegativesSql,
     "s_ivf_topk" -> ivfTopKSql,
     "s_kmeans_train" -> kmeansTrainSql,
     "s_kmeans_inertia" -> kmeansInertiaSql,

@@ -424,7 +424,85 @@ object TextAnalysis {
        |FROM (SELECT doc_id, $plantDuckExpr AS aug
        |      FROM (SELECT doc_id, text FROM documents))""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Intra-document repetition signals (Gopher-style quality filters):
+  //   dup_token_frac_e6   — fraction of tokens that repeat an earlier
+  //                         token, ppm ((n_tokens − n_distinct)·10⁶ div
+  //                         n_tokens);
+  //   top_bigram(_cnt/_frac_e6) — the document's most frequent adjacent
+  //                         word pair and the standard cnt·2/n coverage
+  //                         proxy (counts every occurrence; overlapping
+  //                         occurrences are NOT merged, matching the
+  //                         published repetition-filter definition, so
+  //                         the ppm value can exceed 10⁶ on degenerate
+  //                         "a a a …" docs — by design).
+  // All fractions are integer ppm — bit-exact across engines. Argmax is
+  // deterministic: max count, ties broken toward the lexicographically
+  // LARGEST gram (Spark max-of-struct ≡ DuckDB ORDER BY cnt DESC, gram
+  // DESC; both compare ASCII binary).
+  //
+  // Plan: one grouped count on (doc_id, gram) then a per-doc max-of-
+  // struct — both two-phase aggregates, so per-doc gram skew collapses
+  // map-side; the join back to per-doc token stats is on doc_id. At
+  // 100 TB swap the shuffled gram STRING for its 8-byte poly hash and
+  // resolve the reported gram from a final small join if needed.
+  // ------------------------------------------------------------------
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokensSpark("text")
+    val stats = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      expr(s"size(array_distinct($toks))").cast("long").as("n_distinct"))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2)," +
+          " i -> concat_ws(' ', slice(toks, i + 1, 2))) ELSE array() END"))
+        .as("gram"))
+    val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt"), col("gram"))).as("top"))
+      .select(col("doc_id"), col("top.gram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_cnt"))
+    stats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_tokens - n_distinct) * 1000000L div n_tokens").as("dup_token_frac_e6"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        expr("coalesce(top_bigram_cnt, 0L) * 2000000L div n_tokens")
+          .as("top_bigram_frac_e6"))
+  }
+
+  val repetitionStatsSql: String = {
+    val toks = tokensDuck("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM ($docsSql)),
+       |stats AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM base),
+       |grams AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(0, len(toks) - 1),
+       |      i -> array_to_string(toks[i + 1:i + 2], ' '))
+       |    ELSE [] END) AS gram
+       |  FROM base),
+       |cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+       |top AS (
+       |  SELECT doc_id, gram, cnt FROM (
+       |    SELECT doc_id, gram, cnt,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rnk
+       |    FROM cnts)
+       |  WHERE rnk = 1)
+       |SELECT s.doc_id, s.n_tokens,
+       |  (s.n_tokens - s.n_distinct) * 1000000 // s.n_tokens AS dup_token_frac_e6,
+       |  coalesce(t.gram, '') AS top_bigram,
+       |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       |  CAST(coalesce(t.cnt, 0) AS BIGINT) * 2000000 // s.n_tokens AS top_bigram_frac_e6
+       |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_repetition_stats" -> (repetitionStats _),
     "t_pii_scrub" -> (piiScrub _),
     "t_feature_hash" -> (featureHash _),
     "s_text_cosine_topk" -> (textCosineTopK _),
@@ -436,6 +514,7 @@ object TextAnalysis {
     "t_collapse_repeats" -> (collapseRepeats _))
 
   val oracles: Map[String, String] = Map(
+    "t_repetition_stats" -> repetitionStatsSql,
     "t_pii_scrub" -> piiScrubSql,
     "t_feature_hash" -> featureHashSql,
     "s_text_cosine_topk" -> textCosineTopKSql,

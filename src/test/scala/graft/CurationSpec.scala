@@ -71,6 +71,36 @@ class CurationSpec extends SparkSpec {
     assert(got(1L)._3 !== got(3L)._3)
   }
 
+  test("chunking: overlapping windows, short tail, sub-size docs, fp-stable overlap") {
+    // 150 tokens at size 64 / stride 48 → ceil((150-64)/48)+1 = 3 chunks
+    // starting at 0, 48, 96 with 64, 64, 54 tokens; a 5-token doc and an
+    // exactly-64-token doc each yield one chunk; 65 tokens → 2 chunks.
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val dir = writeFixture(documents = Seq(
+      doc(0, words(150, "w")), doc(1, words(5, "x")),
+      doc(2, words(64, "y")), doc(3, words(65, "z")),
+      doc(4, words(150, "w")))) // identical text to doc 0
+    val got = Curation.chunkDocs(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    def triples(id: Long) = got(id).sortBy(_.getAs[Long]("chunk_id"))
+      .map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_tokens")))
+    assert(triples(0L).toSeq === Seq((0L, 64L), (48L, 64L), (96L, 54L)))
+    assert(triples(1L).toSeq === Seq((0L, 5L)))
+    assert(triples(2L).toSeq === Seq((0L, 64L)))
+    assert(triples(3L).toSeq === Seq((0L, 64L), (48L, 17L)))
+    // The last chunk's text really is the tail slice.
+    val tail = got(0L).find(_.getAs[Long]("chunk_id") == 2L).get
+    assert(tail.getAs[String]("chunk_text") ===
+      (96 until 150).map(i => s"w$i").mkString(" "))
+    // Identical docs produce identical chunk fingerprints (chunks feed
+    // the exact-dedup operators).
+    def fps(id: Long) = got(id).sortBy(_.getAs[Long]("chunk_id"))
+      .map(_.getAs[Long]("chunk_fp")).toSeq
+    assert(fps(0L) === fps(4L))
+    assert(fps(0L).distinct.size === 3)
+  }
+
   test("sequence packing: shard-local running offsets chopped at CtxLen") {
     def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
     val dir = writeFixture(documents = Seq(

@@ -331,6 +331,23 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((3, 3, 0, "x y z")))
   }
 
+  test("repetition stats: ppm fractions, top-bigram argmax, tiebreak, sub-bigram doc") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "a b a b a b c"), // grams: 'a b'×3, 'b a'×2, 'b c'×1
+      doc(1, "p q r s"),       // all grams count 1 → tiebreak to 'r s'
+      doc(2, "solo")))         // no bigrams → sentinel row
+    val got = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_token_frac_e6"),
+          r.getAs[String]("top_bigram"), r.getAs[Long]("top_bigram_cnt"),
+          r.getAs[Long]("top_bigram_frac_e6")))).toMap
+    // doc 0: 7 tokens, 3 distinct → dup ppm = 4·10⁶ div 7; coverage
+    // proxy = 3·2·10⁶ div 7.
+    assert(got(0L) === ((7L, 571428L, "a b", 3L, 857142L)))
+    assert(got(1L) === ((4L, 0L, "r s", 1L, 500000L)))
+    assert(got(2L) === ((1L, 0L, "", 0L, 0L)))
+  }
+
   test("language id picks the profile with the most marker hits") {
     val dir = writeFixture(documents = Seq(
       doc(0, "the cat of the house and a dog", lang = "en"),

@@ -54,6 +54,25 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.contains(1L))
   }
 
+  test("hard negatives: label-matched twins are excluded, mismatched twin ranks first") {
+    // vec 1 is an identical copy of query 0 with the SAME label (a
+    // positive — must never appear as a negative); vec 2 is the same
+    // vector under a DIFFERENT label (the hardest possible negative —
+    // must rank first); vec 3 is a weaker different-label neighbor.
+    val v = Array.tabulate(16)(i => (i % 5 - 2) * 0.2f)
+    val dir = writeFixture(embeddings = Seq(
+      EmbRow(0, v, 0), EmbRow(1, v.clone(), 0),
+      EmbRow(2, v.clone(), 1),
+      EmbRow(3, v.map(x => x * 0.5f + 0.01f), 1)))
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label")))
+    assert(!got.map(_._1).contains(1L))
+    assert(got.head === ((2L, 1)))
+    assert(got.forall(_._2 == 1))
+  }
+
   test("multi-cell IVF probing never loses recall vs single-cell (both variants)") {
     // Cells partition the corpus and the nprobe nearest-cell list is a
     // prefix ordering, so nprobe=3 candidates strictly contain nprobe=1
