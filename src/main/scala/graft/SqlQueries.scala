@@ -766,6 +766,30 @@ object SqlQueries {
          |SELECT doc_id, source, chunk_id, chunk_start, chunk_tokens, chunk_text,
          |  poly_hash(chunk_text) AS chunk_fp
          |FROM sliced""".stripMargin,
+    "p_chunk_dedup_stats" ->
+      s"""WITH chunks AS (
+         |  SELECT source, poly_hash(chunk_text) AS chunk_fp FROM (
+         |    SELECT source, concat_ws(' ', slice(toks,
+         |      CAST(chunk_id * ${Curation.ChunkStride} + 1 AS INT),
+         |      ${Curation.ChunkSize})) AS chunk_text
+         |    FROM (
+         |      SELECT source, toks,
+         |        explode(sequence(0L, CASE WHEN n_tokens <= ${Curation.ChunkSize} THEN 0L
+         |          ELSE (n_tokens - ${Curation.ChunkSize} + ${Curation.ChunkStride - 1})
+         |            div ${Curation.ChunkStride} END)) AS chunk_id
+         |      FROM (
+         |        SELECT source, split(text, ' ') AS toks,
+         |          CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+         |        FROM documents)))),
+         |dfreq AS (SELECT chunk_fp, count(*) AS occ FROM chunks GROUP BY chunk_fp)
+         |SELECT source, n_chunks, n_distinct_fps, n_dup_chunks,
+         |  n_dup_chunks * 1000000L div n_chunks AS dup_ppm
+         |FROM (
+         |  SELECT c.source, count(*) AS n_chunks,
+         |    count(DISTINCT c.chunk_fp) AS n_distinct_fps,
+         |    sum(CASE WHEN d.occ > 1 THEN 1L ELSE 0L END) AS n_dup_chunks
+         |  FROM chunks c JOIN dfreq d ON c.chunk_fp = d.chunk_fp
+         |  GROUP BY c.source)""".stripMargin,
     "t_repetition_stats" ->
       """WITH base AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
         |stats AS (
@@ -856,6 +880,23 @@ object SqlQueries {
          |SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_tokens_bpe
          |FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents) t
          |JOIN sized s ON t.word = s.word
+         |GROUP BY doc_id""".stripMargin,
+    "p_bpe_encode" ->
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf
+         |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |syms0 AS (
+         |  SELECT word, wf, array_join(split(word, ''), ' ') AS syms FROM vocab),
+         |${(1 to Curation.BpeIters).map(bpeIterSparkSql).mkString(",\n")},
+         |toks AS (
+         |  SELECT doc_id, pos, word FROM documents
+         |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word)
+         |SELECT doc_id,
+         |  array_join(transform(array_sort(collect_list(struct(pos, syms))),
+         |    x -> x.syms), ' ') AS bpe_text,
+         |  sum(CAST(size(split(syms, ' ')) AS BIGINT)) AS n_syms
+         |FROM toks t JOIN syms${Curation.BpeIters} s ON t.word = s.word
          |GROUP BY doc_id""".stripMargin,
     "p_upsert_merge" ->
       s"""WITH merged AS (

@@ -329,6 +329,41 @@ object Curation {
        |FROM sliced""".stripMargin
 
   // ------------------------------------------------------------------
+  // Chunk-level duplication accounting: per source, how many of its
+  // chunks repeat ANYWHERE in the corpus (boilerplate headers, license
+  // blocks, templated passages — the within/cross-document duplication
+  // that document-level dedup can't see). Composition of [[chunkDocs]]
+  // with the exact-dedup shape: chunk texts reduce to their 8-byte
+  // fingerprints BEFORE any shuffle, corpus-wide fp occurrence counts
+  // are one two-phase aggregate, and the join back to per-chunk rows is
+  // on the fingerprint — at 100 TB this shuffles 8 bytes per chunk,
+  // never chunk text, the same property that makes document dedup
+  // feasible (SURVEY §9).
+  // ------------------------------------------------------------------
+  def chunkDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = chunkDocs(spark, sfDir).select("source", "chunk_fp")
+    val dfreq = chunks.groupBy("chunk_fp").agg(count(lit(1)).as("occ"))
+    chunks.join(dfreq, "chunk_fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("chunk_fp").as("n_distinct_fps"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ppm", expr("n_dup_chunks * 1000000L div n_chunks"))
+  }
+
+  val chunkDedupStatsSql: String =
+    s"""WITH chunks AS (SELECT source, chunk_fp FROM ($chunkDocsSql)),
+       |dfreq AS (SELECT chunk_fp, count(*) AS occ FROM chunks GROUP BY chunk_fp)
+       |SELECT source, n_chunks, n_distinct_fps, n_dup_chunks,
+       |  n_dup_chunks * 1000000 // n_chunks AS dup_ppm
+       |FROM (
+       |  SELECT c.source, count(*) AS n_chunks,
+       |    count(DISTINCT c.chunk_fp) AS n_distinct_fps,
+       |    CAST(sum(CASE WHEN d.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM chunks c JOIN dfreq d ON c.chunk_fp = d.chunk_fp
+       |  GROUP BY c.source)""".stripMargin
+
+  // ------------------------------------------------------------------
   // Training-mix accounting: per-source token totals and the sampling
   // ratio that caps every source at an equal share of the token budget
   // (sources under their share keep everything, over-represented ones
@@ -884,9 +919,57 @@ object Curation {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Full BPE ENCODE — emit each document's actual post-merge symbol
+  // sequence (the token stream a training pipeline would feed the
+  // model), not just its length. Same dictionary discipline as
+  // [[bpeTokenize]]: the iteration-3 symbol table is a vocab-sized
+  // (word → symbols) relation joined to the positionally-exploded
+  // corpus; per-doc reassembly is an order-keyed collect + array_join,
+  // so word order is engine-independent (pos is unique within a doc).
+  // Scale shape (100 TB): the corpus shuffles once on doc_id to
+  // reassemble — unavoidable for an ordered-output encode — and the
+  // dictionary stays broadcast; the heavy string payload moves exactly
+  // once, the same single-shuffle bound as the spanScrub re-assembly.
+  // ------------------------------------------------------------------
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val dict = bpeChain(spark, sfDir).last._2.select(col("word"), col("syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .join(broadcast(dict), "word")
+      .groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, syms))), " +
+          "x -> x.syms), ' ')").as("bpe_text"),
+        sum(expr("CAST(size(split(syms, ' ')) AS BIGINT)")).as("n_syms"))
+  }
+
+  val bpeEncodeSql: String = {
+    val iters = (1 to BpeIters).map(bpePairsDuck).mkString(",\n")
+    s"""WITH vocab AS (
+       |  SELECT tok AS word, count(*) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM ($docsSql))
+       |  GROUP BY tok),
+       |syms0 AS (
+       |  SELECT word, wf, array_to_string(string_split(word, ''), ' ') AS syms
+       |  FROM vocab),
+       |$iters,
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS word,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM ($docsSql))
+       |SELECT doc_id,
+       |  string_agg(s.syms, ' ' ORDER BY pos) AS bpe_text,
+       |  CAST(sum(len(string_split(s.syms, ' '))) AS BIGINT) AS n_syms
+       |FROM toks t JOIN syms$BpeIters s ON t.word = s.word
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bpe_merges" -> (bpeMerges _),
     "p_bpe_tokenize" -> (bpeTokenize _),
+    "p_bpe_encode" -> (bpeEncode _),
     "p_upsert_merge" -> (upsertMerge _),
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
@@ -898,6 +981,7 @@ object Curation {
     "p_contamination" -> (contamination _),
     "p_pack_sequences" -> (packSequences _),
     "p_chunk_docs" -> (chunkDocs _),
+    "p_chunk_dedup_stats" -> (chunkDedupStats _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
@@ -907,6 +991,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "p_bpe_merges" -> bpeMergesSql,
     "p_bpe_tokenize" -> bpeTokenizeSql,
+    "p_bpe_encode" -> bpeEncodeSql,
     "p_upsert_merge" -> upsertMergeSql,
     "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
@@ -918,6 +1003,7 @@ object Curation {
     "p_contamination" -> contaminationSql,
     "p_pack_sequences" -> packSequencesSql,
     "p_chunk_docs" -> chunkDocsSql,
+    "p_chunk_dedup_stats" -> chunkDedupStatsSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,

@@ -872,6 +872,36 @@ object StreamingParity {
       .select("doc_id", "fp")
 
   // ------------------------------------------------------------------
+  // Streaming chunker — the continuous twin of Curation.chunkDocs
+  // (p_chunk_docs). Chunking is a pure per-row projection (chunk-id
+  // sequence explode + slice + fingerprint, no state, no watermark
+  // required), so it runs identically in a micro-batch plan: documents
+  // arriving on a stream chunk in flight, and each chunk leaves with
+  // the fingerprint that downstream streaming dedup
+  // ([[streamingDedup]] on chunk_fp) consumes. Stateless per-row
+  // operators are the cheapest kind of streaming operator — no store,
+  // no eviction, exactly the per-batch plan of the batch twin.
+  // ------------------------------------------------------------------
+  def chunkStream(docs: Dataset[StreamDoc]): DataFrame = {
+    import graft.operators.Curation.{ChunkSize, ChunkStride}
+    docs.toDF()
+      .select(col("doc_id"),
+        expr(graft.functions.Parity.tokensSpark("text")).as("toks"))
+      .withColumn("n_tokens", expr("size(toks)").cast("long"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(expr(
+          s"sequence(0L, CASE WHEN n_tokens <= $ChunkSize THEN 0L " +
+            s"ELSE (n_tokens - $ChunkSize + $ChunkStride - 1) div $ChunkStride END)"))
+          .as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * lit(ChunkStride))
+      .withColumn("chunk_text",
+        expr(s"concat_ws(' ', slice(toks, CAST(chunk_start + 1 AS INT), $ChunkSize))"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        least(lit(ChunkSize), col("n_tokens") - col("chunk_start")).as("chunk_tokens"),
+        expr(graft.functions.Parity.charPolyHashSpark("chunk_text")).as("chunk_fp"))
+  }
+
+  // ------------------------------------------------------------------
   // Streaming upsert — the continuous twin of Curation.upsertMerge
   // (p_upsert_merge): a change stream of (doc_id, version, fp) rows
   // folds into latest-version-wins keyed state; each arrival emits the

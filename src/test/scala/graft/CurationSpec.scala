@@ -46,6 +46,21 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(0L -> ((2L, 2L)), 1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
   }
 
+  test("BPE encode emits the post-merge symbol sequence in word order") {
+    // Same corpus as the merges test: rules (a a), (aa aa), (a b).
+    // "aaaa" → "aa aa" → "aaaa" (one symbol); "ab" → "ab" via rule 3;
+    // "xy" never merges and stays "x y".
+    val dir = writeFixture(documents = Seq(
+      doc(0, "aaaa ab"), doc(1, "aaaa aaaa"), doc(2, "xy")))
+    val got = Curation.bpeEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("bpe_text"), r.getAs[Long]("n_syms")))).toMap
+    assert(got === Map(
+      0L -> (("aaaa ab", 2L)),
+      1L -> (("aaaa aaaa", 2L)),
+      2L -> (("x y", 2L))))
+  }
+
   test("upsert merge: latest version wins, statuses classify the change batch") {
     // docs 1 and 3 share a text: 3 carries the base fingerprint while 1 is
     // revised, pinning that the update actually re-fingerprints the text.
@@ -99,6 +114,22 @@ class CurationSpec extends SparkSpec {
       .map(_.getAs[Long]("chunk_fp")).toSeq
     assert(fps(0L) === fps(4L))
     assert(fps(0L).distinct.size === 3)
+  }
+
+  test("chunk dedup stats: corpus-wide fp counts catch cross-source boilerplate") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "same short text"), doc(1, "same short text"),
+      doc(2, "totally different content here", source = "src1"),
+      doc(3, "same short text", source = "src1")))
+    val got = Curation.chunkDedupStats(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct_fps"),
+          r.getAs[Long]("n_dup_chunks"), r.getAs[Long]("dup_ppm")))).toMap
+    // src0: both chunks are the shared text → all dup. src1: one unique
+    // chunk plus one copy of the src0 text — the CORPUS-wide count marks
+    // it dup even though it is unique within src1.
+    assert(got("src0") === ((2L, 1L, 2L, 1000000L)))
+    assert(got("src1") === ((2L, 2L, 1L, 500000L)))
   }
 
   test("sequence packing: shard-local running offsets chopped at CtxLen") {

@@ -233,6 +233,35 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunker emits the batch twin's chunks with identical fingerprints") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def words(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.chunkStream(input.toDS())
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(StreamDoc(1000, 0, words(150))))
+      query.processAllAvailable()
+      input.addData(Seq(StreamDoc(2000, 1, words(5))))
+      query.processAllAvailable()
+      val got = s.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // The batch twin over the same documents (text-identical fixture).
+      val dir = writeFixture(documents = Seq(doc(0, words(150)), doc(1, words(5))))
+      val batch = graft.operators.Curation.chunkDocs(s, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_tokens"),
+          r.getAs[Long]("chunk_fp"))).toSet
+      assert(got === batch)
+      assert(got.size === 4) // 3 chunks for the 150-token doc + 1 short doc
+    } finally query.stop()
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
