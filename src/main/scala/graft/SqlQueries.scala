@@ -292,6 +292,42 @@ object SqlQueries {
        |  FROM scored)
        |WHERE rnk <= ${Similarity.TopK}""".stripMargin
 
+  private lazy val multiprobeTopKSparkSql: String = {
+    val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
+       |probes AS (
+       |  SELECT vec_id, v, norm, int(bucket ^ probe) AS pbucket
+       |  FROM (SELECT *, explode(array($offsets)) AS probe
+       |        FROM corpus WHERE vec_id < ${Similarity.NumQueries})),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    long_vector_dot(q.v, c.v) AS dot,
+       |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
+       |  FROM probes q JOIN corpus c ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+  }
+
+  /** Majority vote (count desc, label asc) over a top-k relation's
+    * neighbor labels — shared by the two kNN texts.
+    */
+  private def knnVoteSparkSql(topk: String): String =
+    s"""SELECT query_id, n_label FROM (
+       |  SELECT query_id, n_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, n_label) AS rnk
+       |  FROM (
+       |    SELECT t.query_id, l.label AS n_label, count(*) AS votes
+       |    FROM ($topk) t
+       |    JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) l
+       |      ON t.neighbor_id = l.vec_id
+       |    GROUP BY 1, 2))
+       |WHERE rnk = 1""".stripMargin
+
   private lazy val trainingSql: Map[String, String] = Map(
     // ---- text analysis ------------------------------------------------
     "t_token_stats" ->
@@ -365,6 +401,24 @@ object SqlQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}""".stripMargin,
+    "d_containment_pairs" ->
+      s"""WITH sh AS ($shingleRelSparkSql),
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |rare AS (
+         |  SELECT s.doc_id, s.sh FROM sh s
+         |  JOIN dfreq d ON s.sh = d.sh AND d.df >= 2 AND d.df <= ${Dedup.ContainDfCap}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+         |ints AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, na, nb, containment_ppm FROM (
+         |  SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+         |    inter * 1000000L div least(sa.n, sb.n) AS containment_ppm
+         |  FROM ints
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b)
+         |WHERE containment_ppm >= ${Dedup.ContainPpm}""".stripMargin,
     "d_minhash_lsh_pairs" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sig FROM (
@@ -391,25 +445,31 @@ object SqlQueries {
          |FROM (SELECT ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql))
          |GROUP BY bucket""".stripMargin,
     "s_lsh_topk" -> lshTopKSparkSql,
-    "s_lsh_multiprobe_topk" -> {
-      val offsets = (Seq(0) ++ (0 until NumPlanes).map(j => 1 << j)).mkString(", ")
-      s"""WITH corpus AS (
-         |  SELECT vec_id, v, norm, ${lshBucketSpark("v")} AS bucket FROM ($quantizedSparkSql)),
-         |probes AS (
-         |  SELECT vec_id, v, norm, int(bucket ^ probe) AS pbucket
-         |  FROM (SELECT *, explode(array($offsets)) AS probe
-         |        FROM corpus WHERE vec_id < ${Similarity.NumQueries})),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    long_vector_dot(q.v, c.v) AS dot,
-         |    ${cosineSpark("long_vector_dot(q.v, c.v)", "q.norm", "c.norm")} AS cos
-         |  FROM probes q JOIN corpus c ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id)
-         |SELECT query_id, neighbor_id, rnk, dot FROM (
-         |  SELECT query_id, neighbor_id, dot,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= ${Similarity.TopK}""".stripMargin
-    },
+    "s_lsh_multiprobe_topk" -> multiprobeTopKSparkSql,
+    "s_knn_classify" ->
+      s"""WITH pred AS (
+         |  SELECT query_id, n_label AS pred_label, votes FROM (
+         |    SELECT query_id, n_label, votes,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, n_label) AS rnk
+         |    FROM (
+         |      SELECT t.query_id, l.label AS n_label, count(*) AS votes
+         |      FROM ($cosineTopKSparkSql) t
+         |      JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) l
+         |        ON t.neighbor_id = l.vec_id
+         |      GROUP BY 1, 2))
+         |  WHERE rnk = 1)
+         |SELECT p.query_id, l.label AS true_label, p.pred_label, p.votes,
+         |  CAST(l.label = p.pred_label AS BIGINT) AS correct
+         |FROM pred p
+         |JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) l
+         |  ON p.query_id = l.vec_id""".stripMargin,
+    "s_knn_agreement" ->
+      s"""WITH exact AS (${knnVoteSparkSql(cosineTopKSparkSql)}),
+         |approx AS (${knnVoteSparkSql(multiprobeTopKSparkSql)})
+         |SELECT count(*) AS n_queries,
+         |  sum(coalesce(CAST(a.n_label = e.n_label AS BIGINT), 0L)) AS n_agree
+         |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id""".stripMargin,
     "s_text_cosine_topk" ->
       s"""WITH fv AS ($featureHashSparkSql),
          |norms AS (SELECT doc_id, sum(w * w) AS nrm FROM fv GROUP BY doc_id),

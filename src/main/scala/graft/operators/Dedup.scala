@@ -123,6 +123,62 @@ object Dedup {
        |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
 
   // ------------------------------------------------------------------
+  // CONTAINMENT pairs — asymmetric partial-copy detection (a quote, an
+  // excerpt, a doc embedded in a larger one). Symmetric Jaccard misses
+  // these: a small doc fully inside a big one has inter=|A| but
+  // union=|B|, so J collapses while containment |A∩B|/min(|A|,|B|) is
+  // 1.0. Computed over the DF-CAPPED shingle sets: only shingles with
+  // 2 ≤ df ≤ ContainDfCap generate candidates and enter the metric —
+  // df=1 shingles can't pair, and df>cap shingles are corpus
+  // boilerplate (the chunk/span operators' territory) whose Σdf² term
+  // is exactly the quadratic blowup this cap removes. Pair volume is
+  // bounded by ContainDfCap·Σdf — LINEAR in corpus size, unlike the
+  // labeled-baseline d_jaccard_pairs — and every join key is the 8-byte
+  // shingle hash or a doc_id; text never shuffles. The metric is
+  // self-consistent (sizes measured over the same capped sets) and
+  // exact integer ppm via `div`.
+  // ------------------------------------------------------------------
+  val ContainDfCap = 20L
+  /** Report pairs where the smaller capped set is ≥ 50% contained. */
+  val ContainPpm = 500000L
+
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.where(col("df") >= 2 && col("df") <= ContainDfCap), "sh")
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    rare.as("a").join(rare.as("b"), col("a.sh") === col("b.sh"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment_ppm",
+        expr("inter * 1000000L div least(na, nb)"))
+      .where(col("containment_ppm") >= ContainPpm)
+      .select("id_a", "id_b", "inter", "na", "nb", "containment_ppm")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |rare AS (
+       |  SELECT s.doc_id, s.sh FROM sh s
+       |  JOIN dfreq d ON s.sh = d.sh AND d.df >= 2 AND d.df <= $ContainDfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, na, nb, containment_ppm FROM (
+       |  SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+       |    inter * 1000000 // least(sa.n, sb.n) AS containment_ppm
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b)
+       |WHERE containment_ppm >= $ContainPpm""".stripMargin
+
+  // ------------------------------------------------------------------
   // Incremental-ingest dedup: a NEW batch of documents lands next to an
   // EXISTING corpus, and only batch docs whose content is genuinely novel
   // survive — dropped if their fingerprint exists anywhere in the corpus
@@ -1297,6 +1353,7 @@ object Dedup {
     "d_incremental_neardup" -> (incrementalNearDup _),
     "d_exact_dedup_stats" -> (exactDedupStats _),
     "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_containment_pairs" -> (containmentPairs _),
     "d_dup_shingle_stats" -> (dupShingleStats _),
     "d_span_scrub" -> (spanScrub _),
     "d_shingle_novelty" -> (shingleNovelty _),
@@ -1321,6 +1378,7 @@ object Dedup {
     "d_incremental_neardup" -> incrementalNearDupSql,
     "d_exact_dedup_stats" -> exactDedupStatsSql,
     "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_containment_pairs" -> containmentPairsSql,
     "d_dup_shingle_stats" -> dupShingleStatsSql,
     "d_span_scrub" -> spanScrubSql,
     "d_shingle_novelty" -> shingleNoveltySql,

@@ -958,7 +958,107 @@ object Similarity {
        |WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // k-NN label classification — the weak-supervision / label-propagation
+  // primitive: each query vector takes the majority label of its exact
+  // top-K cosine neighbors (ties: highest vote count, then smallest
+  // label — both deterministic integers). Built ON the gated top-k
+  // relation, so the candidate-generation scale story is inherited
+  // unchanged: queries broadcast, corpus never shuffles, and everything
+  // after the top-k is (queries × K) rows — driver-tiny at any corpus
+  // size. `correct` compares against the vector's own stored label
+  // (leave-one-out evaluation, self excluded by the top-k join).
+  // ------------------------------------------------------------------
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = cosineTopK(spark, sfDir)
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))))
+      .where(col("rnk") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("votes"),
+        (col("true_label") === col("n_label")).cast("long").as("correct"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH topk AS ($cosineTopKSql),
+       |labels AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |votes AS (
+       |  SELECT t.query_id, l.label AS n_label, count(*) AS votes
+       |  FROM topk t JOIN labels l ON t.neighbor_id = l.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, n_label AS pred_label, votes FROM (
+       |    SELECT query_id, n_label, votes,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY votes DESC, n_label) AS rnk
+       |    FROM votes)
+       |  WHERE rnk = 1)
+       |SELECT p.query_id, l.label AS true_label, p.pred_label, p.votes,
+       |  CAST(l.label = p.pred_label AS BIGINT) AS correct
+       |FROM pred p JOIN labels l ON p.query_id = l.vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Does the sublinear index change the DECISION? The exact k-NN vote
+  // is the oracle; rerunning the same vote over the multiprobe-LSH
+  // top-k (~9/256 of the corpus per query) measures prediction
+  // agreement — the metric that matters for classification is label
+  // agreement, not neighbor recall (two different neighbor sets often
+  // vote the same way). Integer counts only.
+  // ------------------------------------------------------------------
+  private def voteOver(topk: DataFrame, labels: DataFrame): DataFrame =
+    topk.join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))))
+      .where(col("rnk") === 1)
+      .select(col("query_id"), col("n_label"))
+
+  def knnAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val exact = voteOver(cosineTopK(spark, sfDir), labels)
+      .withColumnRenamed("n_label", "exact_label")
+    val approx = voteOver(lshMultiprobeTopK(spark, sfDir), labels)
+      .withColumnRenamed("n_label", "lsh_label")
+    exact.join(approx, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce((col("exact_label") === col("lsh_label")).cast("long"),
+          lit(0L))).as("n_agree"))
+  }
+
+  val knnAgreementSql: String = {
+    def voteSql(topk: String): String =
+      s"""SELECT query_id, n_label FROM (
+         |  SELECT query_id, n_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, n_label) AS rnk
+         |  FROM (
+         |    SELECT t.query_id, l.label AS n_label, count(*) AS votes
+         |    FROM ($topk) t
+         |    JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) l
+         |      ON t.neighbor_id = l.vec_id
+         |    GROUP BY 1, 2))
+         |WHERE rnk = 1""".stripMargin
+    s"""WITH exact AS (${voteSql(cosineTopKSql)}),
+       |approx AS (${voteSql(lshMultiprobeTopKSql)})
+       |SELECT count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN a.n_label = e.n_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree
+       |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_knn_classify" -> (knnClassify _),
+    "s_knn_agreement" -> (knnAgreement _),
     "s_pq_codes" -> (pqCodes _),
     "s_pq_adc_topk" -> (pqAdcTopK _),
     "s_pq_rerank_topk" -> (pqRerankTopK _),
@@ -975,6 +1075,8 @@ object Similarity {
     "s_ivf_kmeans_topk" -> (ivfKmeansTopK _))
 
   val oracles: Map[String, String] = Map(
+    "s_knn_classify" -> knnClassifySql,
+    "s_knn_agreement" -> knnAgreementSql,
     "s_pq_codes" -> pqCodesSql,
     "s_pq_adc_topk" -> pqAdcTopKSql,
     "s_pq_rerank_topk" -> pqRerankTopKSql,

@@ -46,6 +46,30 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("containment pairs detect an embedded copy that jaccard misses") {
+    def ws(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    // A (20 words) is a strict prefix of B (50 words): full containment,
+    // but Jaccard(A, B) over rare sets is 18/21 on B's side and the raw
+    // set Jaccard is 18/48 — the asymmetric signal. D shares only 3
+    // rare shingles with B while its own rare set (13 shared with copy
+    // E) is large → (B, D) falls under the 50% gate. C is all-unique:
+    // no rare shingles, never paired.
+    val dir = writeFixture(documents = Seq(
+      doc(0, ws("a", 20)),
+      doc(1, ws("a", 20) + " " + ws("b", 30)),
+      doc(2, ws("c", 10)),
+      doc(3, ws("b", 5) + " " + ws("d", 15)),
+      doc(4, ws("d", 15))))
+    val got = operators.Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("containment_ppm")))).toMap
+    assert(got((0L, 1L)) === ((18L, 18L, 21L, 1000000L)))
+    assert(got((3L, 4L)) === ((13L, 16L, 13L, 1000000L)))
+    assert(!got.contains((1L, 3L)))
+    assert(!got.keySet.exists(k => k._1 == 2L || k._2 == 2L))
+  }
+
   test("incremental dedup keeps only batch docs novel vs corpus and batch") {
     // Corpus (even ids): texts A, B. Batch (odd ids): 1=A (cross-batch
     // dup, dropped), 3=C and 5=C (intra-batch dup pair → keep 3 with

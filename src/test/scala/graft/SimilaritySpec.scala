@@ -73,6 +73,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._2 == 1))
   }
 
+  test("kNN classify: majority vote over exact neighbors, asc-label tiebreak") {
+    // Query 0 (label 0) has five neighbors voting 3×label-1 vs 2×label-0
+    // → predicted 1, counted incorrect.
+    val dir = writeFixture(embeddings = Seq(
+      EmbRow(0, Array(1f, 0f, 0f, 0f), 0),
+      EmbRow(1, Array(0.9f, 0.1f, 0f, 0f), 1),
+      EmbRow(2, Array(0.8f, 0.2f, 0f, 0f), 1),
+      EmbRow(3, Array(0.7f, 0.3f, 0f, 0f), 1),
+      EmbRow(4, Array(0.6f, 0.4f, 0f, 0f), 0),
+      EmbRow(5, Array(0.5f, 0.5f, 0f, 0f), 0)))
+    val got = Similarity.knnClassify(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+          r.getAs[Long]("votes"), r.getAs[Long]("correct")))).toMap
+    assert(got(0L) === ((0L, 1L, 3L, 0L)))
+    // A 2-2 tie (4 neighbors in a 5-vector corpus) resolves to the
+    // SMALLEST label deterministically.
+    val tieDir = writeFixture(embeddings = Seq(
+      EmbRow(0, Array(1f, 0f, 0f, 0f), 0),
+      EmbRow(1, Array(0.9f, 0.1f, 0f, 0f), 1),
+      EmbRow(2, Array(0.8f, 0.2f, 0f, 0f), 1),
+      EmbRow(3, Array(0.7f, 0.3f, 0f, 0f), 0),
+      EmbRow(4, Array(0.6f, 0.4f, 0f, 0f), 0)))
+    val tie = Similarity.knnClassify(spark, tieDir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L).head
+    assert(tie.getAs[Long]("pred_label") === 0L)
+    assert(tie.getAs[Long]("votes") === 2L)
+    assert(tie.getAs[Long]("correct") === 1L)
+  }
+
+  test("kNN agreement: identical vectors make LSH and exact votes agree everywhere") {
+    // All vectors share one direction → one LSH bucket → the multiprobe
+    // candidate set equals the exact candidate set; tie-ranking (by
+    // neighbor_id) is shared, so every query's vote must agree.
+    val v = Array.tabulate(16)(i => (i % 5 - 2) * 0.2f)
+    val dir = writeFixture(embeddings = Seq(0, 1, 1, 0, 1, 0).zipWithIndex.map {
+      case (lbl, i) => EmbRow(i.toLong, v.clone(), lbl)
+    })
+    val got = Similarity.knnAgreement(spark, dir).head()
+    assert(got.getAs[Long]("n_queries") === 6L)
+    assert(got.getAs[Long]("n_agree") === 6L)
+  }
+
   test("multi-cell IVF probing never loses recall vs single-cell (both variants)") {
     // Cells partition the corpus and the nprobe nearest-cell list is a
     // prefix ordering, so nprobe=3 candidates strictly contain nprobe=1
