@@ -850,6 +850,28 @@ object SqlQueries {
          |    sum(CASE WHEN d.occ > 1 THEN 1L ELSE 0L END) AS n_dup_chunks
          |  FROM chunks c JOIN dfreq d ON c.chunk_fp = d.chunk_fp
          |  GROUP BY c.source)""".stripMargin,
+    "t_top_ngrams" ->
+      s"""WITH grams AS (
+         |  SELECT source, explode(CASE WHEN size(toks) >= ${TextAnalysis.NgramW}
+         |    THEN transform(sequence(0, size(toks) - ${TextAnalysis.NgramW}),
+         |      i -> concat_ws(' ', slice(toks, i + 1, ${TextAnalysis.NgramW})))
+         |    ELSE array() END) AS gram
+         |  FROM (SELECT source, ${tokensSpark("text")} AS toks FROM documents)),
+         |cnts AS (SELECT source, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+         |SELECT source, gram, cnt, rnk FROM (
+         |  SELECT source, gram, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rnk
+         |  FROM cnts)
+         |WHERE rnk <= ${TextAnalysis.TopNgramK}""".stripMargin,
+    "t_token_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, explode(${tokensSpark("text")}) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS wf FROM toks GROUP BY tok)
+         |SELECT doc_id, count(*) AS n_tokens, sum(wf) AS sum_wf,
+         |  min(wf) AS min_wf,
+         |  sum(CASE WHEN wf = 1 THEN 1L ELSE 0L END) AS n_hapax
+         |FROM toks t JOIN vocab v ON t.tok = v.tok
+         |GROUP BY doc_id""".stripMargin,
     "t_repetition_stats" ->
       """WITH base AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
         |stats AS (

@@ -501,7 +501,91 @@ object TextAnalysis {
        |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Per-source top-K frequent trigrams — the boilerplate MINER: where
+  // chunk/span dedup REMOVES templated passages, this query reports
+  // WHICH phrases dominate each source (license headers, navigation
+  // chrome, generated-text tics) so a curator can eyeball them. Shape:
+  // one corpus scan + trigram explode, two-phase (source, gram) count,
+  // per-source WindowGroupLimit top-K (count desc, gram asc — total
+  // order). At 100 TB the gram count relation is heavy-tailed; swap the
+  // shuffled gram STRING for its 8-byte poly hash and recover display
+  // grams from a final top-K-only join, same recipe the repetition
+  // stats scaladoc documents.
+  // ------------------------------------------------------------------
+  val TopNgramK = 5L
+  val NgramW = 3
+
+  def topNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), expr(tokensSpark("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        s"CASE WHEN size(toks) >= $NgramW THEN transform(sequence(0, size(toks) - $NgramW)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $NgramW))) ELSE array() END"))
+        .as("gram"))
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rnk") <= TopNgramK)
+      .select("source", "gram", "cnt", "rnk")
+  }
+
+  val topNgramsSql: String = {
+    val toks = tokensDuck("text")
+    s"""WITH grams AS (
+       |  SELECT source, unnest(CASE WHEN len(toks) >= $NgramW
+       |    THEN list_transform(range(0, len(toks) - ${NgramW - 1}),
+       |      i -> array_to_string(toks[i + 1:i + $NgramW], ' '))
+       |    ELSE [] END) AS gram
+       |  FROM (SELECT source, $toks AS toks FROM documents)),
+       |cnts AS (SELECT source, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+       |SELECT source, gram, cnt, rnk FROM (
+       |  SELECT source, gram, cnt,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rnk
+       |  FROM cnts)
+       |WHERE rnk <= $TopNgramK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Token-rarity scoring — the integer-exact stand-in for a unigram-LM
+  // perplexity filter: documents whose tokens are corpus-rare (low
+  // frequency sums, hapax-heavy) are the OOD/noise candidates a quality
+  // cascade routes to review. All-integer outputs keep the oracle
+  // bit-exact (a log-prob mean would SUM doubles — forbidden by the
+  // parity rules); ordering by sum_wf/n_tokens downstream is a division
+  // of two exact integers. Shape: vocab aggregate (token → corpus wf),
+  // corpus explode + equi-join on the token, per-doc integer sums —
+  // the bpeTokenize dictionary discipline; at 100 TB the vocab relation
+  // broadcasts (or hash-joins on the token key past broadcast size) and
+  // token strings never shuffle WITH the corpus rows.
+  // ------------------------------------------------------------------
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("wf"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("wf").as("sum_wf"),
+        min("wf").as("min_wf"),
+        sum(when(col("wf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
+  val tokenRaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensDuck("text")}) AS tok FROM ($docsSql)),
+       |vocab AS (SELECT tok, count(*) AS wf FROM toks GROUP BY tok)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(wf) AS BIGINT) AS sum_wf,
+       |  min(wf) AS min_wf,
+       |  CAST(sum(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |FROM toks t JOIN vocab v ON t.tok = v.tok
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_top_ngrams" -> (topNgrams _),
+    "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
     "t_pii_scrub" -> (piiScrub _),
     "t_feature_hash" -> (featureHash _),
@@ -514,6 +598,8 @@ object TextAnalysis {
     "t_collapse_repeats" -> (collapseRepeats _))
 
   val oracles: Map[String, String] = Map(
+    "t_top_ngrams" -> topNgramsSql,
+    "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,
     "t_pii_scrub" -> piiScrubSql,
     "t_feature_hash" -> featureHashSql,

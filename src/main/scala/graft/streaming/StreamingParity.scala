@@ -1029,6 +1029,65 @@ object StreamingParity {
       .select(col("doc_id"), col("corpus_id"), col("inter"))
   }
 
+  case class StreamVec(event_time: Long, vec_id: Long, embedding: Array[Float])
+
+  /** One micro-batch of online k-NN classification — the pure batch plan
+    * [[knnClassifyStream]] reuses per trigger, and the continuous twin of
+    * `s_knn_classify`: arriving query vectors are classified against a
+    * STATIC labeled corpus via the multiprobe sign-LSH index (stream side
+    * broadcast — it is the small relation; the corpus never shuffles),
+    * exact-integer cosine ranking, top-K majority vote with the batch
+    * twin's (votes desc, label asc) tiebreak via one max-of-struct.
+    */
+  def classifyVecBatch(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.Parity
+    import graft.functions.VectorOps.longDot
+    import graft.operators.Similarity
+    def prep(df: DataFrame): DataFrame =
+      df.withColumn("v", graft.functions.VectorOps.quantize(col("embedding")))
+        .withColumn("norm", longDot(col("v"), col("v")))
+        .withColumn("bucket", expr(Parity.lshBucketSpark("v")))
+    val corp = prep(corpus).select(col("vec_id").as("c_id"),
+      col("label").cast("long").as("label"), col("v"), col("norm"), col("bucket"))
+    val probeOffsets = lit(0) +: (0 until Parity.NumPlanes).map(j => lit(1 << j))
+    val q = prep(batch)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+      .drop("bucket")
+    val topk = broadcast(q)
+      .join(corp, col("pbucket") === corp("bucket") && col("query_id") =!= col("c_id"))
+      .withColumn("dot", longDot(col("qv"), col("v")))
+      .withColumn("cos", expr(Parity.cosineSpark("dot", "qn", "norm")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("c_id"))))
+      .where(col("rnk") <= Similarity.TopK)
+    topk.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("top"))
+      .select(col("query_id"),
+        (-col("top.neg")).cast("long").as("pred_label"),
+        col("top.votes").as("votes"))
+  }
+
+  /** Online-inference deployment shape: per-trigger classification of a
+    * query-vector stream against the static corpus index. The rank
+    * window and the two-level vote are batch operators, so the streaming
+    * form IS the batch plan applied per micro-batch through foreachBatch
+    * — the standard Structured Streaming model-scoring pattern (and the
+    * same "static side is the state, owned by storage" contract as
+    * [[streamingNearDupIngest]]). `onBatch` receives each trigger's
+    * classified (query_id, pred_label, votes) relation.
+    */
+  def knnClassifyStream(queries: Dataset[StreamVec], corpus: DataFrame)(
+      onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.toDF().writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: DataFrame, _: Long) =>
+        if (!b.isEmpty) onBatch(classifyVecBatch(b, corpus)))
+
   // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:

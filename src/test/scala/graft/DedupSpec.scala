@@ -372,6 +372,35 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, "", 0L, 0L)))
   }
 
+  test("top ngrams: per-source counts, count-desc gram-asc ranking, short docs dropped") {
+    val dir = writeFixture(documents = Seq(
+      doc(0, "x y z x y z"), doc(1, "x y z q"),
+      doc(2, "a b", source = "src1"), doc(3, "a b c", source = "src1")))
+    val got = operators.TextAnalysis.topNgrams(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk")) ->
+        ((r.getAs[String]("gram"), r.getAs[Long]("cnt")))).toMap
+    // src0: "x y z" appears 2× in doc0 + 1× in doc1; the three 1-count
+    // grams order lexicographically.
+    assert(got((("src0", 1))) === (("x y z", 3L)))
+    assert(got((("src0", 2))) === (("y z q", 1L)))
+    assert(got((("src0", 3))) === (("y z x", 1L)))
+    assert(got((("src0", 4))) === (("z x y", 1L)))
+    // src1: the 2-token doc contributes nothing; one trigram remains.
+    assert(got((("src1", 1))) === (("a b c", 1L)))
+    assert(got.size === 5)
+  }
+
+  test("token rarity: corpus frequency sums, rarest token, hapax count") {
+    val dir = writeFixture(documents = Seq(doc(0, "a a b"), doc(1, "b c")))
+    val got = operators.TextAnalysis.tokenRarity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_wf"),
+          r.getAs[Long]("min_wf"), r.getAs[Long]("n_hapax")))).toMap
+    // vocab: a→2, b→2, c→1.
+    assert(got(0L) === ((3L, 6L, 2L, 0L)))
+    assert(got(1L) === ((2L, 3L, 1L, 1L)))
+  }
+
   test("language id picks the profile with the most marker hits") {
     val dir = writeFixture(documents = Seq(
       doc(0, "the cat of the house and a dog", lang = "en"),

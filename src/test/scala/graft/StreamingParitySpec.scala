@@ -262,6 +262,45 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming kNN classify: per-trigger majority votes over the static corpus") {
+    import graft.streaming.StreamingParity.StreamVec
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Corpus: four vectors along one direction (one LSH bucket), labels
+    // 3×1 vs 1×0 — every aligned query must classify as 1 with 3 votes.
+    val v = Array.tabulate(16)(i => (i % 5 - 2) * 0.2f)
+    val corpusDir = writeFixture(embeddings = Seq(
+      EmbRow(0, v.clone(), 1), EmbRow(1, v.clone(), 1),
+      EmbRow(2, v.clone(), 1), EmbRow(3, v.clone(), 0)))
+    val corpus = s.read.parquet(s"$corpusDir/embeddings.parquet")
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val input = MemoryStream[StreamVec]
+    val query = StreamingParity.knnClassifyStream(input.toDS(), corpus) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }.start()
+    try {
+      input.addData(Seq(StreamVec(1000, 100, v.clone())))
+      query.processAllAvailable()
+      val afterFirst = results.synchronized(results.toList)
+      input.addData(Seq(StreamVec(2000, 101, v.clone())))
+      query.processAllAvailable()
+      // First trigger classified query 100 alone; the second trigger
+      // classified 101 without re-emitting 100 (per-batch semantics).
+      assert(afterFirst === List((100L, 1L, 3L)))
+      assert(results.synchronized(results.toList).sorted ===
+        List((100L, 1L, 3L), (101L, 1L, 3L)))
+      // The vote matches the batch plan run on the same rows directly.
+      val batch = StreamingParity.classifyVecBatch(
+        Seq((100L, v.toSeq)).toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+        corpus).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(batch === List((100L, 1L, 3L)))
+    } finally query.stop()
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
