@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Parity._
-import graft.operators.{Curation, Dedup, NullSemantics, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, NullSemantics, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The SQL face of the reference query family: every q1–q4 shape as a
@@ -536,6 +536,99 @@ object SqlQueries {
     * native ASOF JOIN — this text IS the documented composition).
     */
   private lazy val eventAnalyticsSql: Map[String, String] = Map(
+    "a_large_orders" ->
+      s"""WITH qty AS (
+         |  SELECT l_orderkey,
+         |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |      AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |    AS BIGINT) > ${Analytics.LargeOrderQty})
+         |SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+         |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+         |  total_qty
+         |FROM orders JOIN qty ON o_orderkey = qty.l_orderkey""".stripMargin,
+    "a_sole_blame_suppliers" ->
+      s"""SELECT s_suppkey, count(*) AS numwait FROM (
+         |  SELECT DISTINCT l1.l_orderkey, CAST(l1.l_suppkey AS BIGINT) AS s_suppkey
+         |  FROM lineitem l1
+         |  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+         |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL ${Analytics.LateDays} DAY
+         |    AND EXISTS (
+         |      SELECT 1 FROM lineitem l2
+         |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM lineitem l3
+         |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |        AND l3.l_shipdate > o.o_orderdate + INTERVAL ${Analytics.LateDays} DAY))
+         |GROUP BY s_suppkey""".stripMargin,
+    "a_idle_customers" ->
+      s"""WITH c AS (
+        |  SELECT c_custkey AS custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (SELECT * FROM c WHERE bal_cents > 0),
+        |stats AS (
+        |  SELECT sum(bal_cents) AS total_cents, count(*) AS n_pos FROM pos)
+        |SELECT n_name, count(*) AS n_customers, sum(bal_cents) AS sum_bal_cents
+        |FROM pos
+        |CROSS JOIN stats
+        |JOIN nation ON pos.c_nationkey = n_nationkey
+        |WHERE bal_cents * n_pos > total_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = pos.custkey
+        |      AND o_orderdate >= TIMESTAMP '${Analytics.IdleCutoff}')
+        |GROUP BY n_name""".stripMargin,
+    "a_scd2_build" ->
+      s"""WITH scd_c AS (
+         |  SELECT c_custkey AS custkey,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+         |  FROM customer),
+         |v AS (
+         |  SELECT custkey, CAST(1 AS BIGINT) AS version,
+         |    CAST(1992 AS BIGINT) AS valid_from, bal_cents FROM scd_c
+         |  UNION ALL
+         |  SELECT custkey, CAST(2 AS BIGINT), CAST(1994 AS BIGINT), bal_cents + 1000
+         |  FROM scd_c WHERE custkey % 4 = 1
+         |  UNION ALL
+         |  SELECT custkey, CAST(3 AS BIGINT), CAST(1996 AS BIGINT), bal_cents + 2000
+         |  FROM scd_c WHERE custkey % 8 = 1)
+         |SELECT custkey, version, bal_cents, valid_from,
+         |  CAST(coalesce(lead(valid_from) OVER (PARTITION BY custkey
+         |    ORDER BY version) - 1, ${Analytics.Scd2OpenYear}) AS BIGINT) AS valid_to,
+         |  CAST(coalesce(lead(valid_from) OVER (PARTITION BY custkey
+         |    ORDER BY version) - 1, ${Analytics.Scd2OpenYear}) = ${Analytics.Scd2OpenYear}
+         |    AS BIGINT) AS is_current
+         |FROM v""".stripMargin,
+    "a_scd2_asof" ->
+      s"""WITH scd_c AS (
+         |  SELECT c_custkey AS custkey,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+         |  FROM customer),
+         |v AS (
+         |  SELECT custkey, CAST(1 AS BIGINT) AS version,
+         |    CAST(1992 AS BIGINT) AS valid_from, bal_cents FROM scd_c
+         |  UNION ALL
+         |  SELECT custkey, CAST(2 AS BIGINT), CAST(1994 AS BIGINT), bal_cents + 1000
+         |  FROM scd_c WHERE custkey % 4 = 1
+         |  UNION ALL
+         |  SELECT custkey, CAST(3 AS BIGINT), CAST(1996 AS BIGINT), bal_cents + 2000
+         |  FROM scd_c WHERE custkey % 8 = 1),
+         |dim AS (
+         |  SELECT custkey, version, bal_cents, valid_from,
+         |    coalesce(lead(valid_from) OVER (PARTITION BY custkey
+         |      ORDER BY version) - 1, ${Analytics.Scd2OpenYear}) AS valid_to
+         |  FROM v)
+         |SELECT version, count(*) AS n_orders,
+         |  count(DISTINCT o.o_custkey) AS n_customers,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+         |FROM orders o
+         |JOIN dim d ON o.o_custkey = d.custkey
+         |  AND year(o.o_orderdate) >= d.valid_from
+         |  AND year(o.o_orderdate) <= d.valid_to
+         |GROUP BY version""".stripMargin,
     "a_top_customers" ->
       s"""SELECT c_mktsegment, rnk, c_custkey, revenue, n_orders FROM (
          |  SELECT c.c_mktsegment, c.c_custkey,
@@ -720,7 +813,8 @@ object SqlQueries {
     *
     * Deliberately NOT given SQL texts (DataFrame-only by design):
     * the cluster family (`d_*_clusters`, `d_cluster_sizes`,
-    * `d_canonical_stats`, `p_curation_cascade`) — connected components
+    * `d_canonical_stats`, `p_curation_cascade`, `p_split_leakage` —
+    * a cluster-label consumer) — connected components
     * is a driver-controlled iteration and Spark SQL has no recursive
     * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`) and the PQ
     * family (`s_pq_*` — per-subspace codebook training is the same

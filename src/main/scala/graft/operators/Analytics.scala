@@ -1171,7 +1171,257 @@ object Analytics {
       |SELECT 'nonpositive_price', count(*), count(*) = 0
       |FROM lineitem WHERE l_extendedprice <= 0""".stripMargin
 
+  // ------------------------------------------------------------------
+  // SCD-2 dimension history build — the classic warehouse pattern the
+  // inventory lacked: a change feed of dimension versions becomes
+  // [valid_from, valid_to] interval rows via one lead() window, with an
+  // open current row per key. The change feed is synthesized
+  // deterministically from `customer` (the upsertMerge convention:
+  // custkey%4==1 revised in 1994, %8==1 again in 1996) so the oracle is
+  // self-contained; balances go through the DECIMAL(18,2) cents recipe —
+  // DOUBLE→BIGINT casts TRUNCATE in Spark but ROUND in DuckDB, so the
+  // decimal hop is what keeps cents bit-exact (the file-header money
+  // rule). Shape: one custkey-partitioned window over ≤3 rows/key — at
+  // 100 TB this is the merge-on-read compaction of a dimension change
+  // stream: one key-partitioned sort-window pass, no joins.
+  // ------------------------------------------------------------------
+  val Scd2OpenYear = 9999L
+
+  private def scd2Versions(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+    c.select(col("custkey"), lit(1L).as("version"), lit(1992L).as("valid_from"),
+        col("bal_cents"))
+      .unionByName(c.where(col("custkey") % 4 === 1)
+        .select(col("custkey"), lit(2L).as("version"), lit(1994L).as("valid_from"),
+          (col("bal_cents") + 1000L).as("bal_cents")))
+      .unionByName(c.where(col("custkey") % 8 === 1)
+        .select(col("custkey"), lit(3L).as("version"), lit(1996L).as("valid_from"),
+          (col("bal_cents") + 2000L).as("bal_cents")))
+  }
+
+  private val scd2VersionsSql: String =
+    """SELECT custkey, CAST(1 AS BIGINT) AS version,
+      |  CAST(1992 AS BIGINT) AS valid_from, bal_cents FROM scd_c
+      |UNION ALL
+      |SELECT custkey, CAST(2 AS BIGINT), CAST(1994 AS BIGINT), bal_cents + 1000
+      |FROM scd_c WHERE custkey % 4 = 1
+      |UNION ALL
+      |SELECT custkey, CAST(3 AS BIGINT), CAST(1996 AS BIGINT), bal_cents + 2000
+      |FROM scd_c WHERE custkey % 8 = 1""".stripMargin
+
+  private val scd2CSql: String =
+    """SELECT c_custkey AS custkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |FROM customer""".stripMargin
+
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Versions(spark, sfDir)
+      .withColumn("valid_to", coalesce(
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy("custkey").orderBy("version")) - 1L,
+        lit(Scd2OpenYear)))
+      .withColumn("is_current", (col("valid_to") === Scd2OpenYear).cast("long"))
+      .select("custkey", "version", "bal_cents", "valid_from", "valid_to",
+        "is_current")
+
+  val scd2BuildSql: String =
+    s"""WITH scd_c AS ($scd2CSql),
+       |v AS ($scd2VersionsSql)
+       |SELECT custkey, version, bal_cents, valid_from,
+       |  CAST(coalesce(lead(valid_from) OVER (PARTITION BY custkey
+       |    ORDER BY version) - 1, $Scd2OpenYear) AS BIGINT) AS valid_to,
+       |  CAST(coalesce(lead(valid_from) OVER (PARTITION BY custkey
+       |    ORDER BY version) - 1, $Scd2OpenYear) = $Scd2OpenYear AS BIGINT)
+       |    AS is_current
+       |FROM v""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD-2 point-in-time (as-of) fact lookup: each order joins the
+  // dimension version whose validity interval covers the order year —
+  // the temporal-join consumer every SCD-2 table exists for. The
+  // intervals partition [1992, ∞) per key, so every order matches
+  // EXACTLY one version (spec-pinned). Plan: equi-join on custkey with
+  // the interval predicate as a residual filter; the dimension side
+  // broadcasts here, and at 100 TB the same plan hash-partitions both
+  // sides on custkey — the fact table never moves twice.
+  // ------------------------------------------------------------------
+  def scd2Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Build(spark, sfDir)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("long").as("custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(broadcast(dim), Seq("custkey"))
+      .where(col("o_year") >= col("valid_from") && col("o_year") <= col("valid_to"))
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("custkey").as("n_customers"),
+        sum("bal_cents").as("sum_bal_cents"))
+  }
+
+  val scd2AsofSql: String =
+    s"""WITH scd_c AS ($scd2CSql),
+       |v AS ($scd2VersionsSql),
+       |dim AS (
+       |  SELECT custkey, version, bal_cents, valid_from,
+       |    coalesce(lead(valid_from) OVER (PARTITION BY custkey
+       |      ORDER BY version) - 1, $Scd2OpenYear) AS valid_to
+       |  FROM v)
+       |SELECT version, count(*) AS n_orders,
+       |  count(DISTINCT o.o_custkey) AS n_customers,
+       |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+       |FROM orders o
+       |JOIN dim d ON o.o_custkey = d.custkey
+       |  AND year(o.o_orderdate) >= d.valid_from
+       |  AND year(o.o_orderdate) <= d.valid_to
+       |GROUP BY version""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+  // clears a threshold, joined back to the customer — the
+  // aggregate-then-semi-join pattern (HAVING-driven IN subquery). The
+  // qualifying-order set is tiny (threshold-selective) so the join back
+  // to orders/customer broadcasts it; quantities ride the DECIMAL hop
+  // (whole numbers stored as DOUBLE — the decimal cast is what keeps
+  // the BIGINT exact on both engines).
+  // ------------------------------------------------------------------
+  val LargeOrderQty = 250L
+
+  def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sum("q").cast("decimal(18,2)").cast("long").as("total_qty"))
+      .where(col("total_qty") > LargeOrderQty)
+    Tables.orders(spark, sfDir)
+      .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        col("total_qty"))
+  }
+
+  val largeOrdersSql: String =
+    s"""WITH qty AS (
+       |  SELECT l_orderkey,
+       |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |      AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |    AS BIGINT) > $LargeOrderQty)
+       |SELECT o_custkey AS c_custkey, o_orderkey,
+       |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+       |  total_qty
+       |FROM orders JOIN qty ON o_orderkey = qty.l_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sole-blame suppliers (TPC-H Q21 shape): in finished multi-supplier
+  // orders, the supplier who was the ONLY late shipper takes the blame.
+  // The classic formulation is EXISTS + NOT-EXISTS on the same table;
+  // the Spark plan replaces both correlated probes with ONE per-
+  // (order, supplier) aggregate — any_late per participant — and a
+  // per-order rollup (n_sups, n_late_sups), then a filter: late
+  // participant in an order with ≥2 suppliers and exactly one late one.
+  // Two equi-shuffles on the 8-byte orderkey instead of two extra
+  // lineitem probes; the DuckDB oracle keeps the EXISTS/NOT-EXISTS
+  // form, so the equivalence of the two formulations is itself gated.
+  // ------------------------------------------------------------------
+  def soleBlameSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
+          .cast("long").as("late"))
+    val perSup = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("any_late"))
+    val perOrder = perSup.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_sups"), sum("any_late").as("n_late_sups"))
+    perSup.join(perOrder, "l_orderkey")
+      .where(col("any_late") === 1 && col("n_sups") >= 2 && col("n_late_sups") === 1)
+      .groupBy(col("l_suppkey").cast("long").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val soleBlameSuppliersSql: String =
+    s"""SELECT s_suppkey, count(*) AS numwait FROM (
+       |  SELECT DISTINCT l1.l_orderkey, CAST(l1.l_suppkey AS BIGINT) AS s_suppkey
+       |  FROM lineitem l1
+       |  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+       |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY
+       |    AND EXISTS (
+       |      SELECT 1 FROM lineitem l2
+       |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM lineitem l3
+       |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |        AND l3.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY))
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Idle high-balance customers (TPC-H Q22 shape): customers with an
+  // above-average positive balance and no RECENT orders (none on/after
+  // [[IdleCutoff]] — every fixture customer has some lifetime order, so
+  // the churn window is what makes the anti-join meaningful), rolled up
+  // per nation. The average comparison stays in exact integers by
+  // cross-multiplying (bal_cents · n > total_cents) instead of
+  // dividing — the 1-row (total, count) aggregate broadcasts; the
+  // recent-order probe is a LEFT ANTI on the distinct recent o_custkey
+  // set, with the date filter PUSHED to the orders scan.
+  // ------------------------------------------------------------------
+  val IdleCutoff = "2000-01-01"
+
+  def idleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+    val pos = c.where(col("bal_cents") > 0)
+    val stats = pos.agg(sum("bal_cents").as("total_cents"),
+      count(lit(1)).as("n_pos"))
+    pos.crossJoin(broadcast(stats))
+      .where(col("bal_cents") * col("n_pos") > col("total_cents"))
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
+        .select(col("o_custkey").as("custkey"))
+        .distinct(), Seq("custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"), sum("bal_cents").as("sum_bal_cents"))
+  }
+
+  val idleCustomersSql: String =
+    s"""WITH c AS (
+      |  SELECT c_custkey AS custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |pos AS (SELECT * FROM c WHERE bal_cents > 0),
+      |stats AS (
+      |  SELECT CAST(sum(bal_cents) AS BIGINT) AS total_cents,
+      |    count(*) AS n_pos FROM pos)
+      |SELECT n_name, count(*) AS n_customers,
+      |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+      |FROM pos
+      |CROSS JOIN stats
+      |JOIN nation ON pos.c_nationkey = n_nationkey
+      |WHERE bal_cents * n_pos > total_cents
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = pos.custkey
+      |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_large_orders" -> (largeOrders _),
+    "a_sole_blame_suppliers" -> (soleBlameSuppliers _),
+    "a_idle_customers" -> (idleCustomers _),
+    "a_scd2_build" -> (scd2Build _),
+    "a_scd2_asof" -> (scd2Asof _),
     "a_expectations" -> (expectations _),
     "a_daily_active" -> (dailyActive _),
     "a_daily_active_approx" -> (dailyActiveApprox _),
@@ -1202,6 +1452,11 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_large_orders" -> largeOrdersSql,
+    "a_sole_blame_suppliers" -> soleBlameSuppliersSql,
+    "a_idle_customers" -> idleCustomersSql,
+    "a_scd2_build" -> scd2BuildSql,
+    "a_scd2_asof" -> scd2AsofSql,
     "a_expectations" -> expectationsSql,
     "a_daily_active" -> dailyActiveSql,
     "a_daily_active_approx" -> dailyActiveApproxSql,

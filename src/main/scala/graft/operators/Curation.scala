@@ -189,6 +189,46 @@ object Curation {
        |      FROM (SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql)))""".stripMargin
 
   // ------------------------------------------------------------------
+  // Cross-split NEAR-dup leakage — the failure mode the fingerprint
+  // split CAN'T prevent: [[splitAssign]] routes exact duplicates to one
+  // split by construction (same text ⇒ same fp ⇒ same bucket), but a
+  // near-duplicate pair can straddle train/test and leak evaluation
+  // signal. Composes the gated split assignment with the gated near-dup
+  // cluster labels: a val/test doc is LEAKED iff its cluster contains
+  // any train doc. Shapes: two doc_id-keyed joins + one broadcast-sized
+  // distinct cluster set (paired docs are a tiny fraction of the
+  // corpus); output is 2 rows. At 100 TB both inputs are stored
+  // relations (the split column and the label table the incremental
+  // path maintains) — this query is then two key joins and a rollup,
+  // no re-clustering.
+  // ------------------------------------------------------------------
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = splitAssign(spark, sfDir).select("doc_id", "split")
+    val j = Dedup.dedupClusters(spark, sfDir).join(splits, "doc_id")
+    val trainClusters = j.where(col("split") === "train")
+      .select("canonical_id").distinct().withColumn("leak", lit(1L))
+    j.where(col("split") =!= "train")
+      .join(broadcast(trainClusters), Seq("canonical_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH clusters AS (${Dedup.dedupClustersSql}),
+       |splits AS ($splitAssignSql),
+       |j AS (
+       |  SELECT c.doc_id, c.canonical_id, s.split
+       |  FROM clusters c JOIN splits s ON c.doc_id = s.doc_id),
+       |tc AS (SELECT DISTINCT canonical_id FROM j WHERE split = 'train')
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN t.canonical_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaked
+       |FROM j LEFT JOIN tc t ON j.canonical_id = t.canonical_id
+       |WHERE j.split <> 'train'
+       |GROUP BY split""".stripMargin
+
+  // ------------------------------------------------------------------
   // Benchmark-contamination detection: training docs sharing any word-
   // 3-gram shingle with the held-out set (here: doc_id < 10 stands in for
   // the benchmark). The eval shingle set is tiny → broadcast; the corpus
@@ -341,7 +381,14 @@ object Curation {
   // feasible (SURVEY §9).
   // ------------------------------------------------------------------
   def chunkDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = chunkDocs(spark, sfDir).select("source", "chunk_fp")
+    // The narrow (source, chunk_fp) projection feeds BOTH sides of the
+    // fp join (occurrence counts + per-chunk rows); registry-persist it
+    // so the chunk explode + slice + hash runs once, not twice — the
+    // SURVEY persist policy's "small expensive relation consumed by two
+    // sides" case (9 bytes + a source tag per chunk).
+    val chunks = CacheRegistry.cached(spark, s"curation.chunkFps:$sfDir") {
+      chunkDocs(spark, sfDir).select("source", "chunk_fp")
+    }
     val dfreq = chunks.groupBy("chunk_fp").agg(count(lit(1)).as("occ"))
     chunks.join(dfreq, "chunk_fp")
       .groupBy("source")
@@ -982,6 +1029,7 @@ object Curation {
     "p_pack_sequences" -> (packSequences _),
     "p_chunk_docs" -> (chunkDocs _),
     "p_chunk_dedup_stats" -> (chunkDedupStats _),
+    "p_split_leakage" -> (splitLeakage _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
@@ -1004,6 +1052,7 @@ object Curation {
     "p_pack_sequences" -> packSequencesSql,
     "p_chunk_docs" -> chunkDocsSql,
     "p_chunk_dedup_stats" -> chunkDedupStatsSql,
+    "p_split_leakage" -> splitLeakageSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,

@@ -260,6 +260,22 @@ object ScaleOracles {
     "p_curation_cascade" -> Check("equality",
       Curation.curationCascadeSqlWith(
         "SELECT doc_id, canonical_id FROM out_d_dedup_clusters")),
+    // Same composition rule for the split-leakage consumer: its gate
+    // oracle embeds the recursive closure (quadratic in the sf1
+    // mega-component); here the union-find-verified cluster output
+    // substitutes and the splits recompute linearly from documents.
+    "p_split_leakage" -> Check("equality",
+      s"""WITH splits AS (${Curation.splitAssignSql}),
+         |j AS (
+         |  SELECT c.doc_id, c.canonical_id, s.split
+         |  FROM out_d_dedup_clusters c JOIN splits s ON c.doc_id = s.doc_id),
+         |tc AS (SELECT DISTINCT canonical_id FROM j WHERE split = 'train')
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN t.canonical_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_leaked
+         |FROM j LEFT JOIN tc t ON j.canonical_id = t.canonical_id
+         |WHERE j.split <> 'train'
+         |GROUP BY split""".stripMargin),
     // The day-2 incremental path's whole contract is row-identity with
     // the full recompute, and d_dedup_clusters is union-find-verified in
     // the same run — so the composed equality IS the complete check.

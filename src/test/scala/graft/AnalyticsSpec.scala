@@ -111,6 +111,115 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_._2), "all checks pass")
   }
 
+  test("large orders equal the driver-side quantity scan at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("k"), col("l_quantity")).collect()
+      .groupBy(_.getAs[Long]("k"))
+      .map { case (k, rs) =>
+        k -> BigDecimal(rs.map(_.getAs[Double]("l_quantity")).sum)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      .filter(_._2 > Analytics.LargeOrderQty)
+    val got = Analytics.largeOrders(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("total_qty")).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("sole-blame suppliers equal the driver-side scan (EXISTS/NOT-EXISTS rule)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL ${Analytics.LateDays} DAYS")).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = rows.groupBy(_._1)
+    val want = byOrder.toSeq.flatMap { case (_, ls) =>
+      val sups = ls.map(_._2).distinct
+      val lateSups = ls.filter(_._3).map(_._2).distinct
+      if (sups.size >= 2 && lateSups.size == 1) lateSups else Seq.empty
+    }.groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+    val got = Analytics.soleBlameSuppliers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("idle customers equal the driver-side balance/anti-join scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val withOrders = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(Analytics.IdleCutoff).cast("timestamp"))
+      .select(col("o_custkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pos = cust.filter(_._3 > 0)
+    val total = pos.map(_._3).sum
+    val n = pos.size.toLong
+    val want = pos
+      .filter(c => c._3 * n > total && !withOrders.contains(c._1))
+      .groupBy(c => nations(c._2))
+      .map { case (name, cs) => name -> ((cs.size.toLong, cs.map(_._3).sum)) }
+    val got = Analytics.idleCustomers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("sum_bal_cents")))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("SCD-2 build: intervals tile per key, one open current row, version shapes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Analytics.scd2Build(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("version"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+        r.getAs[Long]("is_current")))
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // first interval opens at 1992; exactly one open current row.
+      assert(sorted.head._3 === 1992L)
+      assert(vs.count(_._5 == 1L) === 1)
+      assert(sorted.last._4 === Analytics.Scd2OpenYear)
+      // no gaps, no overlap: valid_to + 1 chains to the next valid_from.
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 + 1 === w(1)._3, s"key $k")
+      }
+      // change-feed shape: %8==1 keys have 3 versions, %4==1 two, else one.
+      val expected = if (k % 8 == 1) 3 else if (k % 4 == 1) 2 else 1
+      assert(vs.size === expected, s"key $k")
+    }
+  }
+
+  test("SCD-2 as-of: every order matches exactly one version; CASE recomputation agrees") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.scd2Asof(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("version") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("n_customers")))).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("long").as("k"),
+        year(col("o_orderdate")).cast("long").as("y"))
+    // Independent per-order version rule, no window/interval machinery.
+    val want = orders.select(expr(
+        """CASE WHEN k % 8 = 1 AND y >= 1996 THEN 3L
+          |     WHEN k % 4 = 1 AND y >= 1994 THEN 2L
+          |     ELSE 1L END""".stripMargin).as("version"), col("k"))
+      .groupBy("version")
+      .agg(count(lit(1)).as("n"), countDistinct("k").as("nc"))
+      .collect().map(r => r.getAs[Long]("version") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("nc")))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === orders.count())
+  }
+
   test("column profile reports invariant-consistent stats per profiled column") {
     val sfDir = "/root/testdata/sf0.001"
     val got = Analytics.profileLineitem(spark, sfDir).collect()

@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpec {
     assert(got("src1") === ((2L, 2L, 1L, 500000L)))
   }
 
+  test("split leakage equals a driver-side recomputation over the gated relations") {
+    val sfDir = "/root/testdata/sf0.001"
+    val splits = Curation.splitAssign(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clusters = operators.Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val trainClusters = clusters.collect {
+      case (d, c) if splits(d) == "train" => c
+    }.toSet
+    val want = splits.collect { case (d, s) if s != "train" => (d, s) }
+      .groupBy(_._2)
+      .map { case (s, ds) =>
+        s -> ((ds.size.toLong,
+          ds.count { case (d, _) => trainClusters.contains(clusters(d)) }.toLong))
+      }
+    val got = Curation.splitLeakage(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_leaked")))).toMap
+    assert(got === want)
+    assert(got.keySet.subsetOf(Set("val", "test")))
+  }
+
   test("sequence packing: shard-local running offsets chopped at CtxLen") {
     def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
     val dir = writeFixture(documents = Seq(

@@ -225,6 +225,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment pairs equal the driver-side df-capped set scan on random corpora") {
+    import graft.operators.Dedup
+    for (seed <- 71 to 75) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0 until 25).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        doc(i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = writeFixture(documents = docs)
+      // Driver-side recomputation on shingle STRINGS (the tiny 216-gram
+      // space makes 31-bit hash collisions impossible in practice and the
+      // seeds are fixed).
+      def sh(text: String): Set[String] = {
+        val t = text.split(" ").toSeq
+        if (t.size < Dedup.ShingleW) Set.empty
+        else t.sliding(Dedup.ShingleW).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map(d => d.doc_id -> sh(d.text)).toMap
+      val df = sets.values.toSeq.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val rare = sets.map { case (id, s) =>
+        id -> s.filter(x => df(x) >= 2 && df(x) <= Dedup.ContainDfCap)
+      }
+      val want = (for {
+        a <- docs.map(_.doc_id); b <- docs.map(_.doc_id) if a < b
+        inter = (rare(a) intersect rare(b)).size.toLong if inter > 0
+        na = rare(a).size.toLong; nb = rare(b).size.toLong
+        ppm = inter * 1000000L / math.min(na, nb) if ppm >= Dedup.ContainPpm
+      } yield (a, b, inter, na, nb, ppm)).toSet
+      val got = Dedup.containmentPairs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("containment_ppm"))).toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("funnel stage counts equal the driver-side ordered scan on random streams") {
     import graft.operators.Analytics
     for (seed <- 51 to 55) {

@@ -57,7 +57,7 @@ class SqlParitySpec extends SparkSpec {
       "s_ivf_topk", "s_ivf_recall", "s_text_lsh_topk",
       "p_pack_sequences", "p_stratified_sample",
       "a_profile", "a_timeseries_similarity",
-      "d_incremental_neardup")
+      "d_incremental_neardup", "p_split_leakage")
     val uncovered = SparkEntry.queries.keySet -- SqlQueries.sql.keySet -- boundary
     assert(uncovered === Set.empty,
       s"gated queries with neither a SQL text nor a boundary entry: $uncovered")
