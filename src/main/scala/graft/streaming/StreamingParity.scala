@@ -960,6 +960,69 @@ object StreamingParity {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class DimChange(key: Long, version: Long, valid_from: Long, value: Long)
+  case class Scd2Row(key: Long, version: Long, value: Long,
+      valid_from: Long, valid_to: Long, is_current: Long)
+
+  /** Streaming SCD-2 maintenance — the continuous twin of
+    * `Analytics.scd2Build`: a CDC change stream of dimension versions
+    * becomes the type-2 interval table incrementally. Typed ValueState
+    * holds each key's OPEN version; an arriving higher version emits TWO
+    * rows — the previous version re-emitted CLOSED (valid_to = new
+    * valid_from − 1, is_current 0) and the new version OPEN — which an
+    * upserting sink (MERGE on (key, version)) folds into exactly the
+    * batch twin's interval table. Contract mirrors [[upsertStream]]:
+    * versions are consumed in nondecreasing order per key (the CDC
+    * ordering guarantee); an intra-batch burst folds in version order
+    * inside one invocation; stale/replayed versions (≤ the held one)
+    * emit nothing — at-least-once idempotence. State = ONE row per
+    * dimension key on RocksDB, independent of history length: closed
+    * intervals live in the sink, not the store.
+    */
+  class Scd2StatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DimChange, Scd2Row] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var cur: streaming.ValueState[DimChange] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[DimChange](
+        "openVersion", Encoders.product[DimChange], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DimChange],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Scd2Row] = {
+      var held = Option(cur.get())
+      val fresh = rows.toSeq.sortBy(_.version)
+        .filter(c => held.forall(_.version < c.version))
+      var out = Vector.empty[Scd2Row]
+      fresh.foreach { c =>
+        if (held.forall(_.version < c.version)) {
+          held.foreach { h =>
+            out :+= Scd2Row(key, h.version, h.value, h.valid_from,
+              c.valid_from - 1, 0L)
+          }
+          out :+= Scd2Row(key, c.version, c.value, c.valid_from,
+            graft.operators.Analytics.Scd2OpenYear, 1L)
+          held = Some(c)
+        }
+      }
+      held.foreach(cur.update)
+      out.iterator
+    }
+  }
+
+  def scd2Stream(changes: Dataset[DimChange]): Dataset[Scd2Row] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.key)
+      .transformWithState(new Scd2StatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming NEAR-dup guard: drop an arriving doc whose 60-bit SimHash
     * equals one already seen inside the watermark. The per-row SimHash64
     * kernel makes the fingerprint available before any grouping exists —

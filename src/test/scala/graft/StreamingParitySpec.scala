@@ -455,6 +455,60 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD-2: close-and-open emissions fold to the batch interval table") {
+    import graft.streaming.StreamingParity.{DimChange, Scd2Row}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // key 1 evolves across two triggers; key 2 bursts v1+v2 in ONE
+      // batch (intra-batch fold); the v1 replay in b2 must emit nothing.
+      val b1 = Seq(DimChange(1, 1, 1992, 100),
+        DimChange(2, 1, 1992, 500), DimChange(2, 2, 1995, 600))
+      val b2 = Seq(DimChange(1, 2, 1994, 200), DimChange(1, 1, 1992, 100))
+      val input = MemoryStream[DimChange]
+      val query = StreamingParity.scd2Stream(input.toDS())
+        .writeStream.format("memory").queryName("scd2_tws")
+        .outputMode(OutputMode.Update()).start()
+      val emitted = try {
+        input.addData(b1); query.processAllAvailable()
+        val afterB1 = s.table("scd2_tws").as[Scd2Row].collect().toSeq
+        // b1: key1 open v1; key2 v1 open + closed-in-batch + v2 open.
+        assert(afterB1.toSet === Set(
+          Scd2Row(1, 1, 100, 1992, 9999, 1),
+          Scd2Row(2, 1, 500, 1992, 9999, 1),
+          Scd2Row(2, 1, 500, 1992, 1994, 0),
+          Scd2Row(2, 2, 600, 1995, 9999, 1)))
+        input.addData(b2); query.processAllAvailable()
+        s.table("scd2_tws").as[Scd2Row].collect().toSeq
+      } finally query.stop()
+      // Upserting-sink fold: the LAST emission per (key, version) is the
+      // final interval row — and it tiles like the batch build.
+      val folded = emitted.zipWithIndex
+        .groupBy(e => (e._1.key, e._1.version))
+        .map { case (_, es) => es.maxBy(_._2)._1 }.toSet
+      assert(folded === Set(
+        Scd2Row(1, 1, 100, 1992, 1993, 0),
+        Scd2Row(1, 2, 200, 1994, 9999, 1),
+        Scd2Row(2, 1, 500, 1992, 1994, 0),
+        Scd2Row(2, 2, 600, 1995, 9999, 1)))
+      // Exactly one open row per key; intervals chain.
+      folded.groupBy(_.key).foreach { case (_, rs) =>
+        assert(rs.count(_.is_current == 1L) === 1)
+        val sorted = rs.toSeq.sortBy(_.version)
+        sorted.sliding(2).filter(_.length == 2).foreach { w =>
+          assert(w(0).valid_to + 1 === w(1).valid_from)
+        }
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming upsert: latest version wins, stale replays emit nothing") {
     import graft.streaming.StreamingParity.{DocChange, DocCurrent}
     val s = spark
