@@ -966,6 +966,36 @@ object SqlQueries {
          |  sum(CASE WHEN wf = 1 THEN 1L ELSE 0L END) AS n_hapax
          |FROM toks t JOIN vocab v ON t.tok = v.tok
          |GROUP BY doc_id""".stripMargin,
+    "p_forget_audit" ->
+      s"""WITH fps AS (SELECT doc_id, poly_hash(text) AS fp FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, poly_hash(concat_ws(' ', slice(toks,
+         |    CAST(chunk_id * ${Curation.ChunkStride} + 1 AS INT),
+         |    ${Curation.ChunkSize}))) AS chunk_fp
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      explode(sequence(0L, CASE WHEN n_tokens <= ${Curation.ChunkSize} THEN 0L
+         |        ELSE (n_tokens - ${Curation.ChunkSize} + ${Curation.ChunkStride - 1})
+         |          div ${Curation.ChunkStride} END)) AS chunk_id
+         |    FROM (
+         |      SELECT doc_id, split(text, ' ') AS toks,
+         |        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents))),
+         |ffp AS (SELECT DISTINCT fp FROM fps
+         |        WHERE doc_id % ${Curation.ForgetMod} = ${Curation.ForgetRem}),
+         |fch AS (SELECT DISTINCT chunk_fp FROM chunks
+         |        WHERE doc_id % ${Curation.ForgetMod} = ${Curation.ForgetRem})
+         |SELECT
+         |  (SELECT count(*) FROM fps
+         |   WHERE doc_id % ${Curation.ForgetMod} = ${Curation.ForgetRem}) AS n_forget,
+         |  (SELECT count(*) FROM fps
+         |   WHERE doc_id % ${Curation.ForgetMod} <> ${Curation.ForgetRem}) AS n_keep,
+         |  (SELECT count(*) FROM fps JOIN ffp USING (fp)
+         |   WHERE doc_id % ${Curation.ForgetMod} <> ${Curation.ForgetRem})
+         |    AS residual_fp_docs,
+         |  (SELECT count(DISTINCT doc_id) FROM chunks JOIN fch USING (chunk_fp)
+         |   WHERE doc_id % ${Curation.ForgetMod} <> ${Curation.ForgetRem})
+         |    AS residual_chunk_docs""".stripMargin,
     "t_repetition_stats" ->
       """WITH base AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
         |stats AS (

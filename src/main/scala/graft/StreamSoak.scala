@@ -127,6 +127,35 @@ object StreamSoak {
       StreamingParity.streamingNearDupIngest(
         streamDf(docDir, docStreamDf).as[StreamDoc], corpus),
       OutputMode.Append())
+    // Stateless chunker: per-row explode/slice/fingerprint — the line
+    // documents zero state and pure scan-rate latency.
+    runSoak("chunk_stream",
+      StreamingParity.chunkStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
+      OutputMode.Append())
+
+    // SCD-2 CDC replay: the customer change feed (v1 all keys, v2 for
+    // key%4==1, v3 for key%8==1) written in version order so the file
+    // source honors the per-key nondecreasing-version contract; state =
+    // ONE open-version row per dimension key on RocksDB.
+    val custDf = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("key"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("value"))
+    val dimDir = s"$work/in/dim"
+    custDf.select(col("key"), lit(1L).as("version"),
+        lit(1992L).as("valid_from"), col("value"))
+      .coalesce(2).write.mode("append").parquet(dimDir)
+    custDf.where(col("key") % 4 === 1).select(col("key"), lit(2L).as("version"),
+        lit(1994L).as("valid_from"), (col("value") + 1000L).as("value"))
+      .coalesce(2).write.mode("append").parquet(dimDir)
+    custDf.where(col("key") % 8 === 1).select(col("key"), lit(3L).as("version"),
+        lit(1996L).as("valid_from"), (col("value") + 2000L).as("value"))
+      .coalesce(2).write.mode("append").parquet(dimDir)
+    val dimLike = custDf.select(col("key"), lit(1L).as("version"),
+      lit(1992L).as("valid_from"), col("value"))
+    runSoak("scd2_stream",
+      StreamingParity.scd2Stream(
+        streamDf(dimDir, dimLike).as[StreamingParity.DimChange]).toDF(),
+      OutputMode.Update())
 
     spark.stop()
   }

@@ -1325,10 +1325,11 @@ object Analytics {
   // The classic formulation is EXISTS + NOT-EXISTS on the same table;
   // the Spark plan replaces both correlated probes with ONE per-
   // (order, supplier) aggregate — any_late per participant — and a
-  // per-order rollup (n_sups, n_late_sups), then a filter: late
-  // participant in an order with ≥2 suppliers and exactly one late one.
-  // Two equi-shuffles on the 8-byte orderkey instead of two extra
-  // lineitem probes; the DuckDB oracle keeps the EXISTS/NOT-EXISTS
+  // WINDOW rollup over it (n_sups, n_late_sups per order), then a
+  // filter: late participant in an order with ≥2 suppliers and exactly
+  // one late one. The fact table is scanned ONCE (the window over the
+  // aggregate replaces a self-join that would re-scan it) and shuffles
+  // twice on 8-byte keys; the DuckDB oracle keeps the EXISTS/NOT-EXISTS
   // form, so the equivalence of the two formulations is itself gated.
   // ------------------------------------------------------------------
   def soleBlameSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1338,11 +1339,11 @@ object Analytics {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
           .cast("long").as("late"))
-    val perSup = l.groupBy("l_orderkey", "l_suppkey")
+    val w = Window.partitionBy("l_orderkey")
+    l.groupBy("l_orderkey", "l_suppkey")
       .agg(max("late").as("any_late"))
-    val perOrder = perSup.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_sups"), sum("any_late").as("n_late_sups"))
-    perSup.join(perOrder, "l_orderkey")
+      .withColumn("n_sups", count(lit(1)).over(w))
+      .withColumn("n_late_sups", sum("any_late").over(w))
       .where(col("any_late") === 1 && col("n_sups") >= 2 && col("n_late_sups") === 1)
       .groupBy(col("l_suppkey").cast("long").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))

@@ -229,6 +229,67 @@ object Curation {
        |GROUP BY split""".stripMargin
 
   // ------------------------------------------------------------------
+  // Right-to-be-forgotten audit — the deletion-propagation check a
+  // training corpus needs before it can claim a purge is complete:
+  // deleting the REQUESTED rows (here the deterministic doc_id % 17 == 3
+  // set stands in for the request list) leaves every EXACT COPY and
+  // every CHUNK-level copy of that content in place unless the purge
+  // expands through the fingerprint relations. The audit reports the
+  // residue instead of pretending: how many surviving docs carry a
+  // forgotten doc's 62-bit fingerprint (whole-document copies), and how
+  // many surviving docs share a chunk fingerprint with forgotten
+  // content (boilerplate/partial copies — over [[chunkDocs]]' registry-
+  // persisted fp relation). Shapes: the forget side is request-sized →
+  // broadcast; every join is an 8-byte fp equi-join; output is 1 row.
+  // At 100 TB this is the query a compliance pass runs after each
+  // deletion batch, at the cost of one corpus fp scan + one chunk-fp
+  // probe.
+  // ------------------------------------------------------------------
+  val ForgetMod = 17L
+  val ForgetRem = 3L
+
+  def forgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
+    val isForget = col("doc_id") % ForgetMod === ForgetRem
+    val forgetFps = fps.where(isForget).select("fp").distinct()
+    val docCounts = fps.agg(
+      sum(isForget.cast("long")).as("n_forget"),
+      sum((!isForget).cast("long")).as("n_keep"))
+    val residualDocs = fps.where(!isForget)
+      .join(broadcast(forgetFps), "fp")
+      .agg(count(lit(1)).as("residual_fp_docs"))
+    val chunks = CacheRegistry.cached(spark, s"curation.chunkFpDocs:$sfDir") {
+      chunkDocs(spark, sfDir).select("doc_id", "chunk_fp")
+    }
+    val forgetChunks = chunks.where(col("doc_id") % ForgetMod === ForgetRem)
+      .select("chunk_fp").distinct()
+    val residualChunks = chunks.where(col("doc_id") % ForgetMod =!= ForgetRem)
+      .join(broadcast(forgetChunks), "chunk_fp")
+      .agg(countDistinct("doc_id").as("residual_chunk_docs"))
+    docCounts.crossJoin(residualDocs).crossJoin(residualChunks)
+  }
+
+  // lazy: textually precedes chunkDocsSql in this object (init order).
+  lazy val forgetAuditSql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql)),
+       |chunks AS (
+       |  SELECT doc_id, chunk_fp FROM ($chunkDocsSql)),
+       |ffp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % $ForgetMod = $ForgetRem),
+       |fch AS (SELECT DISTINCT chunk_fp FROM chunks
+       |        WHERE doc_id % $ForgetMod = $ForgetRem)
+       |SELECT
+       |  (SELECT count(*) FROM fps WHERE doc_id % $ForgetMod = $ForgetRem)
+       |    AS n_forget,
+       |  (SELECT count(*) FROM fps WHERE doc_id % $ForgetMod <> $ForgetRem)
+       |    AS n_keep,
+       |  (SELECT count(*) FROM fps JOIN ffp USING (fp)
+       |   WHERE doc_id % $ForgetMod <> $ForgetRem) AS residual_fp_docs,
+       |  (SELECT count(DISTINCT doc_id) FROM chunks JOIN fch USING (chunk_fp)
+       |   WHERE doc_id % $ForgetMod <> $ForgetRem) AS residual_chunk_docs""".stripMargin
+
+  // ------------------------------------------------------------------
   // Benchmark-contamination detection: training docs sharing any word-
   // 3-gram shingle with the held-out set (here: doc_id < 10 stands in for
   // the benchmark). The eval shingle set is tiny → broadcast; the corpus
@@ -1030,6 +1091,7 @@ object Curation {
     "p_chunk_docs" -> (chunkDocs _),
     "p_chunk_dedup_stats" -> (chunkDedupStats _),
     "p_split_leakage" -> (splitLeakage _),
+    "p_forget_audit" -> (forgetAudit _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
@@ -1053,6 +1115,7 @@ object Curation {
     "p_chunk_docs" -> chunkDocsSql,
     "p_chunk_dedup_stats" -> chunkDedupStatsSql,
     "p_split_leakage" -> splitLeakageSql,
+    "p_forget_audit" -> forgetAuditSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,

@@ -132,6 +132,26 @@ class CurationSpec extends SparkSpec {
     assert(got("src1") === ((2L, 2L, 1L, 500000L)))
   }
 
+  test("forget audit counts whole-doc and chunk-level residue of purged content") {
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    // doc 3 (3 % 17 == 3) is the forget request: exactly ChunkSize tokens
+    // → one chunk covering the whole text. doc 5 is an exact copy (whole-
+    // doc AND chunk residue); doc 6 embeds the text as its first chunk
+    // window but differs as a document (chunk residue only); doc 0 is
+    // unrelated.
+    val a = words(0, Curation.ChunkSize.toInt)
+    val dir = writeFixture(documents = Seq(
+      doc(0, "completely unrelated content"),
+      doc(3, a),
+      doc(5, a),
+      doc(6, a + " " + (0 until Curation.ChunkStride.toInt).map(i => s"x$i").mkString(" "))))
+    val r = Curation.forgetAudit(spark, dir).head()
+    assert(r.getAs[Long]("n_forget") === 1L)
+    assert(r.getAs[Long]("n_keep") === 3L)
+    assert(r.getAs[Long]("residual_fp_docs") === 1L)
+    assert(r.getAs[Long]("residual_chunk_docs") === 2L)
+  }
+
   test("split leakage equals a driver-side recomputation over the gated relations") {
     val sfDir = "/root/testdata/sf0.001"
     val splits = Curation.splitAssign(spark, sfDir).collect()
