@@ -966,6 +966,34 @@ object SqlQueries {
          |  sum(CASE WHEN wf = 1 THEN 1L ELSE 0L END) AS n_hapax
          |FROM toks t JOIN vocab v ON t.tok = v.tok
          |GROUP BY doc_id""".stripMargin,
+    "p_incremental_chunk_dedup" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id, chunk_id, poly_hash(concat_ws(' ', slice(toks,
+         |    CAST(chunk_id * ${Curation.ChunkStride} + 1 AS INT),
+         |    ${Curation.ChunkSize}))) AS chunk_fp
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      explode(sequence(0L, CASE WHEN n_tokens <= ${Curation.ChunkSize} THEN 0L
+         |        ELSE (n_tokens - ${Curation.ChunkSize} + ${Curation.ChunkStride - 1})
+         |          div ${Curation.ChunkStride} END)) AS chunk_id
+         |    FROM (
+         |      SELECT doc_id, split(text, ' ') AS toks,
+         |        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents))),
+         |novel AS (
+         |  SELECT b.doc_id, b.chunk_id, b.chunk_fp
+         |  FROM (SELECT * FROM chunks WHERE doc_id % 2 = 1) b
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM chunks c
+         |    WHERE c.doc_id % 2 = 0 AND c.chunk_fp = b.chunk_fp)),
+         |cnt AS (SELECT chunk_fp, count(*) AS batch_dups FROM novel GROUP BY 1)
+         |SELECT n.doc_id, n.chunk_id, n.chunk_fp, cnt.batch_dups FROM (
+         |  SELECT doc_id, chunk_id, chunk_fp,
+         |    row_number() OVER (PARTITION BY chunk_fp
+         |      ORDER BY doc_id, chunk_id) AS rn
+         |  FROM novel) n
+         |JOIN cnt ON n.chunk_fp = cnt.chunk_fp
+         |WHERE n.rn = 1""".stripMargin,
     "p_forget_audit" ->
       s"""WITH fps AS (SELECT doc_id, poly_hash(text) AS fp FROM documents),
          |chunks AS (

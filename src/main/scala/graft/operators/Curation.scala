@@ -248,6 +248,17 @@ object Curation {
   val ForgetMod = 17L
   val ForgetRem = 3L
 
+  /** Registry-persisted narrow chunk-fingerprint relation — shared by the
+    * forget audit and the incremental chunk dedup (and, through its
+    * (source, chunk_fp) sibling, the chunk dedup stats): the chunk
+    * explode + slice + hash runs once per session, every consumer probes
+    * 8-byte keys.
+    */
+  private def chunkFpRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"curation.chunkFpDocs:$sfDir") {
+      chunkDocs(spark, sfDir).select("doc_id", "chunk_id", "chunk_fp")
+    }
+
   def forgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp"))
@@ -259,9 +270,7 @@ object Curation {
     val residualDocs = fps.where(!isForget)
       .join(broadcast(forgetFps), "fp")
       .agg(count(lit(1)).as("residual_fp_docs"))
-    val chunks = CacheRegistry.cached(spark, s"curation.chunkFpDocs:$sfDir") {
-      chunkDocs(spark, sfDir).select("doc_id", "chunk_fp")
-    }
+    val chunks = chunkFpRel(spark, sfDir)
     val forgetChunks = chunks.where(col("doc_id") % ForgetMod === ForgetRem)
       .select("chunk_fp").distinct()
     val residualChunks = chunks.where(col("doc_id") % ForgetMod =!= ForgetRem)
@@ -288,6 +297,51 @@ object Curation {
        |   WHERE doc_id % $ForgetMod <> $ForgetRem) AS residual_fp_docs,
        |  (SELECT count(DISTINCT doc_id) FROM chunks JOIN fch USING (chunk_fp)
        |   WHERE doc_id % $ForgetMod <> $ForgetRem) AS residual_chunk_docs""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental CHUNK-level dedup — the day-2 ingest path at
+  // sub-document granularity: a new batch (odd doc_ids, the
+  // incrementalDedup convention) keeps only chunks whose fingerprint is
+  // novel against the corpus (even ids) AND claims each intra-batch
+  // duplicate set for its lowest (doc_id, chunk_id). This is what
+  // document-level day-2 dedup misses: a new doc that is 80% recycled
+  // boilerplate sails through doc-fp dedup but sheds its recycled
+  // chunks here. Shape: LEFT ANTI on the 8-byte chunk fp (corpus side
+  // is the persisted distinct-fp relation — at 100 TB a bloom/bucketed
+  // index, the Bucketing day-2 layout) + one fp-keyed min-struct
+  // aggregate; chunk text never shuffles.
+  // ------------------------------------------------------------------
+  def incrementalChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = chunkFpRel(spark, sfDir)
+    val corpus = chunks.where(col("doc_id") % 2 === 0)
+    val batch = chunks.where(col("doc_id") % 2 === 1)
+    batch
+      .join(corpus.select("chunk_fp").distinct(), Seq("chunk_fp"), "left_anti")
+      .groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("w"),
+        count(lit(1)).as("batch_dups"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_id").as("chunk_id"),
+        col("chunk_fp"), col("batch_dups"))
+  }
+
+  // lazy: textually precedes chunkDocsSql in this object (init order).
+  lazy val incrementalChunkDedupSql: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, chunk_id, chunk_fp FROM ($chunkDocsSql)),
+       |novel AS (
+       |  SELECT b.doc_id, b.chunk_id, b.chunk_fp
+       |  FROM (SELECT * FROM chunks WHERE doc_id % 2 = 1) b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM chunks c
+       |    WHERE c.doc_id % 2 = 0 AND c.chunk_fp = b.chunk_fp)),
+       |cnt AS (SELECT chunk_fp, count(*) AS batch_dups FROM novel GROUP BY 1)
+       |SELECT n.doc_id, n.chunk_id, n.chunk_fp, cnt.batch_dups FROM (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM novel) n
+       |JOIN cnt ON n.chunk_fp = cnt.chunk_fp
+       |WHERE n.rn = 1""".stripMargin
 
   // ------------------------------------------------------------------
   // Benchmark-contamination detection: training docs sharing any word-
@@ -1092,6 +1146,7 @@ object Curation {
     "p_chunk_dedup_stats" -> (chunkDedupStats _),
     "p_split_leakage" -> (splitLeakage _),
     "p_forget_audit" -> (forgetAudit _),
+    "p_incremental_chunk_dedup" -> (incrementalChunkDedup _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
     "p_top_quality" -> (topQuality _),
@@ -1116,6 +1171,7 @@ object Curation {
     "p_chunk_dedup_stats" -> chunkDedupStatsSql,
     "p_split_leakage" -> splitLeakageSql,
     "p_forget_audit" -> forgetAuditSql,
+    "p_incremental_chunk_dedup" -> incrementalChunkDedupSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
     "p_top_quality" -> topQualitySql,

@@ -152,6 +152,21 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("residual_chunk_docs") === 2L)
   }
 
+  test("incremental chunk dedup: corpus-known chunks drop, intra-batch dups fold") {
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val b = words("b", Curation.ChunkSize.toInt)
+    val c = words("c", Curation.ChunkSize.toInt)
+    // doc 2 = corpus (even). Batch: doc 1 recycles the corpus text (all
+    // chunks drop); docs 3 and 5 share novel text C (doc 3 claims it,
+    // batch_dups 2); doc 7 is novel and unique.
+    val dir = writeFixture(documents = Seq(
+      doc(2, b), doc(1, b), doc(3, c), doc(5, c), doc(7, "short novel text")))
+    val got = Curation.incrementalChunkDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("batch_dups"))).toSet
+    assert(got === Set((3L, 0L, 2L), (7L, 0L, 1L)))
+  }
+
   test("split leakage equals a driver-side recomputation over the gated relations") {
     val sfDir = "/root/testdata/sf0.001"
     val splits = Curation.splitAssign(spark, sfDir).collect()

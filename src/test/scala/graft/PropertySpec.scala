@@ -225,6 +225,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kNN classify equals the driver-side vote on random labeled vectors") {
+    import graft.functions.VectorOps
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    for (seed <- 81 to 83) {
+      val rnd = new scala.util.Random(seed)
+      val embs = (0 until 30).map(i =>
+        EmbRow(i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), rnd.nextInt(3)))
+      val dir = writeFixture(embeddings = embs)
+      // Engine-quantized vectors (the shared kernel), independent ranking
+      // and voting logic in plain Scala.
+      val quant = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("v"))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Long]]("v").toArray).toMap
+      val labels = embs.map(e => e.vec_id -> e.label.toLong).toMap
+      def cos(a: Array[Long], b: Array[Long]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+        dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+      val want = (0L until math.min(Similarity.NumQueries, embs.size.toLong)).map { q =>
+        val ranked = quant.keys.filter(_ != q).toSeq
+          .sortBy(c => (-cos(quant(q), quant(c)), c))
+          .take(Similarity.TopK.toInt)
+        val votes = ranked.groupBy(labels).map { case (l, o) => l -> o.size }
+        val (pred, v) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        q -> ((labels(q), pred, v.toLong, if (labels(q) == pred) 1L else 0L))
+      }.toMap
+      val got = Similarity.knnClassify(spark, dir).collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          ((r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+            r.getAs[Long]("votes"), r.getAs[Long]("correct")))).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("containment pairs equal the driver-side df-capped set scan on random corpora") {
     import graft.operators.Dedup
     for (seed <- 71 to 75) {
