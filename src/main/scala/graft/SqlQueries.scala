@@ -581,6 +581,17 @@ object SqlQueries {
         |    SELECT 1 FROM orders WHERE o_custkey = pos.custkey
         |      AND o_orderdate >= TIMESTAMP '${Analytics.IdleCutoff}')
         |GROUP BY n_name""".stripMargin,
+    "a_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM lineitem)
+        |SELECT count(*) AS n_small_lines, sum(price_cents) AS sum_price_cents
+        |FROM li l
+        |WHERE 5 * q * (SELECT count(*) FROM li x WHERE x.l_partkey = l.l_partkey)
+        |    < (SELECT sum(q) FROM li y WHERE y.l_partkey = l.l_partkey)""".stripMargin,
     "a_scd2_build" ->
       s"""WITH scd_c AS (
          |  SELECT c_custkey AS custkey,

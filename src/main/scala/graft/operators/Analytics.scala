@@ -1365,6 +1365,45 @@ object Analytics {
        |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Small-quantity outlier revenue (TPC-H Q17 shape): lineitems whose
+  // quantity is under 20% of their PART's average order quantity — the
+  // correlated scalar-aggregate subquery pattern. The correlation
+  // collapses to one per-part aggregate (sum_qty, n_lines) joined back
+  // on partkey, and the 0.2·avg comparison cross-multiplies to exact
+  // integers: 5·q·n < sum ⇔ q < 0.2·(sum/n). One fact scan + one
+  // 8-byte-key shuffle + a broadcast-sized part aggregate; output 1 row.
+  // ------------------------------------------------------------------
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(18,2)").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n_lines"))
+    li.join(perPart, "l_partkey")
+      .where(lit(5L) * col("q") * col("n_lines") < col("sum_q"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum("price_cents").as("sum_price_cents"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+      |    count(*) AS n_lines
+      |  FROM li GROUP BY l_partkey)
+      |SELECT count(*) AS n_small_lines,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM li JOIN pp USING (l_partkey)
+      |WHERE 5 * q * n_lines < sum_q""".stripMargin
+
+  // ------------------------------------------------------------------
   // Idle high-balance customers (TPC-H Q22 shape): customers with an
   // above-average positive balance and no RECENT orders (none on/after
   // [[IdleCutoff]] — every fixture customer has some lifetime order, so
@@ -1421,6 +1460,7 @@ object Analytics {
     "a_large_orders" -> (largeOrders _),
     "a_sole_blame_suppliers" -> (soleBlameSuppliers _),
     "a_idle_customers" -> (idleCustomers _),
+    "a_small_qty_revenue" -> (smallQtyRevenue _),
     "a_scd2_build" -> (scd2Build _),
     "a_scd2_asof" -> (scd2Asof _),
     "a_expectations" -> (expectations _),
@@ -1456,6 +1496,7 @@ object Analytics {
     "a_large_orders" -> largeOrdersSql,
     "a_sole_blame_suppliers" -> soleBlameSuppliersSql,
     "a_idle_customers" -> idleCustomersSql,
+    "a_small_qty_revenue" -> smallQtyRevenueSql,
     "a_scd2_build" -> scd2BuildSql,
     "a_scd2_asof" -> scd2AsofSql,
     "a_expectations" -> expectationsSql,

@@ -149,6 +149,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("small-quantity revenue equals the driver-side correlated-avg scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long"),
+        col("l_quantity").cast("decimal(18,2)").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perPart = rows.groupBy(_._1).map { case (p, ls) =>
+      p -> ((ls.map(_._2).sum, ls.size.toLong))
+    }
+    val small = rows.filter { case (p, q, _) =>
+      val (sum, n) = perPart(p); 5L * q * n < sum
+    }
+    val r = Analytics.smallQtyRevenue(spark, sfDir).head()
+    assert(r.getAs[Long]("n_small_lines") === small.size.toLong)
+    assert(r.getAs[Long]("sum_price_cents") === small.map(_._3).sum)
+    assert(small.nonEmpty)
+  }
+
   test("idle customers equal the driver-side balance/anti-join scan") {
     val sfDir = "/root/testdata/sf0.001"
     val cust = Tables.customer(spark, sfDir)
