@@ -143,9 +143,17 @@ object Dedup {
   val ContainPpm = 500000L
 
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRel(spark, sfDir)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val rare = sh.join(df.where(col("df") >= 2 && col("df") <= ContainDfCap), "sh")
+    // The df-capped (doc_id, sh) relation feeds THREE consumers (both
+    // self-join sides + the size aggregate) — registry-persist it so the
+    // shingle explode + df join runs once; the survivors are a small
+    // fraction of the full shingle relation (the cap removes the heavy
+    // df>cap keys, df=1 keys never pair).
+    val rare = graft.CacheRegistry.cached(spark, s"dedup.containRare:$sfDir") {
+      val sh = shingleRel(spark, sfDir)
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(df.where(col("df") >= 2 && col("df") <= ContainDfCap), "sh")
+        .select("doc_id", "sh")
+    }
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     rare.as("a").join(rare.as("b"), col("a.sh") === col("b.sh"))
       .where(col("a.doc_id") < col("b.doc_id"))

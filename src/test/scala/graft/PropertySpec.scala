@@ -225,6 +225,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking equals the driver-side window scan on random-length docs") {
+    import graft.operators.Curation
+    val W = Curation.ChunkSize.toInt; val S = Curation.ChunkStride.toInt
+    for (seed <- 91 to 93) {
+      val rnd = new scala.util.Random(seed)
+      // Lengths straddling every boundary case: sub-window, exact window,
+      // window+1, multiple strides, stride-aligned tails.
+      val docs = (0 until 12).map { i =>
+        val len = Seq(1, W - 1, W, W + 1, W + S, W + S + 1,
+          2 + rnd.nextInt(3 * W))(i % 7)
+        doc(i.toLong, (0 until len).map(k => s"t${rnd.nextInt(50)}k$k").mkString(" "))
+      }
+      val dir = writeFixture(documents = docs)
+      val want = docs.flatMap { d =>
+        val toks = d.text.split(" ")
+        val n = toks.length
+        val nChunks = if (n <= W) 1 else ((n - W) + S - 1) / S + 1
+        (0 until nChunks).map { c =>
+          val start = c * S
+          val slice = toks.slice(start, start + W)
+          (d.doc_id, c.toLong, start.toLong, slice.length.toLong,
+            slice.mkString(" "))
+        }
+      }.toSet
+      val got = Curation.chunkDocs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_tokens"),
+          r.getAs[String]("chunk_text"))).toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("kNN classify equals the driver-side vote on random labeled vectors") {
     import graft.functions.VectorOps
     import graft.operators.Similarity
