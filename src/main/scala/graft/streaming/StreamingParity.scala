@@ -1015,6 +1015,26 @@ object StreamingParity {
     }
   }
 
+  case class FactEvent(event_time: Long, fact_id: Long, key: Long, at: Long)
+
+  /** Streaming point-in-time enrichment — the consumer side of the SCD-2
+    * pair: a fact stream joins the STATIC type-2 dimension on the key
+    * with the validity interval as a residual predicate (intervals per
+    * key are disjoint, so each fact matches at most one version).
+    * Stateless stream-static inner join — the dimension is the state,
+    * owned by storage, refreshed by whatever maintains it (in a live
+    * deployment, the [[scd2Stream]] sink); facts with no covering
+    * version (`at` before the first valid_from) drop, exactly as in the
+    * batch as-of join. At 100 TB the dim broadcasts or both sides hash
+    * on the key — the residual never widens the join.
+    */
+  def scd2AsofStream(facts: Dataset[FactEvent], dim: DataFrame): DataFrame =
+    facts.toDF().join(dim,
+        col("key") === dim("custkey") &&
+          col("at") >= dim("valid_from") && col("at") <= dim("valid_to"))
+      .select(col("fact_id"), col("key"), col("at"),
+        col("version"), col("bal_cents"))
+
   def scd2Stream(changes: Dataset[DimChange]): Dataset[Scd2Row] = {
     val spark = changes.sparkSession
     import spark.implicits._

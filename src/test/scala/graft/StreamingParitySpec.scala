@@ -509,6 +509,47 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrichment joins each fact to its covering SCD-2 version") {
+    import graft.streaming.StreamingParity.FactEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Static dim built by the gated batch query on the real fixture.
+    val sfDir = "/root/testdata/sf0.001"
+    val dim = graft.operators.Analytics.scd2Build(s, sfDir)
+    val keys = dim.select("custkey").distinct().limit(2).as[Long].collect()
+    val multiKey = dim.groupBy("custkey").count().where($"count" >= 2)
+      .select("custkey").as[Long].head()
+    val input = MemoryStream[FactEvent]
+    val query = StreamingParity.scd2AsofStream(input.toDS(), dim)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // One fact inside the first interval, one in the open interval,
+      // one before any interval (drops).
+      input.addData(Seq(
+        FactEvent(1000, 1, multiKey, 1993),
+        FactEvent(1000, 2, multiKey, 2005),
+        FactEvent(1000, 3, keys(0), 1800)))
+      query.processAllAvailable()
+      val got = s.table("asof_stream").collect()
+        .map(r => r.getAs[Long]("fact_id") ->
+          ((r.getAs[Long]("version"), r.getAs[Long]("at")))).toMap
+      // Every emitted fact matched exactly one version; the covering
+      // interval is recomputed from the dim relation itself.
+      val intervals = dim.where($"custkey" === multiKey)
+        .select("version", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def cover(at: Long) =
+        intervals.filter(i => at >= i._2 && at <= i._3).map(_._1).toSeq
+      assert(got(1L)._1 === cover(1993).head)
+      assert(got(2L)._1 === cover(2005).head)
+      assert(cover(2005) === Seq(intervals.map(_._1).max)) // the open row
+      assert(!got.contains(3L)) // pre-history fact drops
+      assert(got.size === 2)
+    } finally query.stop()
+  }
+
   test("streaming upsert: latest version wins, stale replays emit nothing") {
     import graft.streaming.StreamingParity.{DocChange, DocCurrent}
     val s = spark
