@@ -642,6 +642,50 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("SCD-2 stream state survives a checkpointed restart (close emitted for restored version)") {
+    import graft.streaming.StreamingParity.{DimChange, Scd2Row}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-scd2-out").toString
+    try {
+      val input = MemoryStream[DimChange]
+      def start() = StreamingParity.scd2Stream(input.toDS())
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Scd2Row], _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      // Incarnation 1: v1 opens; its row lands in the state store.
+      val q1 = start()
+      try { input.addData(Seq(DimChange(1, 1, 1992, 100))); q1.processAllAvailable() }
+      finally q1.stop()
+      // Incarnation 2 (same checkpoint): v2 must CLOSE the restored v1 —
+      // without recovery there is no held version and no close row; the
+      // v1 replay must stay swallowed across the restart.
+      val q2 = start()
+      val rows = try {
+        input.addData(Seq(DimChange(1, 2, 1994, 200), DimChange(1, 1, 1992, 100)))
+        q2.processAllAvailable()
+        s.read.parquet(out).as[Scd2Row].collect().toSeq
+      } finally q2.stop()
+      val folded = rows.groupBy(r => (r.key, r.version))
+        .map { case (_, es) => es.minBy(_.valid_to) }.toSet
+      assert(folded === Set(
+        Scd2Row(1, 1, 100, 1992, 1993, 0),
+        Scd2Row(1, 2, 200, 1994, 9999, 1)))
+      assert(rows.size === 3) // open v1, close v1, open v2 — no replay rows
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnel state survives a checkpointed restart") {
     import graft.streaming.StreamingParity.{UserEvent, FunnelProgress}
     val s = spark
