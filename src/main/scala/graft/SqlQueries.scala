@@ -955,6 +955,31 @@ object SqlQueries {
          |    sum(CASE WHEN d.occ > 1 THEN 1L ELSE 0L END) AS n_dup_chunks
          |  FROM chunks c JOIN dfreq d ON c.chunk_fp = d.chunk_fp
          |  GROUP BY c.source)""".stripMargin,
+    "t_quality_deciles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, n_tokens, stop_cnt,
+         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+         |    0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |      + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
+         |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         |      AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      size(${tokensSpark("text")}) AS n_tokens,
+         |      size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
+         |      size(array_distinct(${tokensSpark("text")})) AS n_distinct
+         |    FROM documents)),
+         |j AS (
+         |  SELECT d.source, q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |    q.quality_score,
+         |    CAST(ntile(10) OVER (PARTITION BY d.source
+         |      ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS decile
+         |  FROM q JOIN (SELECT doc_id, source FROM documents) d
+         |    ON q.doc_id = d.doc_id)
+         |SELECT source, decile, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+         |  min(quality_score) AS min_score, max(quality_score) AS max_score
+         |FROM j GROUP BY source, decile""".stripMargin,
     "t_top_ngrams" ->
       s"""WITH grams AS (
          |  SELECT source, explode(CASE WHEN size(toks) >= ${TextAnalysis.NgramW}

@@ -583,8 +583,49 @@ object TextAnalysis {
        |FROM toks t JOIN vocab v ON t.tok = v.tok
        |GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Per-source quality deciles — the threshold-picking analysis a
+  // curator runs BEFORE choosing the quality cutoff: NTILE(10) over the
+  // deterministic (score desc, doc_id) total order per source, with
+  // per-decile doc/token mass and the score range. Ordering on the
+  // per-row double is engine-stable (identical arithmetic both sides;
+  // min/max SELECT doubles, never sum them). One windowed pass over the
+  // score relation + a 10×sources-row aggregate; at 100 TB the exact
+  // NTILE sort is the only heavy step — swap for approx_percentile
+  // cutpoints (the a_quantiles_approx recipe) when a streaming-friendly
+  // histogram is enough.
+  // ------------------------------------------------------------------
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    q.join(src, "doc_id")
+      .withColumn("decile", org.apache.spark.sql.functions.ntile(10).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("quality_score").as("min_score"), max("quality_score").as("max_score"))
+  }
+
+  val qualityDecilesSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+       |j AS (
+       |  SELECT d.source, q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       |    q.quality_score,
+       |    CAST(ntile(10) OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS decile
+       |  FROM q JOIN (SELECT doc_id, source FROM documents) d
+       |    ON q.doc_id = d.doc_id)
+       |SELECT source, decile, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(quality_score) AS min_score, max(quality_score) AS max_score
+       |FROM j GROUP BY source, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_top_ngrams" -> (topNgrams _),
+    "t_quality_deciles" -> (qualityDeciles _),
     "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
     "t_pii_scrub" -> (piiScrub _),
@@ -599,6 +640,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_top_ngrams" -> topNgramsSql,
+    "t_quality_deciles" -> qualityDecilesSql,
     "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,
     "t_pii_scrub" -> piiScrubSql,

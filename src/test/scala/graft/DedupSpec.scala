@@ -390,6 +390,31 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 5)
   }
 
+  test("quality deciles: balanced NTILE buckets with non-increasing score ranges") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = operators.TextAnalysis.qualityDeciles(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("decile"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("min_score"),
+        r.getAs[Double]("max_score")))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    val srcCounts = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to 10L), src)
+      // NTILE balance: bucket sizes differ by at most one, masses sum up.
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1, src)
+      assert(sorted.map(_._3).sum === srcCounts(src), src)
+      // Score ranges are ordered: a better decile never dips below the
+      // next one's top.
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 >= w(1)._5, src)
+      }
+    }
+  }
+
   test("token rarity: corpus frequency sums, rarest token, hapax count") {
     val dir = writeFixture(documents = Seq(doc(0, "a a b"), doc(1, "b c")))
     val got = operators.TextAnalysis.tokenRarity(spark, dir).collect()
