@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Salting.queries ++ Curation.queries ++ Analytics.queries ++
-      NullSemantics.queries ++ graft.multimodal.Multimodal.queries
+      NullSemantics.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.sources.JsonLines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++ Analytics.oracles ++
-      NullSemantics.oracles ++ graft.multimodal.Multimodal.oracles
+      NullSemantics.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.sources.JsonLines.oracles
 }

@@ -1030,6 +1030,13 @@ object SqlQueries {
          |  FROM novel) n
          |JOIN cnt ON n.chunk_fp = cnt.chunk_fp
          |WHERE n.rn = 1""".stripMargin,
+    "p_jsonl_roundtrip" ->
+      """SELECT r.doc_id, r.text, r.lang, r.source FROM (
+        |  SELECT from_json(
+        |    to_json(struct(doc_id, text, lang, source)),
+        |    'doc_id BIGINT, text STRING, lang STRING, source STRING') AS r
+        |  FROM documents)
+        |WHERE r.doc_id IS NOT NULL""".stripMargin,
     "p_forget_audit" ->
       s"""WITH fps AS (SELECT doc_id, poly_hash(text) AS fp FROM documents),
          |chunks AS (
