@@ -956,20 +956,7 @@ object SqlQueries {
          |  FROM chunks c JOIN dfreq d ON c.chunk_fp = d.chunk_fp
          |  GROUP BY c.source)""".stripMargin,
     "t_quality_deciles" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, n_tokens, stop_cnt,
-         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
-         |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
-         |    0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-         |      + 0.3 * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_tokens - 0.2))
-         |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
-         |      AS quality_score
-         |  FROM (
-         |    SELECT doc_id,
-         |      size(${tokensSpark("text")}) AS n_tokens,
-         |      size(filter(${tokensSpark("text")}, t -> t IN ${inList(TextAnalysis.Stopwords)})) AS stop_cnt,
-         |      size(array_distinct(${tokensSpark("text")})) AS n_distinct
-         |    FROM documents)),
+      s"""WITH q AS ($qualityScoreSparkSql),
          |j AS (
          |  SELECT d.source, q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
          |    q.quality_score,

@@ -249,14 +249,14 @@ object Curation {
   val ForgetRem = 3L
 
   /** Registry-persisted narrow chunk-fingerprint relation — shared by the
-    * forget audit and the incremental chunk dedup (and, through its
-    * (source, chunk_fp) sibling, the chunk dedup stats): the chunk
-    * explode + slice + hash runs once per session, every consumer probes
-    * 8-byte keys.
+    * forget audit, the incremental chunk dedup, AND the chunk dedup
+    * stats (which projects its (source, chunk_fp) slice from this same
+    * cached relation): the chunk explode + slice + hash runs once per
+    * session, every consumer probes 8-byte keys plus a source tag.
     */
   private def chunkFpRel(spark: SparkSession, sfDir: String): DataFrame =
     CacheRegistry.cached(spark, s"curation.chunkFpDocs:$sfDir") {
-      chunkDocs(spark, sfDir).select("doc_id", "chunk_id", "chunk_fp")
+      chunkDocs(spark, sfDir).select("doc_id", "chunk_id", "source", "chunk_fp")
     }
 
   def forgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
@@ -497,13 +497,12 @@ object Curation {
   // ------------------------------------------------------------------
   def chunkDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
     // The narrow (source, chunk_fp) projection feeds BOTH sides of the
-    // fp join (occurrence counts + per-chunk rows); registry-persist it
-    // so the chunk explode + slice + hash runs once, not twice — the
-    // SURVEY persist policy's "small expensive relation consumed by two
-    // sides" case (9 bytes + a source tag per chunk).
-    val chunks = CacheRegistry.cached(spark, s"curation.chunkFps:$sfDir") {
-      chunkDocs(spark, sfDir).select("source", "chunk_fp")
-    }
+    // fp join (occurrence counts + per-chunk rows). It slices the SAME
+    // registry-persisted relation the forget audit and incremental chunk
+    // dedup read, so the chunk explode + slice + hash runs once per
+    // session across all three consumers (r12 advice: a second cache key
+    // here materialized the explode twice).
+    val chunks = chunkFpRel(spark, sfDir).select("source", "chunk_fp")
     val dfreq = chunks.groupBy("chunk_fp").agg(count(lit(1)).as("occ"))
     chunks.join(dfreq, "chunk_fp")
       .groupBy("source")

@@ -36,22 +36,26 @@ object JsonLines {
   /** Parse a relation of raw JSON lines (column `line`) into the
     * documents shape. Well-formed rows carry NULL `_corrupt`; malformed
     * rows carry the offending payload there with NULL fields — split
-    * downstream with [[wellFormed]] / [[deadLetters]].
+    * downstream with [[wellFormed]] / [[deadLetters]]. The raw `line`
+    * rides along so dead letters that ARE valid JSON but fail the
+    * contract (no doc_id, null struct) still keep their original
+    * payload — `_corrupt` only captures lines the JSON parser itself
+    * rejected.
     */
   def parse(lines: DataFrame): DataFrame =
-    lines.select(from_json(col("line"), docSchema, Map(
+    lines.select(col("line"), from_json(col("line"), docSchema, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
       .select(col("r.doc_id"), col("r.text"), col("r.lang"),
-        col("r.source"), col("r._corrupt"))
+        col("r.source"), col("r._corrupt"), col("line"))
 
   def wellFormed(parsed: DataFrame): DataFrame =
     parsed.where(col("_corrupt").isNull && col("doc_id").isNotNull)
-      .drop("_corrupt")
+      .drop("_corrupt", "line")
 
   def deadLetters(parsed: DataFrame): DataFrame =
     parsed.where(col("_corrupt").isNotNull || col("doc_id").isNull)
-      .select(coalesce(col("_corrupt"), lit("")).as("payload"))
+      .select(coalesce(col("_corrupt"), col("line")).as("payload"))
 
   /** Gated round trip: documents → JSON lines → parsed documents. The
     * oracle is the original table — equality proves the identity.

@@ -30,5 +30,9 @@ class JsonLinesSpec extends SparkSpec {
     val dead = JsonLines.deadLetters(parsed).collect()
     assert(dead.length === 2)
     assert(dead.exists(_.getAs[String]("payload").contains("not json")))
+    // Valid-JSON-but-contract-violating rows keep their ORIGINAL payload
+    // too (the _corrupt column is NULL for them — the raw line fills in).
+    assert(dead.exists(_.getAs[String]("payload") ===
+      """{"text": "valid json but no id"}"""))
   }
 }
