@@ -833,7 +833,8 @@ object SqlQueries {
     * training, same reason; the multimodal family (`m_*`) — binary
     * decode through typed mapPartitions codecs, not expressible as a
     * SQL projection; and the plan-demonstration twins
-    * (`q3_windowed_count_salted`, `a_moving_window_bucketed`,
+    * (`q3_windowed_count_salted`, `q3_windowed_count_salted_dynamic`,
+    * `a_moving_window_bucketed`,
     * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
     * `s_ivf_recall` — it composes `s_ivf_topk`; the SQL-face recall
     * eval is `s_lsh_recall`, `s_text_lsh_topk`, `p_pack_sequences`,

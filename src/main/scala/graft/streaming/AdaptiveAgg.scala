@@ -20,7 +20,9 @@ import graft.streaming.StreamingParity.PwEvent
   * λ = 0.01) and the chosen strategy actually SWITCHES the executed
   * aggregation for that window's rows in that batch: plain two-phase
   * groupBy for HH, salted two-stage (Salting.scala's d-replica split,
-  * the PKG/APK analogue) for APK.
+  * the PKG/APK analogue) for APK — with the replica count d re-derived
+  * per window per batch from the measured skew via the reference's
+  * dynamic-d formula ([[graft.operators.Salting.dynamicD]], T4).
   *
   * The reference's feedback details are reproduced (DGrouping.scala:
   * 214-288):
@@ -59,12 +61,17 @@ object AdaptiveAgg {
   val Lambda: Double = 0.01
 
   /** One per-window decision record: the cost-model inputs, the raw
-    * cost-model output for THIS batch's increment, and the ratcheted
-    * strategy that was actually executed (0 = plain/HH, 1 = salted/APK).
+    * cost-model output for THIS batch's increment, the ratcheted
+    * strategy that was actually executed (0 = plain/HH, 1 = salted/APK),
+    * and the salt replica count `d` used when salted — the reference's
+    * dynamic-d formula over this batch's measured skew
+    * ([[graft.operators.Salting.dynamicD]]; the reference re-derives d
+    * every batch too, PartialKeyDynamicConfig.updateDTables).
     */
   case class WindowDecision(
       batchId: Long, ltw: Long, mTotal: Long, kKeys: Long, maxCnt: Long,
-      headNum: Long, singleNum: Long, rawStrategy: Int, strategy: Int)
+      headNum: Long, singleNum: Long, rawStrategy: Int, strategy: Int,
+      d: Int)
 
   /** Driver-side feedback state — the BroadcastWrapper analogue. One
     * instance per query; foreachBatch bodies run serially per query, so
@@ -141,20 +148,25 @@ object AdaptiveAgg {
             state.strategies(ltw) = ratcheted
             state.headSets(ltw) = mergedHeads
             WindowDecision(batchId, ltw, mTotal, kKeys, maxCnt,
-              mergedHeads.size.toLong, singleNum, raw, ratcheted)
+              mergedHeads.size.toLong, singleNum, raw, ratcheted,
+              Salting.dynamicD(maxCnt, mTotal, NumWorkers))
           }
           state.decisions ++= decisions
           val spark = batch.sparkSession
           import spark.implicits._
           val decisionDf = decisions.toSeq
-            .map(d => (d.ltw, d.strategy.toLong)).toDF("ltw", "strategy")
+            .map(d => (d.ltw, d.strategy.toLong, d.d.toLong))
+            .toDF("ltw", "strategy", "d")
           val tagged = withLtw.join(broadcast(decisionDf), Seq("ltw"))
           val plain = tagged.where(col("strategy") === 0)
             .groupBy("ltw", "word", "strategy")
             .agg(count(lit(1)).as("cnt"))
+          // Strategy-1 windows salt by THEIR OWN measured-skew d (the
+          // dynamic-d policy): a heavily-skewed window spreads over more
+          // replicas than a mildly-skewed one in the same batch.
           val salted = tagged.where(col("strategy") === 1)
             .withColumn("salt",
-              pmod(col("event_time") + col("port"), lit(Salting.D)))
+              pmod(col("event_time") + col("port"), col("d")))
             .groupBy("ltw", "word", "strategy", "salt")
             .agg(count(lit(1)).as("pcnt"))
             .groupBy("ltw", "word", "strategy")

@@ -79,6 +79,12 @@ class AdaptiveAggSpec extends SparkSpec {
       ((120L, 40L, 3L, 40L, 0L)))
     assert((d1.mTotal, d1.kKeys, d1.maxCnt, d1.headNum, d1.singleNum) ===
       ((120L, 21L, 100L, 1L, 20L)))
+    // Dynamic d per decision (Salting.dynamicD, m=12): uniform batches
+    // floor(3·12/120)+1 = 1 → clamp 2; skewed floor(100·12/120)+1 = 11.
+    // The follow-up batch re-derives d from ITS OWN increment (the
+    // reference updates dTables every batch), so window 20 salts at
+    // d=11 in batch 1 and d=2 in batch 2.
+    assert(d.map(_.d) === Seq(2, 11, 2))
     // (c) head carry-over: follow-up sees HOT ∪ its own 40 heavy keys,
     // and the ratchet overrides its raw HH decision.
     assert(d2.headNum === 41L)

@@ -92,6 +92,21 @@ class RefQueriesSpec extends SparkSpec {
     val dir = writeFixture(events = evs)
     assert(rows(Salting.saltedWindowedCount(spark, dir)) ===
       rows(RefQueries.q3WindowedCount(spark, dir)))
+    // Dynamic-d salt invariance: the per-window measured-skew replica
+    // count must not change the answer either.
+    assert(rows(Salting.dynamicSaltedWindowedCount(spark, dir)) ===
+      rows(RefQueries.q3WindowedCount(spark, dir)))
+  }
+
+  test("dynamicD reproduces the reference formula d = floor(p1*m)+1 clamped [2,30]") {
+    // PartialKeyDynamicJoin.scala:57-58: p1 = maxCnt/total, d = (p1*m).toInt + 1;
+    // PartialKeyDynamicConfig.getSeeds clamps to [2, seedsArray.length=30].
+    assert(Salting.dynamicD(maxCnt = 3, total = 120, m = 12) === 2)    // floor=0 -> 1 -> clamp 2
+    assert(Salting.dynamicD(maxCnt = 100, total = 120, m = 12) === 11) // floor(10.0)=10 -> 11
+    assert(Salting.dynamicD(maxCnt = 120, total = 120, m = 12) === 13) // p1=1 -> m+1
+    assert(Salting.dynamicD(maxCnt = 60, total = 120, m = 12) === 7)   // p1=.5 -> 7
+    assert(Salting.dynamicD(maxCnt = 100, total = 100, m = 40) === 30) // 41 -> clamp 30
+    assert(Salting.dynamicD(maxCnt = 1, total = 1000000, m = 12) === 2)
   }
 
   test("J3 co-group formulation agrees with the groupBy min-count plan") {

@@ -52,7 +52,8 @@ class SqlParitySpec extends SparkSpec {
       "s_pq_codes", "s_pq_adc_topk", "s_pq_rerank_topk", "s_pq_recall",
       "s_ivfpq_topk",
       "m_decode_media", "m_extract_features", "m_frame_sample", "m_resize_plan",
-      "q3_windowed_count_salted", "a_moving_window_bucketed",
+      "q3_windowed_count_salted", "q3_windowed_count_salted_dynamic",
+      "a_moving_window_bucketed",
       "d_jaccard_prefix_pairs", "d_embedding_neardup_lsh",
       "s_ivf_topk", "s_ivf_recall", "s_text_lsh_topk",
       "p_pack_sequences", "p_stratified_sample",
