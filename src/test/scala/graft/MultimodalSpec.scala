@@ -164,12 +164,56 @@ class MultimodalSpec extends SparkSpec {
 
   test("feature extraction emits deterministic fixed-width vectors") {
     val dir = writeFixture(documents = Seq(doc(0, "abcd"), doc(1, "efgh")))
-    val decoded = Multimodal.decodeMedia(Multimodal.mediaFromDocuments(spark, dir))
-    val f1 = Multimodal.extractFeatures(decoded).collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(decoded).collect().sortBy(_.media_id)
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.length === 2)
-    assert(f1.forall(_.features.length === 8))
+    assert(f1.forall(_.features.length === Multimodal.FeatureDim))
     assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("real features: hand-computed histogram/moments for the planted PPM of id 0") {
+    // syntheticPpm(0): w=4, h=3, raster byte i = (31*i) mod 256 for
+    // i in 0..35. Hand-walking the 36 values gives bin counts (div 32)
+    // [6,5,4,4,4,4,4,5], sum 4426 -> floor mean 122, min 0 (i=0),
+    // max 255 (i=33: 31*33=1023 = 3*256+255).
+    val s = spark
+    import s.implicits._
+    val media = Seq(Multimodal.MediaFile(0L, "image", Multimodal.syntheticPpm(0L))).toDS()
+    val got = Multimodal.extractFeatures(media).collect().head.features.toSeq
+    assert(got === Seq[Float](6, 5, 4, 4, 4, 4, 4, 5, 36, 122, 0, 255))
+  }
+
+  test("real features: WAV sample bytes and GIF frame samples feed the same stats") {
+    val s = spark
+    import s.implicits._
+    // WAV id 22 (22 % 21 == 1): n = 64 + 22 % 100 = 86 samples, ramp
+    // (22*19 + 37i) mod 256. Independently recompute from the ramp.
+    val wavSamples = (0 until 86).map(i => ((22L * 19 + i.toLong * 37) % 256).toInt)
+    val wavGot = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaFile(22L, "audio", Multimodal.syntheticWav(22L))).toDS())
+      .collect().head.features.toSeq
+    assert(wavGot === featuresOf(wavSamples))
+    // GIF id 23 (23 % 21 == 2): geometry from the generator's formulas
+    // (w = 2 + id%3, h = 2 + id%2, frames = 2 + id%4); palette entry v is
+    // (v,v,v) so each index contributes three identical channel samples.
+    val gw = (2 + 23 % 3); val gh = (2 + 23 % 2); val gf = (2 + 23 % 4)
+    val gifIdx = for (f <- 0 until gf; i <- 0 until gw * gh)
+      yield ((23L * 23 + f.toLong * 41 + i.toLong * 53) % 256).toInt
+    val gifSamples = gifIdx.flatMap(v => Seq(v, v, v))
+    val gifGot = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaFile(23L, "video", Multimodal.syntheticGif(23L))).toDS())
+      .collect().head.features.toSeq
+    assert(gifGot === featuresOf(gifSamples))
+  }
+
+  /** Reference feature computation for the spec (independent reimpl). */
+  private def featuresOf(samples: Seq[Int]): Seq[Float] = {
+    val hist = new Array[Float](Multimodal.FeatureBins)
+    samples.foreach(v => hist(v / 32) += 1f)
+    hist.toSeq ++ Seq[Float](samples.size.toFloat,
+      (samples.map(_.toLong).sum / samples.size).toFloat,
+      samples.min.toFloat, samples.max.toFloat)
   }
 
   test("frame sampling emits every k-th frame for video rows only") {
