@@ -867,7 +867,7 @@ object SqlQueries {
        |      THEN concat(acc, split(r.p, ' ')[1])
        |      WHEN acc = '' THEN s
        |      ELSE concat(acc, ' ', s) END) AS syms
-       |  FROM syms${i - 1}, rule$i r)""".stripMargin
+       |  FROM syms${i - 1} LEFT JOIN rule$i r ON true)""".stripMargin
 
   private lazy val longTailSql: Map[String, String] = Map(
     "d_span_scrub" ->
@@ -1117,11 +1117,15 @@ object SqlQueries {
         |SELECT 'nonpositive_price', count(*), count(*) = 0
         |FROM lineitem WHERE l_extendedprice <= 0""".stripMargin,
     "p_bpe_merges" -> {
+      // pair IS NOT NULL drops exhausted iterations (same guard as the
+      // DuckDB oracle text in Curation.bpeMergesSql).
       val stats = (1 to Curation.BpeIters).map(i =>
-        s"""SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
-           |  (SELECT cnt FROM rule$i) AS cnt,
-           |  (SELECT sum(wf * CAST(size(split(syms, ' ')) AS BIGINT))
-           |   FROM syms$i) AS corpus_syms""".stripMargin).mkString("\nUNION ALL\n")
+        s"""SELECT * FROM (
+           |  SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
+           |    (SELECT cnt FROM rule$i) AS cnt,
+           |    (SELECT sum(wf * CAST(size(split(syms, ' ')) AS BIGINT))
+           |     FROM syms$i) AS corpus_syms) WHERE pair IS NOT NULL""".stripMargin)
+        .mkString("\nUNION ALL\n")
       s"""WITH vocab AS (
          |  SELECT word, count(*) AS wf
          |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)

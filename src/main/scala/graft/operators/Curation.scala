@@ -959,7 +959,15 @@ object Curation {
   // relation is registry-persisted so the chain is linear, not
   // exponential, across its two consumers (next iteration + stats).
   // ------------------------------------------------------------------
-  val BpeIters = 3
+  /** Merge-training depth. The chain is generic in N (one more
+    * registry-persisted (rule, syms) link per step, linear cost in the
+    * vocab); exhaustion-safe — when a tiny corpus runs out of adjacent
+    * pairs before N, the empty rule carries the symbol relation forward
+    * unchanged (LEFT join, null-condition no-op fold) and the merges
+    * output simply has no row for that iteration, matching canonical
+    * BPE training which stops when no pair repeats.
+    */
+  val BpeIters = 5
 
   private def bpeChain(spark: SparkSession, sfDir: String): Seq[(DataFrame, DataFrame)] = {
     val vocab = Tables.documents(spark, sfDir)
@@ -978,8 +986,12 @@ object Curation {
         pairs.orderBy(col("cnt").desc, col("p")).limit(1)
       }
       syms = CacheRegistry.cached(spark, s"curation.bpeSyms$it:$sfDir") {
-        syms.crossJoin(broadcast(rule.select(
-            expr("split(p, ' ')[0]").as("rx"), expr("split(p, ' ')[1]").as("ry"))))
+        // LEFT join on TRUE: an exhausted (empty) rule leaves rx/ry NULL,
+        // the merge condition never fires, and the fold rebuilds each
+        // symbol string unchanged — the chain degrades to identity.
+        syms.join(broadcast(rule.select(
+            expr("split(p, ' ')[0]").as("rx"), expr("split(p, ' ')[1]").as("ry"))),
+            lit(true), "left")
           .select(col("word"), col("wf"),
             expr("aggregate(split(syms, ' '), '', (acc, s) -> CASE " +
               "WHEN s = ry AND (acc = rx OR endswith(acc, concat(' ', rx))) " +
@@ -1019,15 +1031,19 @@ object Curation {
        |      THEN acc || string_split(r.p, ' ')[2]
        |      WHEN acc = '' THEN s
        |      ELSE acc || ' ' || s END) AS syms
-       |  FROM syms${i - 1}, rule$i r)""".stripMargin
+       |  FROM syms${i - 1} LEFT JOIN rule$i r ON true)""".stripMargin
 
   val bpeMergesSql: String = {
     val iters = (1 to BpeIters).map(bpePairsDuck).mkString(",\n")
+    // The pair IS NOT NULL wrap drops exhausted iterations (empty rule ->
+    // NULL scalar subquery), mirroring the Spark side's empty crossJoin.
     val stats = (1 to BpeIters).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
-         |  (SELECT cnt FROM rule$i) AS cnt,
-         |  (SELECT CAST(sum(wf * len(string_split(syms, ' '))) AS BIGINT)
-         |   FROM syms$i) AS corpus_syms""".stripMargin).mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |  SELECT CAST($i AS BIGINT) AS it, (SELECT p FROM rule$i) AS pair,
+         |    (SELECT cnt FROM rule$i) AS cnt,
+         |    (SELECT CAST(sum(wf * len(string_split(syms, ' '))) AS BIGINT)
+         |     FROM syms$i) AS corpus_syms) WHERE pair IS NOT NULL""".stripMargin)
+      .mkString("\nUNION ALL\n")
     s"""WITH vocab AS (
        |  SELECT tok AS word, count(*) AS wf
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM ($docsSql))

@@ -29,27 +29,32 @@ class CurationSpec extends SparkSpec {
     // it2: 'aa aa' (3) merges to one symbol, corpus = 3·1 + 2 + 2 = 7.
     // it3: 'a b' ties 'x y' at 1 — pair-asc tiebreak picks 'a b';
     //      corpus = 3 + 1 + 2 = 6.
+    // it4: only 'x y' remains; corpus = 3 + 1 + 1 = 5.
+    // it5: EXHAUSTED — every word is one symbol, no pair exists, the
+    //      empty rule carries syms forward and emits no output row.
     assert(got === Set(
       (1L, "a a", 9L, 10L),
       (2L, "aa aa", 3L, 7L),
-      (3L, "a b", 1L, 6L)))
+      (3L, "a b", 1L, 6L),
+      (4L, "x y", 1L, 5L)))
   }
 
   test("BPE tokenize applies the trained merges per document") {
-    // Same corpus as the merges test: rules (a a), (aa aa), (a b) leave
-    // aaaa and ab as single tokens and xy as two.
+    // Same corpus as the merges test: rules (a a), (aa aa), (a b),
+    // (x y) — at depth 5 every vocab word collapses to one symbol
+    // (iteration 5 is exhausted and a no-op).
     val dir = writeFixture(documents = Seq(
       doc(0, "aaaa ab"), doc(1, "aaaa aaaa"), doc(2, "xy")))
     val got = Curation.bpeTokenize(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens_bpe")))).toMap
-    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
+    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((2L, 2L)), 2L -> ((1L, 1L))))
   }
 
   test("BPE encode emits the post-merge symbol sequence in word order") {
-    // Same corpus as the merges test: rules (a a), (aa aa), (a b).
+    // Same corpus as the merges test: rules (a a), (aa aa), (a b), (x y).
     // "aaaa" → "aa aa" → "aaaa" (one symbol); "ab" → "ab" via rule 3;
-    // "xy" never merges and stays "x y".
+    // "xy" → "xy" via rule 4 (depth-5 training reaches it).
     val dir = writeFixture(documents = Seq(
       doc(0, "aaaa ab"), doc(1, "aaaa aaaa"), doc(2, "xy")))
     val got = Curation.bpeEncode(spark, dir).collect()
@@ -58,7 +63,7 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(
       0L -> (("aaaa ab", 2L)),
       1L -> (("aaaa aaaa", 2L)),
-      2L -> (("x y", 2L))))
+      2L -> (("xy", 1L))))
   }
 
   test("upsert merge: latest version wins, statuses classify the change batch") {
