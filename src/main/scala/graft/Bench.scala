@@ -5,17 +5,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_QUERIES=a,b times a subset. SPARK_GRAFT_BENCH_RUNS=k
-    // (default 2) repeats the whole suite k times in ONE session, printing
+    // (default 3) repeats the whole suite k times in ONE session, printing
     // one JSON line per run, then a FINAL line whose per-query map is the
     // across-runs MIN. The min is the noise-proof official record: a
     // transient external-load spike on one run cannot inflate it, while a
     // genuine plan regression shows up in every run and therefore in the
-    // min too. Run 2 also proves the persisted-relation lifecycle
+    // min too. Runs 2+ also prove the persisted-relation lifecycle
     // converges to a warm steady state instead of accumulating. The
     // driver's contract (last line = the round's numbers) is unchanged.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,21 +82,29 @@ object Bench {
     val finalErrors = perRun.flatMap(_._2).toSet
     val full = record(finalResults, finalErrors)
     println(full)
-    // Anchor the full-record path: cwd-relative broke under launchers with
-    // a different working directory (the committed record and the stdout
-    // pointer silently diverged). SPARK_GRAFT_BENCH_OUT overrides; default
-    // is the repo root, falling back to cwd only if the repo root is
-    // absent (e.g. running from a checkout elsewhere).
+    // Anchor the full-record path. The official record is an IMMUTABLE
+    // per-run snapshot — bench_records/BENCH_FULL-<runId>.json — so a
+    // round record's "full" pointer can never silently name a LATER
+    // run's data (the r11/r12 stale-pointer problem: BENCH_FULL.json was
+    // a single mutable file every run overwrote). BENCH_FULL.json is
+    // still refreshed as a convenience alias for "the latest run", but
+    // the stdout pointer names the snapshot. SPARK_GRAFT_BENCH_OUT
+    // overrides the snapshot path; default root is the repo, falling
+    // back to cwd if absent (e.g. running from a checkout elsewhere).
+    val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
         val repoRoot = java.nio.file.Paths.get("/root/repo")
-        if (java.nio.file.Files.isDirectory(repoRoot))
-          repoRoot.resolve("BENCH_FULL.json")
-        else java.nio.file.Paths.get("BENCH_FULL.json")
+        val root =
+          if (java.nio.file.Files.isDirectory(repoRoot)) repoRoot
+          else java.nio.file.Paths.get(".")
+        java.nio.file.Files.write(root.resolve("BENCH_FULL.json"), bytes)
+        val dir = root.resolve("bench_records")
+        java.nio.file.Files.createDirectories(dir)
+        dir.resolve(s"BENCH_FULL-$runId.json")
       }
-    java.nio.file.Files.write(fullPath,
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(fullPath, bytes)
     val errs = finalErrors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (finalResults.nonEmpty) finalResults.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalResults.size},"errors":$errs,"sf":"$sfDir","run_id":"$runId","full":"${fullPath.toAbsolutePath}"}""")

@@ -119,9 +119,25 @@ def load_queries(path):
     return merged
 
 
+def load_budgets():
+    """Per-query warm budget table (BENCH_BUDGETS.json at the repo root,
+    regenerated by tools/make_budgets.py as 2x the committed min, floor
+    0.5 s). With 130+ queries a single 1.25x-of-total gate dilutes — one
+    noisy query hides inside the total — so every query is ALSO checked
+    against its own absolute budget. Queries without a budget entry
+    (added since the last regeneration) are reported but never fail."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "BENCH_BUDGETS.json")
+    if not os.path.exists(path):
+        return {}
+    return json.load(open(path))
+
+
 def main():
     prev_path, new_path = sys.argv[1], sys.argv[2]
     prev, new = load_queries(prev_path), load_queries(new_path)
+    budgets = load_budgets()
     shared = sorted(set(prev) & set(new))
     only_new = sorted(set(new) - set(prev))
     only_prev = sorted(set(prev) - set(new))
@@ -149,6 +165,18 @@ def main():
         print(f"  top delta {q}: {prev[q]:.2f}s -> {new[q]:.2f}s")
     if shared and nt > pt * TOTAL_MAX:
         failures.append(f"TOTAL: {pt:.1f}s -> {nt:.1f}s ({nt / pt:.2f}x > {TOTAL_MAX}x)")
+    if budgets:
+        unbudgeted = sorted(q for q in new if q not in budgets)
+        if unbudgeted:
+            print(f"no budget yet (run tools/make_budgets.py after committing): "
+                  + ", ".join(unbudgeted))
+        for q in sorted(new):
+            if q in budgets and new[q] > budgets[q]:
+                failures.append(
+                    f"{q}: {new[q]:.2f}s over its budget {budgets[q]:.2f}s")
+    else:
+        print("bench_guard: no BENCH_BUDGETS.json found; per-query budget "
+              "check skipped")
     if failures:
         print("\nBENCH REGRESSION GUARD FAILED:")
         for f in failures:
