@@ -86,12 +86,9 @@ object StreamSoak {
       spark.readStream.schema(like.schema)
         .option("maxFilesPerTrigger", "2").parquet(dir)
 
-    def runSoak(name: String, out: DataFrame, mode: OutputMode): Unit = {
-      val q = out.writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", s"$work/ckpt/$name")
-        .format("noop")
-        .start()
+    def measure(name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        extra: => String = ""): Unit = {
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -109,8 +106,16 @@ object StreamSoak {
         s""""wall_sec":${math.round(wall * 10) / 10.0},""" +
         s""""batch_ms":${mm(batchMs.toSeq)},""" +
         s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
-        s""""state_bytes_max":${if (stateBytes.isEmpty) 0 else stateBytes.max}}""")
+        s""""state_bytes_max":${if (stateBytes.isEmpty) 0 else stateBytes.max}""" +
+        extra + "}")
     }
+
+    def runSoak(name: String, out: DataFrame, mode: OutputMode): Unit =
+      measure(name, out.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$work/ckpt/$name")
+        .format("noop")
+        .start())
 
     runSoak("interval_join",
       StreamingParity.intervalJoinStream(
@@ -156,6 +161,37 @@ object StreamSoak {
       StreamingParity.scd2Stream(
         streamDf(dimDir, dimLike).as[StreamingParity.DimChange]).toDF(),
       OutputMode.Update())
+
+    // Adaptive strategy loop (the r12 operator): the foreachBatch
+    // feedback twin holds DRIVER state (strategies/headSets maps — the
+    // BroadcastWrapper analogue), not a state store, so the engine
+    // state columns read 0 and the line instead reports the loop's own
+    // footprint: per-window decisions taken, how many windows ratcheted
+    // to salted, and the driver map sizes. Hour slots keep the stats
+    // relation at ≤ |hours in the fixture| rows per batch (the 100 TB
+    // discipline: the driver sees window STATS, never data rows).
+    val pwDf = raw.select(Shapes.eventTimeMs(raw).as("event_time"),
+      pmod(col("user_id"), lit(32)).cast("int").as("port"),
+      col("event_type").as("word"))
+    val pwDir = s"$work/in/pw"
+    writeShards(pwDf, pwDir)
+    val adaptiveState = new graft.streaming.AdaptiveAgg.ControlState
+    var adaptiveOutRows = 0L
+    measure("adaptive_agg",
+      graft.streaming.AdaptiveAgg.adaptiveWindowedCount(
+          streamDf(pwDir, pwDf).as[StreamingParity.PwEvent],
+          adaptiveState,
+          df => { adaptiveOutRows += df.count(); () },
+          slotMs = 3600000L)
+        .option("checkpointLocation", s"$work/ckpt/adaptive_agg")
+        .start(), {
+        val ds = adaptiveState.decisions
+        s""","decisions":${ds.length}""" +
+        s""","salted_windows":${adaptiveState.strategies.valuesIterator.count(_ == 1)}""" +
+        s""","driver_state_rows":${adaptiveState.strategies.size +
+            adaptiveState.headSets.valuesIterator.map(_.size).sum}""" +
+        s""","out_rows":$adaptiveOutRows"""
+      })
 
     spark.stop()
   }

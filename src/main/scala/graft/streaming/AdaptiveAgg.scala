@@ -115,12 +115,13 @@ object AdaptiveAgg {
   def adaptiveWindowedCount(
       events: Dataset[PwEvent],
       state: ControlState,
-      sink: DataFrame => Unit): DataStreamWriter[PwEvent] = {
+      sink: DataFrame => Unit,
+      slotMs: Long = StreamingParity.SlotMs): DataStreamWriter[PwEvent] = {
     events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[PwEvent], batchId: Long) =>
         val withLtw = batch.toDF()
-          .withColumn("ltw", expr(s"event_time div ${StreamingParity.SlotMs}"))
+          .withColumn("ltw", expr(s"event_time div $slotMs"))
         val counts = withLtw
           .groupBy(col("ltw"), col("word").as("z"))
           .agg(count(lit(1)).as("cnt"))
