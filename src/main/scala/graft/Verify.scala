@@ -56,8 +56,9 @@ object Verify {
     val scaleJson = graft.operators.ScaleOracles.checks
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, c) =>
+        val setup = c.setup.map(q).mkString("[", ",", "]")
         s"${q(k)}: {${q("mode")}: ${q(c.mode)}, ${q("sql")}: ${q(c.sql)}," +
-          s" ${q("aux")}: ${q(c.aux)}}" }
+          s" ${q("aux")}: ${q(c.aux)}, ${q("setup")}: $setup}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/scale_oracle_sql.json"), scaleJson)
     spark.stop()

@@ -30,18 +30,18 @@ import graft.functions.Parity._
   * Verify run. A scale check may lean on `out_X` only where X itself is
   * verified at sf1 in the same run: by a full DuckDB equality oracle
   * (the pair relations d_simhash_pairs / d_minhash_lsh_pairs /
-  * d_embedding_neardup_lsh), by its own cc check (d_dedup_clusters for
-  * the composed cluster consumers), or — the one weaker anchor — by its
-  * own BOUNDED check: d_jaccard_prefix_pairs' equality oracle is not
-  * repeatable at sf1 (DuckDB plan instability on the exploded
-  * self-join), so d_jaccard_pairs' V1 prefix-slice comparison rests on
-  * prefix-pairs' violations check (TOTAL soundness, 1/67-sampled
-  * completeness), not on a full equality proof. Trust still flows
-  * forward only — prefix-pairs' own check reads nothing but fixture
-  * tables and its own output — and the DAG is now ENFORCED, not
-  * documented: check_scale.py topo-sorts every `out_*` reference among
-  * the bounded checks before running anything, fails on any cycle, and
-  * fails on a reference to a query that is not verified in the same run.
+  * d_embedding_neardup_lsh), or by its own cc check (d_dedup_clusters
+  * for the composed cluster consumers). The r7–r12 "weaker anchor" —
+  * d_jaccard_pairs' V1 resting on prefix-pairs' sampled bounded check —
+  * is GONE as of r13: both Jaccard entries are full equality
+  * recomputations from fixture tables alone (temp-table `setup` staging
+  * defeats the single-statement plan instability), so no sampled check
+  * remains in the Jaccard family and the only surviving trust edges are
+  * cluster-consumer compositions plus the embedding V1 subset check.
+  * The DAG is ENFORCED, not documented: check_scale.py topo-sorts every
+  * `out_*` reference among the bounded checks before running anything,
+  * fails on any cycle, and fails on a reference to a query that is not
+  * verified in the same run.
   *
   * The bounded checks are cross-validated where the exact oracles ARE
   * feasible: the full sf0.001 check_scale pass (94 ok) runs every
@@ -64,125 +64,83 @@ object ScaleOracles {
     * driver-side union-find in the checker is independent of the Spark
     * implementation (pointer-jumping label propagation) and verifies
     * 100% of components, not a sample.
+    *
+    * `setup` (r13): statements the checker executes BEFORE `sql` —
+    * temp-table staging for equality oracles whose single-statement
+    * DuckDB plan is unstable at sf1. Materializing each stage pins the
+    * join order a monolithic WITH chain flips on (the r8
+    * d_jaccard_prefix_pairs 20-minute regression: the pair×shingle
+    * re-join planned as a pre-aggregation cross blow-up; as staged temp
+    * tables the same logical oracle runs in seconds). This turned both
+    * Jaccard bounded checks back into FULL equality recomputations from
+    * fixture tables only.
     */
-  final case class Check(mode: String, sql: String, aux: String = "")
+  final case class Check(mode: String, sql: String, aux: String = "",
+      setup: Seq[String] = Nil)
 
-  /** d_jaccard_pairs bounded check: the Σdf² exactness baseline.
-    *   V1 the prefix-filtered pair set (full equality oracle feasible at
-    *      sf1, spark output `out_d_jaccard_prefix_pairs`) must appear
-    *      IDENTICALLY among the baseline's pairs above the prefix
-    *      threshold (AllPairs prefix filtering is lossless at J > 1/2,
-    *      so this is set equality on that slice, not mere containment);
-    *   V2 arithmetic sanity on every output row (orientation, J > 1/10
-    *      threshold actually satisfied);
-    *   V3 SAMPLED EXACT RECOMPUTATION: all pairs whose smaller id ≡ 0
-    *      (mod 67) recomputed from the shingle relation — 1/67 of the
-    *      quadratic work — and compared both directions.
+  /** Shared staging for the two Jaccard full-equality recomputations:
+    * the shingle relation and per-doc set sizes as temp tables. Each
+    * stage is one statement, so DuckDB plans it with exact input
+    * cardinalities — the monolithic WITH-chain forms of these same
+    * oracles flip into a pre-aggregation cross blow-up at sf1 (>20 min;
+    * staged: ~15 s measured, Σdf² = 279 M at sf1 with max df = 250).
     */
-  private val jaccardPairsCheck: String =
-    s"""WITH sh AS (${Dedup.shingleRelSql}),
-       |out AS (SELECT id_a, id_b, inter, uni FROM spark_out),
-       |v1 AS (
-       |  SELECT 'prefix-slice-mismatch' AS violation, id_a AS a, id_b AS b FROM (
-       |    (SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs
-       |     EXCEPT
-       |     SELECT id_a, id_b, inter, uni FROM out
-       |     WHERE inter * ${Dedup.PrefixJaccDen} > uni * ${Dedup.PrefixJaccNum})
-       |    UNION ALL
-       |    (SELECT id_a, id_b, inter, uni FROM out
-       |     WHERE inter * ${Dedup.PrefixJaccDen} > uni * ${Dedup.PrefixJaccNum}
-       |     EXCEPT
-       |     SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs))),
-       |v2 AS (
-       |  SELECT 'bad-pair-arith' AS violation, id_a AS a, id_b AS b FROM out
-       |  WHERE inter * ${Dedup.JaccDen} <= uni * ${Dedup.JaccNum}
-       |     OR inter < 1 OR inter > uni OR id_a >= id_b),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |samp AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM (SELECT * FROM sh WHERE doc_id % 67 = 0) a
-       |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |sampfull AS (
-       |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
-       |  FROM samp
-       |  JOIN sizes sa ON sa.doc_id = id_a
-       |  JOIN sizes sb ON sb.doc_id = id_b
-       |  WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}),
-       |v3 AS (
-       |  SELECT 'sampled-exact-mismatch' AS violation, id_a AS a, id_b AS b FROM (
-       |    (SELECT id_a, id_b, inter, uni FROM sampfull
-       |     EXCEPT SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0)
-       |    UNION ALL
-       |    (SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0
-       |     EXCEPT SELECT id_a, id_b, inter, uni FROM sampfull)))
-       |SELECT * FROM (
-       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
-       |LIMIT 20""".stripMargin
+  private val jaccardSetupBase: Seq[String] = Seq(
+    s"CREATE TEMP TABLE t_sh AS ${Dedup.shingleRelSql}",
+    "CREATE TEMP TABLE t_sizes AS SELECT doc_id, count(*) AS n FROM t_sh GROUP BY doc_id")
 
-  /** d_jaccard_prefix_pairs bounded check. The equality oracle
-    * regenerates the prefix-index candidate join in DuckDB, which ran
-    * inside a 120 s budget on the r7 machine state but exceeds 20
-    * MINUTES on the r8 rerun (same SQL, same fixture — DuckDB plan
-    * instability on the exploded self-join), so it cannot anchor a
-    * repeatable gate. The bounded form is trust-independent of every
-    * other query (fixture tables + own output only — d_jaccard_pairs'
-    * check cross-references THIS output, so this one must not reference
-    * back):
-    *   V1 TOTAL soundness: for every output pair, |A∩B| recomputed from
-    *      the shingle relation by a (pair × shingle) join and the uni
-    *      arithmetic re-derived from per-doc sizes — O(output·|doc|),
-    *      every row, no sampling;
-    *   V2 threshold/orientation sanity on every row;
-    *   V3 sampled completeness: all pairs with smaller id ≡ 0 (mod 67)
-    *      recomputed exactly at the J > 1/2 threshold, compared both
-    *      directions.
+  /** d_jaccard_pairs at sf1 — FULL equality recomputation (upgraded from
+    * the r7 sampled bounded check): the complete Σdf² self-join staged
+    * as temp tables, every output pair compared. Fixture tables only —
+    * no trust edges.
     */
-  private val jaccardPrefixPairsCheck: String =
-    s"""WITH sh AS (${Dedup.shingleRelSql}),
-       |out AS (SELECT id_a, id_b, inter, uni FROM spark_out),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |chk AS (
-       |  SELECT o.id_a, o.id_b, o.inter, o.uni, count(*) AS inter2
-       |  FROM out o
-       |  JOIN sh a ON a.doc_id = o.id_a
-       |  JOIN sh b ON b.doc_id = o.id_b AND b.sh = a.sh
-       |  GROUP BY 1, 2, 3, 4),
-       |v1 AS (
-       |  SELECT 'pair-arith-mismatch' AS violation, o.id_a AS a, o.id_b AS b
-       |  FROM out o
-       |  LEFT JOIN chk c ON c.id_a = o.id_a AND c.id_b = o.id_b
-       |  LEFT JOIN sizes sa ON sa.doc_id = o.id_a
-       |  LEFT JOIN sizes sb ON sb.doc_id = o.id_b
-       |  WHERE c.id_a IS NULL OR c.inter2 <> o.inter
-       |     OR sa.n IS NULL OR sb.n IS NULL
-       |     OR sa.n + sb.n - c.inter2 <> o.uni),
-       |v2 AS (
-       |  SELECT 'bad-pair-arith' AS violation, id_a AS a, id_b AS b FROM out
-       |  WHERE inter * ${Dedup.PrefixJaccDen} <= uni * ${Dedup.PrefixJaccNum}
-       |     OR inter < 1 OR inter > uni OR id_a >= id_b),
-       |samp AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM (SELECT * FROM sh WHERE doc_id % 67 = 0) a
-       |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |sampfull AS (
-       |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
-       |  FROM samp
-       |  JOIN sizes sa ON sa.doc_id = id_a
-       |  JOIN sizes sb ON sb.doc_id = id_b
-       |  WHERE inter * ${Dedup.PrefixJaccDen}
-       |        > (sa.n + sb.n - inter) * ${Dedup.PrefixJaccNum}),
-       |v3 AS (
-       |  SELECT 'sampled-exact-mismatch' AS violation, id_a AS a, id_b AS b FROM (
-       |    (SELECT id_a, id_b, inter, uni FROM sampfull
-       |     EXCEPT SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0)
-       |    UNION ALL
-       |    (SELECT id_a, id_b, inter, uni FROM out WHERE id_a % 67 = 0
-       |     EXCEPT SELECT id_a, id_b, inter, uni FROM sampfull)))
-       |SELECT * FROM (
-       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
-       |LIMIT 20""".stripMargin
+  private val jaccardPairsSetup: Seq[String] = jaccardSetupBase :+
+    s"""CREATE TEMP TABLE t_inter AS
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |FROM t_sh a JOIN t_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  private val jaccardPairsEquality: String =
+    s"""SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |FROM t_inter
+       |JOIN t_sizes sa ON sa.doc_id = id_a
+       |JOIN t_sizes sb ON sb.doc_id = id_b
+       |WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}""".stripMargin
+
+  /** d_jaccard_prefix_pairs at sf1 — FULL equality recomputation
+    * (upgraded from the r8 bounded check): the prefix index, candidate
+    * join, and pair×shingle intersection each materialize as their own
+    * stage, which pins the join order the single-statement oracle lost
+    * (the 20-minute r8 plan regression). Complete verification — every
+    * pair, both directions, no sampling.
+    */
+  private val jaccardPrefixPairsSetup: Seq[String] = jaccardSetupBase ++ Seq(
+    "CREATE TEMP TABLE t_dfreq AS SELECT sh, count(*) AS df FROM t_sh GROUP BY sh",
+    s"""CREATE TEMP TABLE t_prefix AS
+       |SELECT doc_id, sh FROM (
+       |  SELECT s.doc_id, s.sh,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn,
+       |    z.n
+       |  FROM t_sh s JOIN t_dfreq d ON s.sh = d.sh
+       |  JOIN t_sizes z ON s.doc_id = z.doc_id)
+       |WHERE rn <= n - (n + 1) // 2 + 1""".stripMargin,
+    s"""CREATE TEMP TABLE t_cands AS
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM t_prefix a JOIN t_prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id""".stripMargin,
+    s"""CREATE TEMP TABLE t_pinter AS
+       |SELECT c.id_a, c.id_b, count(*) AS inter
+       |FROM t_cands c
+       |JOIN t_sh x ON x.doc_id = c.id_a
+       |JOIN t_sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+       |GROUP BY c.id_a, c.id_b""".stripMargin)
+
+  private val jaccardPrefixPairsEquality: String =
+    s"""SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |FROM t_pinter
+       |JOIN t_sizes sa ON sa.doc_id = id_a
+       |JOIN t_sizes sb ON sb.doc_id = id_b
+       |WHERE inter * ${Dedup.PrefixJaccDen}
+       |      > (sa.n + sb.n - inter) * ${Dedup.PrefixJaccNum}""".stripMargin
 
   /** d_embedding_neardup bounded check: the all-pairs cosine baseline.
     *   V1 the LSH pair set (full equality oracle feasible at sf1) must
@@ -281,7 +239,9 @@ object ScaleOracles {
     // the same run — so the composed equality IS the complete check.
     "d_incremental_clusters" -> Check("equality",
       "SELECT doc_id, canonical_id FROM out_d_dedup_clusters"),
-    "d_jaccard_pairs" -> Check("violations", jaccardPairsCheck),
-    "d_jaccard_prefix_pairs" -> Check("violations", jaccardPrefixPairsCheck),
+    "d_jaccard_pairs" ->
+      Check("equality", jaccardPairsEquality, setup = jaccardPairsSetup),
+    "d_jaccard_prefix_pairs" ->
+      Check("equality", jaccardPrefixPairsEquality, setup = jaccardPrefixPairsSetup),
     "d_embedding_neardup" -> Check("violations", embeddingNearDupCheck))
 }

@@ -12,8 +12,9 @@ infeasible equality oracle:
     query's output in the run), and the fixture tables. PASS iff zero
     rows.
   - mode "equality": the SQL produces the full expected relation
-    (composed from already-verified outputs); compared frame-to-frame
-    like check.py.
+    (composed from already-verified outputs, or recomputed from fixture
+    tables via temp-table "setup" staging when the single-statement
+    plan is unstable); compared frame-to-frame like check.py.
   - mode "cc": "sql" yields the (id_a, id_b) edge relation (a
     DuckDB-verified pair output), "aux" the vertex universe (column
     vid); an independent union-find here computes exact min-label
@@ -124,6 +125,11 @@ def run_one(sf_dir, out_dir, name, check, q):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             q.put(("FAIL", "no spark output")); return
+        # Temp-table staging: each statement plans with exact input
+        # cardinalities, pinning join orders a monolithic WITH chain
+        # flips on at sf1 (the r8 prefix-pairs 20-minute plan).
+        for stmt in check.get("setup", []):
+            con.execute(stmt)
         if check["kind"] == "cc":
             check_cc(con, check, q); return
         if check["kind"] == "violations":
@@ -154,8 +160,9 @@ def trust_dag_errors(scale, verified):
     errors = []
     deps = {}
     for name, c in scale.items():
-        refs = set(re.findall(r"\bout_([a-z0-9_]+)", c.get("sql", "") + " "
-                              + c.get("aux", "")))
+        refs = set(re.findall(r"\bout_([a-z0-9_]+)",
+                              c.get("sql", "") + " " + c.get("aux", "")
+                              + " " + " ".join(c.get("setup", []))))
         refs.discard(name)  # self-reference is the spark_out view, not trust
         deps[name] = refs
         for r in refs:
@@ -229,7 +236,8 @@ def main():
     for name in sorted(oracle):
         if name in scale:
             check = {"kind": scale[name]["mode"], "sql": scale[name]["sql"],
-                     "aux": scale[name].get("aux", "")}
+                     "aux": scale[name].get("aux", ""),
+                     "setup": scale[name].get("setup", [])}
             tag = f"[{scale[name]['mode']}]"
         else:
             check = {"kind": "equality", "sql": oracle[name]}
