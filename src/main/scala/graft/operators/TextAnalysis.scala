@@ -441,36 +441,43 @@ object TextAnalysis {
   // LARGEST gram (Spark max-of-struct ≡ DuckDB ORDER BY cnt DESC, gram
   // DESC; both compare ASCII binary).
   //
-  // Plan: one grouped count on (doc_id, gram) then a per-doc max-of-
-  // struct — both two-phase aggregates, so per-doc gram skew collapses
-  // map-side; the join back to per-doc token stats is on doc_id. At
-  // 100 TB swap the shuffled gram STRING for its 8-byte poly hash and
-  // resolve the reported gram from a final small join if needed.
+  // Plan (r13 rewrite): MAP-ONLY. A document's bigrams live in its own
+  // token array, so the per-doc argmax never needs a shuffle — sort the
+  // gram array and run-length-fold it: on each element the run counter
+  // extends or resets, and the best (cnt, gram) updates on >= so equal
+  // counts resolve to the lexicographically LARGEST gram (ascending
+  // sort ⇒ later = larger), exactly the old max-of-struct tiebreak. The
+  // previous plan exploded every gram occurrence into two grouped
+  // aggregates plus a join back — three exchanges of gram strings; this
+  // form is one projection inside whole-stage codegen, O(n log n) per
+  // doc, and at 100 TB it scales with the scan alone.
   // ------------------------------------------------------------------
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokensSpark("text")
-    val stats = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      expr(s"size($toks)").cast("long").as("n_tokens"),
-      expr(s"size(array_distinct($toks))").cast("long").as("n_distinct"))
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2)," +
-          " i -> concat_ws(' ', slice(toks, i + 1, 2))) ELSE array() END"))
-        .as("gram"))
-    val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(struct(col("cnt"), col("gram"))).as("top"))
-      .select(col("doc_id"), col("top.gram").as("top_bigram"),
-        col("top.cnt").as("top_bigram_cnt"))
-    stats.join(top, Seq("doc_id"), "left")
+    val gramsSorted =
+      s"array_sort(CASE WHEN size($toks) >= 2 THEN transform(sequence(0, size($toks) - 2)," +
+        s" i -> concat_ws(' ', slice($toks, i + 1, 2))) ELSE array() END)"
+    val topFold =
+      s"""aggregate($gramsSorted,
+         |  struct('' AS prev, 0L AS run, 0L AS best_cnt, '' AS best_gram),
+         |  (acc, g) -> CASE WHEN g = acc.prev AND acc.run + 1L >= acc.best_cnt
+         |      THEN struct(g AS prev, acc.run + 1L AS run, acc.run + 1L AS best_cnt, g AS best_gram)
+         |    WHEN g = acc.prev
+         |      THEN struct(g AS prev, acc.run + 1L AS run, acc.best_cnt AS best_cnt, acc.best_gram AS best_gram)
+         |    WHEN 1L >= acc.best_cnt
+         |      THEN struct(g AS prev, 1L AS run, 1L AS best_cnt, g AS best_gram)
+         |    ELSE struct(g AS prev, 1L AS run, acc.best_cnt AS best_cnt, acc.best_gram AS best_gram) END,
+         |  acc -> struct(acc.best_gram AS gram, acc.best_cnt AS cnt))""".stripMargin
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"size($toks)").cast("long").as("n_tokens"),
+        expr(s"size(array_distinct($toks))").cast("long").as("n_distinct"),
+        expr(topFold).as("top"))
       .select(col("doc_id"), col("n_tokens"),
         expr("(n_tokens - n_distinct) * 1000000L div n_tokens").as("dup_token_frac_e6"),
-        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
-        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
-        expr("coalesce(top_bigram_cnt, 0L) * 2000000L div n_tokens")
-          .as("top_bigram_frac_e6"))
+        col("top.gram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_cnt"),
+        expr("top.cnt * 2000000L div n_tokens").as("top_bigram_frac_e6"))
   }
 
   val repetitionStatsSql: String = {
