@@ -2,28 +2,33 @@ package graft.operators
 
 import graft.functions.Parity._
 
-/** Bounded sf1 oracles for the queries whose EQUALITY oracles are
-  * infeasible in DuckDB at 10× scale (the r7 headroom pass recorded 8:
-  * the 5 connected-components families — recursive-CTE transitive
-  * closure materializes Σ|component|·|edges| pairs — the two all-pairs
-  * exactness baselines, and the curation cascade that embeds the CC
-  * closure). Every check here is O(edges), O(output) or O(sample·corpus)
-  * — never all-pairs — so `tools/check_scale.py` verifies ALL gated
-  * queries at sf1 inside a per-oracle budget: zero timeout rows.
+/** sf1 oracle OVERRIDES for the queries whose single-statement EQUALITY
+  * oracles are infeasible in DuckDB at 10× scale. As of r13 every entry
+  * is either a COMPLETE verification or a complete-composition — no
+  * sampled check remains anywhere:
+  *   - the 3 cluster queries: independent driver-side union-find over
+  *     the DuckDB-verified pair relations, EVERY label compared (`cc`);
+  *   - the 5 cluster CONSUMERS: frame equality composed from the
+  *     union-find-verified label relation (`equality`) — complete,
+  *     because their inputs were completely verified in the same run;
+  *   - the 3 former sampled checks (both Jaccard pair relations + the
+  *     all-pairs embedding cosine): FULL equality recomputations from
+  *     fixture tables alone, made feasible by temp-table `setup`
+  *     staging (`equality` + setup).
+  * `tools/check_scale.py` verifies ALL gated queries at sf1 inside a
+  * per-oracle budget: zero timeout rows, zero sampling.
   *
-  * Three check modes:
-  *   - `violations`: the SQL lists contract violations; PASS iff it
-  *     returns ZERO rows. Used where the bounded check is an invariant
-  *     set (sampled exact recomputation, subset containment), not a
-  *     full relation equality.
+  * Check modes:
   *   - `equality`: the SQL produces the full expected relation (like a
-  *     normal oracle) but composed from ALREADY-VERIFIED spark outputs
-  *     of other queries instead of an infeasible recomputation; PASS is
-  *     the usual frame compare.
+  *     normal oracle), either composed from ALREADY-VERIFIED spark
+  *     outputs of other queries or recomputed from fixture tables over
+  *     `setup`-staged temp tables; PASS is the usual frame compare.
   *   - `cc`: the checker runs an independent driver-side UNION-FIND
   *     over the DuckDB-verified pair relation and compares every
   *     component label exactly (see [[Check]]) — complete verification
   *     where ANY SQL closure is quadratic in the corpus's mega-component.
+  *   - `violations` (kept in the checker, currently unused here): the
+  *     SQL lists contract violations; PASS iff it returns ZERO rows.
   *
   * Available views: the fixture tables, `spark_out` (the query under
   * check), and `out_<query>` for every other query's output in the same
@@ -31,17 +36,14 @@ import graft.functions.Parity._
   * verified at sf1 in the same run: by a full DuckDB equality oracle
   * (the pair relations d_simhash_pairs / d_minhash_lsh_pairs /
   * d_embedding_neardup_lsh), or by its own cc check (d_dedup_clusters
-  * for the composed cluster consumers). The r7–r12 "weaker anchor" —
-  * d_jaccard_pairs' V1 resting on prefix-pairs' sampled bounded check —
-  * is GONE as of r13: both Jaccard entries are full equality
-  * recomputations from fixture tables alone (temp-table `setup` staging
-  * defeats the single-statement plan instability), so no sampled check
-  * remains in the Jaccard family and the only surviving trust edges are
-  * cluster-consumer compositions plus the embedding V1 subset check.
-  * The DAG is ENFORCED, not documented: check_scale.py topo-sorts every
-  * `out_*` reference among the bounded checks before running anything,
-  * fails on any cycle, and fails on a reference to a query that is not
-  * verified in the same run.
+  * for the composed cluster consumers). The r7–r12 "weaker anchors" —
+  * d_jaccard_pairs' V1 resting on prefix-pairs' sampled bounded check,
+  * and the 1/67- and 1/199-sampled completeness probes — are GONE as of
+  * r13; the only surviving trust edges are the cluster-consumer
+  * compositions. The DAG is ENFORCED, not documented: check_scale.py
+  * topo-sorts every `out_*` reference among the bounded checks before
+  * running anything, fails on any cycle, and fails on a reference to a
+  * query that is not verified in the same run.
   *
   * The bounded checks are cross-validated where the exact oracles ARE
   * feasible: the full sf0.001 check_scale pass (94 ok) runs every
@@ -142,51 +144,36 @@ object ScaleOracles {
        |WHERE inter * ${Dedup.PrefixJaccDen}
        |      > (sa.n + sb.n - inter) * ${Dedup.PrefixJaccNum}""".stripMargin
 
-  /** d_embedding_neardup bounded check: the all-pairs cosine baseline.
-    *   V1 the LSH pair set (full equality oracle feasible at sf1) must
-    *      appear identically in the baseline output (LSH candidates are
-    *      a subset of all pairs, verified values included);
-    *   V2 EVERY output row's dot/norms recomputed from the quantized
-    *      vectors — O(|output|), full soundness, no estimates;
-    *   V3 SAMPLED EXACT COMPLETENESS: the full neighborhood of every
-    *      vec_id ≡ 0 (mod 199) recomputed against the whole corpus;
-    *      every above-threshold pair it finds must exist in the output.
+  /** d_embedding_neardup at sf1 — FULL equality recomputation (upgraded
+    * from the r7 sampled bounded check): the complete all-pairs cosine
+    * join, with the quantized vector COLUMN-EXPANDED into one BIGINT
+    * column per dimension so the 64-term dot is a flat vectorizable
+    * expression instead of a per-pair list_sum lambda. Measured at sf1:
+    * 200 M pairs filter in ~39 s (the list_sum form is minutes-to-
+    * hours). Fixture tables only — the former V1 LSH-subset trust edge
+    * is gone. Products stay exact: |q| ≤ 10^6 ⇒ Σ64 q_a·q_b ≤ 6.4·10^13
+    * ≪ 2^63; the cosine filter is the same IEEE double expression as
+    * the gate oracle. The fixture embedding dimension is 64 at every
+    * scale factor (driver-generated); the sf0.001/sf0.01
+    * cross-validation runs would fail loudly if that drifted.
     */
-  private val embeddingNearDupCheck: String = {
-    val qSql =
-      s"""SELECT vec_id, v, ${dotDuck("v", "v")} AS norm
-         |FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)""".stripMargin
-    s"""WITH q AS ($qSql),
-       |out AS (SELECT id_a, id_b, dot, na, nb FROM spark_out),
-       |v1 AS (
-       |  SELECT 'lsh-pair-missing' AS violation, id_a AS a, id_b AS b FROM (
-       |    SELECT id_a, id_b, dot, na, nb FROM out_d_embedding_neardup_lsh
-       |    EXCEPT SELECT id_a, id_b, dot, na, nb FROM out)),
-       |v2 AS (
-       |  SELECT 'pair-arith-mismatch' AS violation, o.id_a AS a, o.id_b AS b
-       |  FROM out o
-       |  LEFT JOIN q a ON a.vec_id = o.id_a
-       |  LEFT JOIN q b ON b.vec_id = o.id_b
-       |  WHERE a.vec_id IS NULL OR b.vec_id IS NULL
-       |     OR ${dotDuck("a.v", "b.v")} <> o.dot
-       |     OR a.norm <> o.na OR b.norm <> o.nb
-       |     OR NOT (${cosineDuck("o.dot", "o.na", "o.nb")} > ${Dedup.CosThreshold})
-       |     OR o.id_a >= o.id_b),
-       |samp AS (
-       |  SELECT least(s.vec_id, c.vec_id) AS id_a,
-       |         greatest(s.vec_id, c.vec_id) AS id_b
-       |  FROM (SELECT * FROM q WHERE vec_id % 199 = 0) s
-       |  JOIN q c ON s.vec_id <> c.vec_id
-       |  WHERE ${cosineDuck(dotDuck("s.v", "c.v"), "s.norm", "c.norm")}
-       |        > ${Dedup.CosThreshold}),
-       |v3 AS (
-       |  SELECT 'sampled-pair-missing' AS violation, s.id_a AS a, s.id_b AS b
-       |  FROM (SELECT DISTINCT id_a, id_b FROM samp) s
-       |  LEFT JOIN out o ON o.id_a = s.id_a AND o.id_b = s.id_b
-       |  WHERE o.id_a IS NULL)
-       |SELECT * FROM (
-       |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
-       |LIMIT 20""".stripMargin
+  private val EmbeddingDim = 64
+
+  private val embeddingNearDupSetup: Seq[String] = {
+    val cols = (0 until EmbeddingDim).map(i => s"v[${i + 1}] AS q$i").mkString(", ")
+    Seq(
+      s"""CREATE TEMP TABLE t_q AS
+         |SELECT vec_id, $cols, ${dotDuck("v", "v")} AS norm
+         |FROM (SELECT vec_id, ${quantizeDuck("embedding")} AS v FROM embeddings)""".stripMargin)
+  }
+
+  private val embeddingNearDupEquality: String = {
+    val dot = (0 until EmbeddingDim).map(i => s"a.q$i * b.q$i").mkString(" + ")
+    s"""SELECT id_a, id_b, dot, na, nb FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ($dot) AS dot,
+       |         a.norm AS na, b.norm AS nb
+       |  FROM t_q a JOIN t_q b ON a.vec_id < b.vec_id)
+       |WHERE ${cosineDuck("dot", "na", "nb")} > ${Dedup.CosThreshold}""".stripMargin
   }
 
   val checks: Map[String, Check] = Map(
@@ -243,5 +230,6 @@ object ScaleOracles {
       Check("equality", jaccardPairsEquality, setup = jaccardPairsSetup),
     "d_jaccard_prefix_pairs" ->
       Check("equality", jaccardPrefixPairsEquality, setup = jaccardPrefixPairsSetup),
-    "d_embedding_neardup" -> Check("violations", embeddingNearDupCheck))
+    "d_embedding_neardup" ->
+      Check("equality", embeddingNearDupEquality, setup = embeddingNearDupSetup))
 }
