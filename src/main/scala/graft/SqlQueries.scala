@@ -1366,7 +1366,7 @@ object SqlQueries {
          |  SELECT z, event_time div $slot AS ltw, count(*) AS cnt
          |  FROM graft_zx GROUP BY z, event_time div $slot)
          |SELECT counts.z, counts.ltw, counts.cnt, strat.strategy
-         |FROM counts JOIN strat ON counts.ltw = strat.ltw""".stripMargin)
+         |FROM counts JOIN strat ON counts.ltw = strat.ltw""".stripMargin) ++ graphSql
 
   /** Spark-dialect skew-stats + cost-model strategy (the q3_skew_stats
     * gate; also the `strat` input of q3_adaptive_windowed_count). Window
@@ -1391,6 +1391,63 @@ object SqlQueries {
        |            <= m_total / 12.0D + 0.01D * (k_keys + head_num * 10 - single_num)
        |       THEN 0L ELSE 1L END AS strategy
        |FROM s""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Graph family — the PageRank chain unrolled in the Spark dialect
+  // (`div` for BIGINT floor division where DuckDB writes `//`; Spark's
+  // BIGINT sum never widens, so no cast-back is needed).
+  // ------------------------------------------------------------------
+
+  private val graphChainSparkSql: String = {
+    import graft.operators.Graph.{Iters, Scale, SuppOff}
+    val head =
+      s"""pairs AS (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+         |    CAST(l_suppkey AS BIGINT) + ${SuppOff}L AS supp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp AS src, cust AS dst FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT id, (SELECT ${Scale}L div n FROM nn) AS pr FROM deg)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""c$i AS (
+         |  SELECT r.id, r.pr div d.outdeg AS c
+         |  FROM r${i - 1} r JOIN deg d USING (id)),
+         |r$i AS (
+         |  SELECT e.dst AS id,
+         |    (SELECT (15L * ${Scale}L) div (100L * n) FROM nn)
+         |      + (85L * sum(c.c)) div 100L AS pr
+         |  FROM edges e JOIN c$i c ON c.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  private lazy val graphSql: Map[String, String] = {
+    import graft.operators.Graph.{Iters, SuppOff}
+    Map(
+      "g_pagerank" ->
+        s"""WITH $graphChainSparkSql
+           |SELECT id AS node_id, pr FROM r$Iters""".stripMargin,
+      "g_pagerank_converge" -> {
+        val rows = (1 to Iters).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS it,
+             |  sum(abs(a.pr - b.pr)) AS l1_delta,
+             |  sum(CASE WHEN a.pr <> b.pr THEN 1L ELSE 0L END) AS moved
+             |FROM r${i - 1} a JOIN r$i b USING (id)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $graphChainSparkSql
+           |$rows""".stripMargin
+      },
+      "g_degree_hist" ->
+        s"""WITH $graphChainSparkSql
+           |SELECT CASE WHEN id >= ${SuppOff}L THEN 'supplier' ELSE 'customer' END AS side,
+           |  outdeg, count(*) AS nodes
+           |FROM deg GROUP BY 1, 2""".stripMargin)
+  }
 
   /** Run one reference query through the SQL surface. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
