@@ -870,6 +870,22 @@ object SqlQueries {
        |  FROM syms${i - 1} LEFT JOIN rule$i r ON true)""".stripMargin
 
   private lazy val longTailSql: Map[String, String] = Map(
+    "t_token_char_fit" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM b GROUP BY source)
+        |SELECT source, n, sx, sy, sxx, sxy, syy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM s""".stripMargin,
     "d_span_scrub" ->
       s"""WITH dup AS (
          |  SELECT sh FROM (

@@ -897,15 +897,67 @@ object Multimodal {
        |       ELSE height * $ResizeMaxDim // greatest(width, height) END AS out_h
        |FROM ($decodeQuerySql)""".stripMargin
 
+  /** Audio analysis over the REAL WAV decode path: per planted audio
+    * file, midline-centered signal energy Σ(s−128)², zero crossings of
+    * the 128 midline, and peak amplitude — all exact integers over the
+    * 8-bit PCM samples [[WavCodec.sampleBytes]] extracts by walking the
+    * RIFF chunks. Non-WAV payloads (the opaque-text audio rows) drop
+    * out via the codec's None, so the relation is exactly the planted
+    * set. Same batched-decode scale shape as the other m_* queries:
+    * one mapPartitions pass, constant memory, features are 5 longs/file
+    * (the raw samples never shuffle).
+    */
+  def audioFeatures(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      WavCodec.sampleBytes(m.payload).map { s =>
+        var energy = 0L; var zc = 0L; var peak = 0L
+        var j = 0
+        while (j < s.length) {
+          val c = s(j) - 128
+          energy += c.toLong * c
+          if (math.abs(c) > peak) peak = math.abs(c).toLong
+          if (j > 0 && ((s(j - 1) < 128) != (s(j) < 128))) zc += 1
+          j += 1
+        }
+        (m.media_id, s.length.toLong, energy, zc, peak)
+      }
+    }).toDF("media_id", "n_samples", "energy", "zero_cross", "peak")
+  }
+
+  def audioFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeatures(mediaFromDocuments(spark, sfDir))
+
+  /** Oracle: the planted WAV ramp (sample i = (id·19 + i·37) mod 256,
+    * n = 64 + id mod 100 — the syntheticWav closed form) replayed as a
+    * DuckDB list; zero crossings compare adjacent ramp values directly
+    * so no list indexing is needed.
+    */
+  val audioFeaturesSql: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(64 + doc_id % 100 AS BIGINT) AS n_samples,
+       |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 100),
+       |    i -> ((doc_id * 19 + i * 37) % 256 - 128)
+       |         * ((doc_id * 19 + i * 37) % 256 - 128))) AS BIGINT) AS energy,
+       |  CAST(list_sum(list_transform(range(1, 64 + doc_id % 100),
+       |    i -> CASE WHEN ((doc_id * 19 + (i - 1) * 37) % 256 < 128)
+       |                <> ((doc_id * 19 + i * 37) % 256 < 128)
+       |         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+       |  CAST(list_max(list_transform(range(0, 64 + doc_id % 100),
+       |    i -> abs((doc_id * 19 + i * 37) % 256 - 128))) AS BIGINT) AS peak
+       |FROM documents WHERE doc_id % $PlantedEvery = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_media" -> (decodeQuery _),
     "m_frame_sample" -> (frameSampleQuery _),
     "m_resize_plan" -> (resizeQuery _),
-    "m_extract_features" -> (extractFeaturesQuery _))
+    "m_extract_features" -> (extractFeaturesQuery _),
+    "m_audio_features" -> (audioFeaturesQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_decode_media" -> decodeQuerySql,
     "m_frame_sample" -> frameSampleQuerySql,
     "m_resize_plan" -> resizeQuerySql,
-    "m_extract_features" -> extractFeaturesSql)
+    "m_extract_features" -> extractFeaturesSql,
+    "m_audio_features" -> audioFeaturesSql)
 }

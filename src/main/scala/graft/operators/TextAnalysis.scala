@@ -630,6 +630,63 @@ object TextAnalysis {
        |  min(quality_score) AS min_score, max(quality_score) AS max_score
        |FROM j GROUP BY source, decile""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Sufficient-statistics regression — the map-reduce ML-training
+  // pattern: ONE scan accumulates exact-integer sums (n, Σx, Σy, Σx²,
+  // Σxy, Σy²) per group, the model solves in closed form from those
+  // scalars. Fit: tokens ~ chars per source — the tokens-per-byte
+  // calibration a 100 TB run uses to budget tokenization cost from raw
+  // size without tokenizing. Parity: every sum is an exact BIGINT (the
+  // per-source moments fit 2^63 through sf1 with 10× margin; a cluster
+  // run would widen to DECIMAL(38,0) exactly like q4's overflow
+  // variant), and slope/intercept/corr are IEEE +,-,*,/,sqrt on those
+  // identical integers — bit-equal across engines by the Parity rules.
+  // Scale shape: one scan, one 2-phase aggregate on the source key,
+  // |sources| output rows; the model "trains" in the reduce.
+  // ------------------------------------------------------------------
+  def tokenCharFit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("source"),
+        col("n_chars").cast("long").as("x"),
+        expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("y"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("source"), col("n"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")
+          .as("slope"),
+        expr("(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)" +
+          " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")
+          .as("intercept"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+          " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")
+          .as("corr"))
+
+  val tokenCharFitSql: String =
+    s"""WITH b AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+       |    CAST(len(${tokensDuck("text")}) AS BIGINT) AS y
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM b GROUP BY source)
+       |SELECT source, n, sx, sy, sxx, sxy, syy,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+       |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_top_ngrams" -> (topNgrams _),
     "t_quality_deciles" -> (qualityDeciles _),
@@ -643,7 +700,8 @@ object TextAnalysis {
     "t_quality_score" -> (qualityScore _),
     "t_lang_id" -> (langId _),
     "t_fingerprint" -> (fingerprint _),
-    "t_collapse_repeats" -> (collapseRepeats _))
+    "t_collapse_repeats" -> (collapseRepeats _),
+    "t_token_char_fit" -> (tokenCharFit _))
 
   val oracles: Map[String, String] = Map(
     "t_top_ngrams" -> topNgramsSql,
@@ -658,5 +716,6 @@ object TextAnalysis {
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,
-    "t_collapse_repeats" -> collapseRepeatsSql)
+    "t_collapse_repeats" -> collapseRepeatsSql,
+    "t_token_char_fit" -> tokenCharFitSql)
 }

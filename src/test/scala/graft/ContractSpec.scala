@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query names follow the family naming scheme") {
-    val families = Set("q", "a", "d", "s", "t", "p", "m", "n")
+    val families = Set("q", "a", "d", "s", "t", "p", "m", "n", "g")
     val bad = SparkEntry.queries.keySet.filterNot(n =>
       families.contains(n.takeWhile(_ != '_').filterNot(_.isDigit)))
     assert(bad.isEmpty, s"unexpected family prefix: $bad")

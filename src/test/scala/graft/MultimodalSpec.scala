@@ -90,6 +90,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getAs[Long]("checksum") === wantSum)
   }
 
+  test("audio features: energy, zero crossings, peak recomputed from the planted ramp") {
+    // doc 22 (≡1 mod 21 → planted WAV, 86 samples); doc 21 (≡0 mod 21 →
+    // image row) must not appear in the audio relation.
+    val dir = writeFixture(documents = Seq(
+      doc(22, "replaced by wav"), doc(21, "image row stays out")))
+    val rows = Multimodal.audioFeaturesQuery(spark, dir).collect()
+    assert(rows.length === 1)
+    val got = rows.head
+    assert(got.getAs[Long]("media_id") === 22L)
+    assert(got.getAs[Long]("n_samples") === 86L)
+    // independent recomputation from the plant formula
+    val s = (0 until 86).map(i => ((22L * 19 + i * 37) % 256).toInt)
+    val energy = s.map(v => (v - 128).toLong * (v - 128)).sum
+    val zc = (1 until 86).count(i => (s(i - 1) < 128) != (s(i) < 128)).toLong
+    val peak = s.map(v => math.abs(v - 128).toLong).max
+    assert(got.getAs[Long]("energy") === energy)
+    assert(got.getAs[Long]("zero_cross") === zc)
+    assert(got.getAs[Long]("peak") === peak)
+    assert(energy > 0L && zc > 0L)
+  }
+
   test("WavCodec: roundtrip directly; malformed RIFF refuses") {
     import Multimodal.{WavCodec, syntheticWav}
     val wav = WavCodec.tryDecode(MediaFile(22, "audio", syntheticWav(22))).get

@@ -52,6 +52,7 @@ class SqlParitySpec extends SparkSpec {
       "s_pq_codes", "s_pq_adc_topk", "s_pq_rerank_topk", "s_pq_recall",
       "s_ivfpq_topk",
       "m_decode_media", "m_extract_features", "m_frame_sample", "m_resize_plan",
+      "m_audio_features",
       "q3_windowed_count_salted", "q3_windowed_count_salted_dynamic",
       "a_moving_window_bucketed",
       "d_jaccard_prefix_pairs", "d_embedding_neardup_lsh",
