@@ -870,6 +870,8 @@ object SqlQueries {
        |  FROM syms${i - 1} LEFT JOIN rule$i r ON true)""".stripMargin
 
   private lazy val longTailSql: Map[String, String] = Map(
+    "p_zorder_layout" -> graft.operators.Layout.zorderLayoutSparkSql,
+    "p_zorder_skipping" -> graft.operators.Layout.zorderSkippingSparkSql,
     "t_token_char_fit" ->
       """WITH b AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS x,
