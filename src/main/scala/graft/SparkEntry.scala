@@ -23,7 +23,8 @@ object SparkEntry {
     RefQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Salting.queries ++ Curation.queries ++ Analytics.queries ++
       NullSemantics.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.sources.JsonLines.queries ++ Graph.queries ++ Layout.queries
+      graft.sources.JsonLines.queries ++ Graph.queries ++ Layout.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
     RefQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++ Analytics.oracles ++
       NullSemantics.oracles ++ graft.multimodal.Multimodal.oracles ++
-      graft.sources.JsonLines.oracles ++ Graph.oracles ++ Layout.oracles
+      graft.sources.JsonLines.oracles ++ Graph.oracles ++ Layout.oracles ++
+      Sketches.oracles
 }

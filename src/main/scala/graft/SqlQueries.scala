@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Parity._
-import graft.operators.{Analytics, Curation, Dedup, NullSemantics, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, NullSemantics, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The SQL face of the reference query family: every q1–q4 shape as a
@@ -216,6 +216,23 @@ object SqlQueries {
     .map(b => s"SELECT doc_id, sig, $b AS band, ${bandKeySpark("sig", b)} AS bkey FROM sigs")
     .mkString("\n  UNION ALL ")
 
+  /** The d_minhash_lsh_pairs text, named so the edit-distance
+    * refinement (Sketches) can inject it as its candidate CTE — one
+    * candidate-generation text, two consumers.
+    */
+  private val minhashLshPairsSparkSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, sig FROM (
+       |    SELECT doc_id, minhash_sigs(text, ${Dedup.ShingleW}) AS sig FROM documents)
+       |  WHERE size(sig) > 0),
+       |bands AS (
+       |  $minhashBandsSql)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+       |    0L, (acc, x) -> acc + x) AS sig_matches
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
   private val quantizedSparkSql: String =
     s"""SELECT vec_id, v, long_vector_dot(v, v) AS norm
        |FROM (SELECT vec_id, ${quantizeSpark("embedding")} AS v FROM embeddings)""".stripMargin
@@ -419,18 +436,7 @@ object SqlQueries {
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b)
          |WHERE containment_ppm >= ${Dedup.ContainPpm}""".stripMargin,
-    "d_minhash_lsh_pairs" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, sig FROM (
-         |    SELECT doc_id, minhash_sigs(text, ${Dedup.ShingleW}) AS sig FROM documents)
-         |  WHERE size(sig) > 0),
-         |bands AS (
-         |  $minhashBandsSql)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
-         |    0L, (acc, x) -> acc + x) AS sig_matches
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+    "d_minhash_lsh_pairs" -> minhashLshPairsSparkSql,
     "d_embedding_neardup" ->
       s"""WITH q AS ($quantizedSparkSql)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -872,6 +878,10 @@ object SqlQueries {
   private lazy val longTailSql: Map[String, String] = Map(
     "p_zorder_layout" -> graft.operators.Layout.zorderLayoutSparkSql,
     "p_zorder_skipping" -> graft.operators.Layout.zorderSkippingSparkSql,
+    "t_cms_token_freq" -> Sketches.cmsTokenFreqSparkSql,
+    "t_cms_sketch_stats" -> Sketches.cmsSketchStatsSparkSql,
+    "a_bloom_semijoin" -> Sketches.bloomSemijoinSparkSql,
+    "d_editdist_neardup" -> Sketches.editdistNearDupSparkSql(minhashLshPairsSparkSql),
     "t_token_char_fit" ->
       """WITH b AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS x,
