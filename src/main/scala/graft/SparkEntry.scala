@@ -24,7 +24,7 @@ object SparkEntry {
       Similarity.queries ++ Salting.queries ++ Curation.queries ++ Analytics.queries ++
       NullSemantics.queries ++ graft.multimodal.Multimodal.queries ++
       graft.sources.JsonLines.queries ++ Graph.queries ++ Layout.queries ++
-      Sketches.queries
+      Sketches.queries ++ Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
       Similarity.oracles ++ Salting.oracles ++ Curation.oracles ++ Analytics.oracles ++
       NullSemantics.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.sources.JsonLines.oracles ++ Graph.oracles ++ Layout.oracles ++
-      Sketches.oracles
+      Sketches.oracles ++ Retrieval.oracles
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Parity._
-import graft.operators.{Analytics, Curation, Dedup, NullSemantics, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, NullSemantics, Retrieval, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The SQL face of the reference query family: every q1–q4 shape as a
@@ -258,6 +258,30 @@ object SqlQueries {
        |      FROM documents)
        |GROUP BY doc_id, pmod(h, ${TextAnalysis.FeatureDims})""".stripMargin
 
+  /** The s_text_cosine_topk text, named so the RRF hybrid (Retrieval)
+    * can inject it as its semantic-ranker CTE — one ranker text, two
+    * consumers.
+    */
+  private val textCosineTopKSparkSql: String =
+    s"""WITH fv AS ($featureHashSparkSql),
+       |norms AS (SELECT doc_id, sum(w * w) AS nrm FROM fv GROUP BY doc_id),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, sum(q.w * c.w) AS dot
+       |  FROM fv q JOIN fv c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+       |  WHERE q.doc_id < ${Similarity.NumQueries}
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id, d.dot,
+       |    ${cosineSpark("d.dot", "nq.nrm", "nc.nrm")} AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.doc_id = d.query_id
+       |  JOIN norms nc ON nc.doc_id = d.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
   /** Spark-dialect quality-score relation, shared by t_quality_score and
     * its curation consumers below (same sharing the oracle side does via
     * TextAnalysis.qualityScoreSql).
@@ -476,25 +500,7 @@ object SqlQueries {
          |SELECT count(*) AS n_queries,
          |  sum(coalesce(CAST(a.n_label = e.n_label AS BIGINT), 0L)) AS n_agree
          |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id""".stripMargin,
-    "s_text_cosine_topk" ->
-      s"""WITH fv AS ($featureHashSparkSql),
-         |norms AS (SELECT doc_id, sum(w * w) AS nrm FROM fv GROUP BY doc_id),
-         |dots AS (
-         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, sum(q.w * c.w) AS dot
-         |  FROM fv q JOIN fv c ON q.dim = c.dim AND q.doc_id <> c.doc_id
-         |  WHERE q.doc_id < ${Similarity.NumQueries}
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT d.query_id, d.neighbor_id, d.dot,
-         |    ${cosineSpark("d.dot", "nq.nrm", "nc.nrm")} AS cos
-         |  FROM dots d
-         |  JOIN norms nq ON nq.doc_id = d.query_id
-         |  JOIN norms nc ON nc.doc_id = d.neighbor_id)
-         |SELECT query_id, neighbor_id, rnk, dot FROM (
-         |  SELECT query_id, neighbor_id, dot,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= ${Similarity.TopK}""".stripMargin,
+    "s_text_cosine_topk" -> textCosineTopKSparkSql,
     // ---- curation -----------------------------------------------------
     "p_vocab_freq" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -878,6 +884,8 @@ object SqlQueries {
   private lazy val longTailSql: Map[String, String] = Map(
     "p_zorder_layout" -> graft.operators.Layout.zorderLayoutSparkSql,
     "p_zorder_skipping" -> graft.operators.Layout.zorderSkippingSparkSql,
+    "s_bm25_topk" -> Retrieval.bm25TopKSparkSql,
+    "s_hybrid_rrf_topk" -> Retrieval.hybridRrfTopKSparkSql(textCosineTopKSparkSql),
     "t_cms_token_freq" -> Sketches.cmsTokenFreqSparkSql,
     "t_cms_sketch_stats" -> Sketches.cmsSketchStatsSparkSql,
     "a_bloom_semijoin" -> Sketches.bloomSemijoinSparkSql,

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{CacheRegistry, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical ranked retrieval + hybrid fusion — the retrieval half of a
+  * training-data curation stack (decontamination lookups, targeted
+  * corpus search, hard-negative mining) that the embedding-ANN family
+  * (`s_*`) alone doesn't cover:
+  *
+  *   - BM25 (`s_bm25_topk`): per-query-doc top-k over the token
+  *     inverted index. The whole scoring pipeline is exact 64-bit
+  *     integer arithmetic — k1 = 6/5 and b = 3/4 are folded into one
+  *     closed-form integer expression (derivation on [[bm25TopK]]), and
+  *     idf uses the monotone rational surrogate
+  *     (N − df + 1)·S ÷ (df + 1) instead of the textbook log (log's
+  *     last-ulp behavior differs across engines; the RANKING — which is
+  *     all BM25 is for — needs monotonicity in df, not the log shape).
+  *     Candidates ride an equi-shuffle on the 8-byte token hash (sparse
+  *     · sparse inverted-index join, the same discipline as
+  *     s_text_cosine_topk); scores are one grouped BIGINT sum;
+  *     WindowGroupLimit keeps per-query k-row heaps.
+  *
+  *   - Reciprocal-rank fusion (`s_hybrid_rrf_topk`): the standard
+  *     lexical+semantic hybrid — RRF(d) = Σ_r S ÷ (60 + rank_r(d)) over
+  *     the BM25 and text-cosine top-k lists (integer division, so the
+  *     fused score is exactly oracle-able). Operates on two ≤ k·|Q|-row
+  *     relations — fusion cost is independent of corpus size.
+  *
+  * 100 TB shape: tf/df/dl relations are linear one-pass aggregates; the
+  * probe join is Σ_t df(t) rows per query — on a real (Zipfian) vocab
+  * this is bounded by the standard stopword/df-cap pruning lever, which
+  * is deliberately NOT applied here because the synthetic fixture's
+  * 31-token vocabulary is uniformly common (a df cap that bites would
+  * empty every query). Document text never shuffles; only (hash, tf)
+  * pairs and per-query top-k rows move.
+  *
+  * Reference scope note: the reference engine has no retrieval
+  * operator; this extends the LLM-pipeline surface (builder brief) next
+  * to its dedup/ANN siblings.
+  */
+object Retrieval {
+
+  /** Fixed-point scales. IdfScale on the rational idf, TfScale on the
+    * tf-normalization quotient; a score contribution is their product
+    * (≤ ~1e14 at sf1 — headroom 4 orders below the 2^63 line, audited
+    * against N = 5·10^4, T = 2.75·10^6, tf ≤ dl ≤ 10^3).
+    */
+  val IdfScale = 1000000L
+  val TfScale = 1000L
+
+  /** RRF constants: the canonical k = 60 dampener and the integer
+    * scale that replaces the textbook 1/(k+rank) double.
+    */
+  val RrfK = 60L
+  val RrfScale = 1000000L
+
+  /** (doc_id, h, tf): term frequencies over the 31-bit token-hash key —
+    * the inverted index both retrieval queries probe. Cached: the
+    * BM25 score join and the query-term extraction both consume it.
+    */
+  private def tfRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"retrieval.tf:$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashOps.shingleHashes(
+            col("text"), 1, distinct = false)).as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+    }
+
+  /** Gated: (query_id, neighbor_id, rnk, score) — BM25 top-k for each
+    * of the first [[Similarity.NumQueries]] documents as queries.
+    *
+    * Integer closed form, with N = |docs|, T = Σ dl (so avgdl = T/N
+    * exactly), per query term t with document frequency df and
+    * candidate tf, dl:
+    *
+    *   idfS    = (N − df + 1)·IdfScale ÷ (df + 1)
+    *   tfnormS = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) at k1=6/5,b=3/4
+    *           = 44·T·tf·TfScale ÷ (20·T·tf + 6·T + 18·dl·N)
+    *             [multiply num/den by 20·T, all integer]
+    *   score   = Σ_t idfS·tfnormS   (exact BIGINT sum)
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tfRel(spark, sfDir)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val qt = tf.where(col("doc_id") < Similarity.NumQueries)
+      .select(col("doc_id").as("query_id"), col("h"))
+    val contrib = qt
+      .join(tf.select(col("doc_id").as("neighbor_id"), col("h"), col("tf")), "h")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(df_, "h")
+      .join(dl.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr(s"(n - df + 1) * $IdfScale div (df + 1)") *
+          expr(s"(44 * t * tf * $TfScale) div (20 * t * tf + 6 * t + 18 * dl * n)"))
+          .as("c"))
+    contrib.groupBy("query_id", "neighbor_id").agg(sum("c").as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rnk") <= Similarity.TopK)
+      .select("query_id", "neighbor_id", "rnk", "score")
+  }
+
+  /** Gated: (query_id, neighbor_id, rnk, rrf_score, bm25_rnk, cos_rnk)
+    * — reciprocal-rank fusion of [[bm25TopK]] and
+    * [[TextAnalysis.textCosineTopK]]. A doc absent from one list
+    * contributes 0 from that ranker (rank column reports 0); the fused
+    * list is re-cut to [[Similarity.TopK]].
+    */
+  def hybridRrfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val bm = bm25TopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("bm25_rnk"))
+    val cs = TextAnalysis.textCosineTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("cos_rnk"))
+    bm.join(cs, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("bm25_rnk"), lit(0L)).cast("long").as("bm25_rnk"),
+        coalesce(col("cos_rnk"), lit(0L)).cast("long").as("cos_rnk"))
+      .withColumn("rrf_score",
+        when(col("bm25_rnk") > 0, expr(s"$RrfScale div ($RrfK + bm25_rnk)")).otherwise(0L) +
+          when(col("cos_rnk") > 0, expr(s"$RrfScale div ($RrfK + cos_rnk)")).otherwise(0L))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("neighbor_id"))))
+      .where(col("rnk") <= Similarity.TopK)
+      .select("query_id", "neighbor_id", "rnk", "rrf_score", "bm25_rnk", "cos_rnk")
+  }
+
+  // ---- SQL (both dialects generated from the same constants) ---------
+
+  /** The shared CTE chain in either dialect. `hashes` = the per-token
+    * hash-array expression, `idiv` = the dialect's integer division.
+    */
+  private def bm25Ctes(hashes: String, idiv: String): String =
+    s"""tf AS (
+       |  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, ${hashes} AS h FROM documents)
+       |  GROUP BY doc_id, h),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |dfr AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
+       |qt AS (
+       |  SELECT doc_id AS query_id, h FROM tf
+       |  WHERE doc_id < ${Similarity.NumQueries}),
+       |sc AS (
+       |  SELECT q.query_id, c.doc_id AS neighbor_id,
+       |    CAST(sum(((st.n - f.df + 1) * $IdfScale $idiv (f.df + 1))
+       |      * ((44 * st.t * c.tf * $TfScale)
+       |         $idiv (20 * st.t * c.tf + 6 * st.t + 18 * d.dl * st.n)))
+       |      AS BIGINT) AS score
+       |  FROM qt q
+       |  JOIN tf c ON q.h = c.h AND c.doc_id <> q.query_id
+       |  JOIN dfr f ON f.h = q.h
+       |  JOIN dl d ON d.doc_id = c.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY q.query_id, c.doc_id)""".stripMargin
+
+  private def bm25Sql(hashes: String, idiv: String): String =
+    s"""WITH ${bm25Ctes(hashes, idiv)}
+       |SELECT query_id, neighbor_id, rnk, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
+  private def rrfSql(bm25: String, cosine: String, idiv: String): String =
+    s"""WITH bm AS ($bm25),
+       |cs AS ($cosine),
+       |u AS (
+       |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+       |    coalesce(b.neighbor_id, c.neighbor_id) AS neighbor_id,
+       |    coalesce(b.rnk, 0) AS bm25_rnk, coalesce(c.rnk, 0) AS cos_rnk
+       |  FROM bm b FULL OUTER JOIN cs c
+       |    ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id),
+       |f AS (
+       |  SELECT query_id, neighbor_id, bm25_rnk, cos_rnk,
+       |    (CASE WHEN bm25_rnk > 0 THEN $RrfScale $idiv ($RrfK + bm25_rnk) ELSE 0 END)
+       |    + (CASE WHEN cos_rnk > 0 THEN $RrfScale $idiv ($RrfK + cos_rnk) ELSE 0 END)
+       |      AS rrf_score
+       |  FROM u)
+       |SELECT query_id, neighbor_id, rnk, rrf_score, bm25_rnk, cos_rnk FROM (
+       |  SELECT query_id, neighbor_id, rrf_score, bm25_rnk, cos_rnk,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, neighbor_id) AS rnk
+       |  FROM f)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
+  private val hashesDuck = s"unnest(${hashedArrayDuck(tokensDuck("text"))})"
+  private val hashesSpark = "explode(word_shingle_hashes(text, 1, false))"
+
+  val bm25TopKSql: String = bm25Sql(hashesDuck, "//")
+  val bm25TopKSparkSql: String = bm25Sql(hashesSpark, "div")
+
+  val hybridRrfTopKSql: String =
+    rrfSql(bm25TopKSql, TextAnalysis.textCosineTopKSql, "//")
+
+  /** The cosine half is injected by [[graft.SqlQueries]] so the one
+    * existing s_text_cosine_topk text is shared.
+    */
+  def hybridRrfTopKSparkSql(cosineSql: String): String =
+    rrfSql(bm25TopKSparkSql, cosineSql, "div")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_bm25_topk" -> (bm25TopK _),
+    "s_hybrid_rrf_topk" -> (hybridRrfTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "s_bm25_topk" -> bm25TopKSql,
+    "s_hybrid_rrf_topk" -> hybridRrfTopKSql)
+}
