@@ -137,6 +137,12 @@ object StreamSoak {
     runSoak("chunk_stream",
       StreamingParity.chunkStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Append())
+    // Count-Min stream: state = the counter grid, ≤ depth·width rows
+    // however many documents replay — the state-rows column IS the
+    // sketch's bounded-memory claim, measured.
+    runSoak("cms_stream",
+      StreamingParity.cmsCounterStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
+      OutputMode.Update())
 
     // SCD-2 CDC replay: the customer change feed (v1 all keys, v2 for
     // key%4==1, v3 for key%8==1) written in version order so the file

@@ -84,7 +84,14 @@ object Retrieval {
     *             [multiply num/den by 20·T, all integer]
     *   score   = Σ_t idfS·tfnormS   (exact BIGINT sum)
     */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    // Cached (k·|Q| rows): consumed by its own gate AND the RRF fusion —
+    // the persist policy's "small expensive aggregate, two consumers".
+    CacheRegistry.cached(spark, s"retrieval.bm25TopK:$sfDir") {
+      bm25TopKPlan(spark, sfDir)
+    }
+
+  private def bm25TopKPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tfRel(spark, sfDir)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))

@@ -98,7 +98,7 @@ object Sketches {
     * key the row hashes permute (same fold as Parity.hashedArraySpark,
     * scalar form).
     */
-  private def tok31Spark(c: String): String =
+  private[graft] def tok31Spark(c: String): String =
     s"aggregate(transform(split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
       s"0L, (acc, x) -> (acc * 31 + x) % $P)"
 
@@ -107,7 +107,7 @@ object Sketches {
       s"list_transform(string_split($c, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $P)"
 
-  private def cmsCellExprs(h: String): IndexedSeq[String] =
+  private[graft] def cmsCellExprs(h: String): IndexedSeq[String] =
     cmsCoeffs.map { case (a, b) => s"(($a * $h + $b) % $P) % $CmsWidth" }
 
   /** (tok, h) for every token OCCURRENCE (non-distinct — CMS counts

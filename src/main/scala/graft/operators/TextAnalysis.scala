@@ -246,7 +246,15 @@ object TextAnalysis {
   // this is the exactness baseline for text vectors; the LSH/IVF paths
   // over trained embeddings remain the sublinear route.
   // ------------------------------------------------------------------
-  def textCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def textCosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    // Cached (k·|Q| rows): consumed by its own gate AND the RRF fusion
+    // (Retrieval.hybridRrfTopK) — small expensive aggregate, two
+    // consumers, per the persist policy.
+    graft.CacheRegistry.cached(spark, s"text.cosineTopK:$sfDir") {
+      textCosineTopKPlan(spark, sfDir)
+    }
+
+  private def textCosineTopKPlan(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fv = featureHash(spark, sfDir)
     val norms = fv.groupBy("doc_id")

@@ -863,6 +863,31 @@ object StreamingParity {
   /** A streaming document: arrival event time + text. */
   case class StreamDoc(event_time: Long, doc_id: Long, text: String)
 
+  // ------------------------------------------------------------------
+  // Streaming Count-Min maintenance — the continuous twin of the
+  // Sketches counter grid (t_cms_sketch_stats' `counters` relation).
+  // CMS counters are ADDITIVE, so the mergeable-summary contract that
+  // makes the batch grid one partial-aggregated shuffle makes the
+  // streaming grid a plain streaming groupBy count: the state store
+  // holds ≤ depth·width counter rows FOREVER — the sketch's whole point
+  // is that this bound is corpus-independent — and each micro-batch's
+  // update is absorbed map-side before touching state. Complete output
+  // mode (normally a scale hazard) is safe here precisely because the
+  // result relation is grid-bounded; no watermark because the sketch is
+  // a running total, not a windowed aggregate. Shares Sketches'
+  // expression builders, so the streamed grid is bit-identical to the
+  // batch grid over the same documents (pinned in the spec).
+  // ------------------------------------------------------------------
+  def cmsCounterStream(docs: Dataset[StreamDoc]): DataFrame = {
+    import graft.operators.Sketches
+    docs.toDF()
+      .select(explode(expr(graft.functions.Parity.tokensSpark("text"))).as("tok"))
+      .select(expr(Sketches.tok31Spark("tok")).as("h"))
+      .select(posexplode(array(Sketches.cmsCellExprs("h").map(expr): _*)))
+      .toDF("j", "cell")
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
   def streamingDedup(docs: Dataset[StreamDoc]): DataFrame =
     docs.toDF()
       .withColumn("event_ts", timestamp_millis(col("event_time")))

@@ -233,6 +233,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS grid equals the batch grid over the same documents") {
+    import graft.streaming.StreamingParity.StreamDoc
+    import graft.operators.Sketches
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val P = graft.functions.Parity.P
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.cmsCounterStream(input.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Seq(
+        StreamDoc(1000, 0, "alpha beta alpha"), StreamDoc(2000, 1, "gamma beta")))
+      query.processAllAvailable()
+      input.addData(Seq(StreamDoc(3000, 2, "alpha delta")))
+      query.processAllAvailable()
+      val got = s.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // the batch grid, folded in the driver from the same tokens
+      val occ = Seq("alpha beta alpha", "gamma beta", "alpha delta")
+        .flatMap(_.split(" ", -1))
+        .map(t => t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+      val want = occ.flatMap(h => Sketches.cmsCoeffs.zipWithIndex.map {
+        case ((a, b), j) => (j, ((a * h + b) % P) % Sketches.CmsWidth)
+      }).groupBy(identity).map { case ((j, c), v) => (j, c, v.size.toLong) }.toSet
+      assert(got === want)
+      // the sketch contract: state is grid-bounded however much streams in
+      assert(got.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+    } finally query.stop()
+  }
+
   test("streaming chunker emits the batch twin's chunks with identical fingerprints") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
