@@ -91,16 +91,20 @@ object Retrieval {
       bm25TopKPlan(spark, sfDir)
     }
 
-  private def bm25TopKPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The scoring kernel shared by the batch gate and the streaming
+    * serve arm: an arbitrary (query_id, h) term relation scored against
+    * the corpus index → (query_id, neighbor_id, score). No
+    * self-exclusion here — external serve queries live in their own id
+    * space; the batch gate (whose queries ARE corpus docs) filters the
+    * key-equal pairs afterwards, which commutes with the grouped sum.
+    */
+  private[graft] def scoreAgainst(spark: SparkSession, sfDir: String,
+      qt: DataFrame): DataFrame = {
     val tf = tfRel(spark, sfDir)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
     val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
-    val qt = tf.where(col("doc_id") < Similarity.NumQueries)
-      .select(col("doc_id").as("query_id"), col("h"))
-    val contrib = qt
-      .join(tf.select(col("doc_id").as("neighbor_id"), col("h"), col("tf")), "h")
-      .where(col("neighbor_id") =!= col("query_id"))
+    qt.join(tf.select(col("doc_id").as("neighbor_id"), col("h"), col("tf")), "h")
       .join(df_, "h")
       .join(dl.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")
       .crossJoin(broadcast(st))
@@ -108,11 +112,39 @@ object Retrieval {
         (expr(s"(n - df + 1) * $IdfScale div (df + 1)") *
           expr(s"(44 * t * tf * $TfScale) div (20 * t * tf + 6 * t + 18 * dl * n)"))
           .as("c"))
-    contrib.groupBy("query_id", "neighbor_id").agg(sum("c").as("score"))
+      .groupBy("query_id", "neighbor_id").agg(sum("c").as("score"))
+  }
+
+  /** Per-query top-k cut, deterministic (score desc, neighbor asc). */
+  private[graft] def topKCut(scored: DataFrame): DataFrame =
+    scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
       .where(col("rnk") <= Similarity.TopK)
       .select("query_id", "neighbor_id", "rnk", "score")
+
+  private def bm25TopKPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val qt = tfRel(spark, sfDir).where(col("doc_id") < Similarity.NumQueries)
+      .select(col("doc_id").as("query_id"), col("h"))
+    topKCut(scoreAgainst(spark, sfDir, qt)
+      .where(col("neighbor_id") =!= col("query_id")))
+  }
+
+  /** Serve-path scoring: a batch of EXTERNAL query documents
+    * (query_id, text) ranked against the static corpus index — the
+    * per-trigger body of the streaming retrieval arm
+    * ([[graft.streaming.StreamingParity.bm25ServeStream]]) and a plain
+    * batch entry point for ad-hoc lookups (decontamination probes). The
+    * corpus index relations are registry-persisted: serving N triggers
+    * builds them once.
+    */
+  def bm25ServeBatch(spark: SparkSession, sfDir: String,
+      batch: DataFrame): DataFrame = {
+    val qt = batch
+      .select(col("query_id"),
+        explode(graft.functions.TextHashOps.shingleHashes(
+          col("text"), 1, distinct = true)).as("h"))
+    topKCut(scoreAgainst(spark, sfDir, qt))
   }
 
   /** Gated: (query_id, neighbor_id, rnk, rrf_score, bm25_rnk, cos_rnk)

@@ -1196,6 +1196,24 @@ object StreamingParity {
       .foreachBatch((b: DataFrame, _: Long) =>
         if (!b.isEmpty) onBatch(classifyVecBatch(b, corpus)))
 
+  /** Retrieval serving: per-trigger BM25 ranking of a query-document
+    * stream against the static corpus index — the lexical sibling of
+    * [[knnClassifyStream]], same deployment shape (static side owned by
+    * storage + registry-persisted index relations built once across
+    * triggers; the rank window is a batch operator, so the streaming
+    * form IS [[graft.operators.Retrieval.bm25ServeBatch]] per
+    * micro-batch through foreachBatch). `onBatch` receives each
+    * trigger's (query_id, neighbor_id, rnk, score) relation.
+    */
+  def bm25ServeStream(queries: Dataset[StreamDoc], sfDir: String)(
+      onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.toDF().writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: DataFrame, _: Long) =>
+        if (!b.isEmpty) onBatch(graft.operators.Retrieval.bm25ServeBatch(
+          b.sparkSession, sfDir,
+          b.select(col("doc_id").as("query_id"), col("text")))))
+
   // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:

@@ -333,6 +333,43 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming BM25 serve ranks per trigger exactly like the batch serve plan") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val doc0 = Tables.documents(s, sfDir).where(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val results = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.bm25ServeStream(input.toDS(), sfDir) { out =>
+      val rows = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+      results.synchronized(results ++= rows)
+    }.start()
+    try {
+      input.addData(Seq(StreamDoc(1000, 900, doc0)))
+      query.processAllAvailable()
+      val afterFirst = results.synchronized(results.toList)
+      assert(afterFirst.nonEmpty && afterFirst.forall(_._1 == 900L))
+      // the query IS corpus doc 0's text — that doc must make the top-k
+      assert(afterFirst.exists(_._2 == 0L))
+      input.addData(Seq(StreamDoc(2000, 901, "zzzz qqqq")))
+      query.processAllAvailable()
+      val all = results.synchronized(results.toList)
+      // alien-vocab query shares no terms → ranks nothing (inverted-index
+      // semantics), and trigger 2 re-emits nothing for query 900
+      assert(!all.exists(_._1 == 901L) && all.sorted === afterFirst.sorted)
+      // streamed rows ≡ the batch serve plan on the same query rows
+      val batch = graft.operators.Retrieval.bm25ServeBatch(s, sfDir,
+        Seq((900L, doc0)).toDF("query_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+        .toList
+      assert(all.sorted === batch.sorted)
+    } finally query.stop()
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
