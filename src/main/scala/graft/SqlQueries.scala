@@ -1435,11 +1435,11 @@ object SqlQueries {
   // ------------------------------------------------------------------
 
   private val graphChainSparkSql: String = {
-    import graft.operators.Graph.{Iters, Scale, SuppOff}
+    import graft.operators.Graph.{Iters, Scale}
     val head =
       s"""pairs AS (
-         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
-         |    CAST(l_suppkey AS BIGINT) + ${SuppOff}L AS supp
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2L AS cust,
+         |    CAST(l_suppkey AS BIGINT) * 2L + 1L AS supp
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |edges AS (
          |  SELECT cust AS src, supp AS dst FROM pairs
@@ -1463,7 +1463,7 @@ object SqlQueries {
   }
 
   private lazy val graphSql: Map[String, String] = {
-    import graft.operators.Graph.{Iters, SuppOff}
+    import graft.operators.Graph.Iters
     Map(
       "g_pagerank" ->
         s"""WITH $graphChainSparkSql
@@ -1480,7 +1480,7 @@ object SqlQueries {
       },
       "g_degree_hist" ->
         s"""WITH $graphChainSparkSql
-           |SELECT CASE WHEN id >= ${SuppOff}L THEN 'supplier' ELSE 'customer' END AS side,
+           |SELECT CASE WHEN id % 2L = 1L THEN 'supplier' ELSE 'customer' END AS side,
            |  outdeg, count(*) AS nodes
            |FROM deg GROUP BY 1, 2""".stripMargin)
   }

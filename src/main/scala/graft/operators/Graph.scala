@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Graph: the customer<->supplier bipartite graph induced by the fact
   * table — one undirected edge per DISTINCT (o_custkey, l_suppkey) pair
-  * that traded, stored as two directed rows. Supplier node ids are
-  * offset by [[SuppOff]] so the key spaces stay disjoint at any SF.
+  * that traded, stored as two directed rows. Node ids use parity
+  * encoding — customer 2·custkey (even), supplier 2·suppkey+1 (odd) —
+  * disjoint at ANY scale factor by construction (an additive offset
+  * would collide once keys outgrow it).
   *
   * Arithmetic is EXACT integer fixed-point (ranks scaled by [[Scale]],
   * all ops BIGINT `div`): floating-point PageRank sums doubles in
@@ -49,9 +51,6 @@ object Graph {
     */
   val Scale = 1000000000000L
 
-  /** Supplier node-id offset — disjoint from customer keys at any SF. */
-  val SuppOff = 1000000000L
-
   /** Fixed iteration count (unrolled in the DuckDB/Spark-SQL oracles). */
   val Iters = 3
 
@@ -61,11 +60,11 @@ object Graph {
   private[graft] def edges(spark: SparkSession, sfDir: String): DataFrame =
     CacheRegistry.cached(spark, s"graph.edges:$sfDir") {
       val pairs = Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_custkey").cast("long").as("cust"))
+        .select(col("o_orderkey"), (col("o_custkey").cast("long") * 2).as("cust"))
         .join(
           Tables.lineitem(spark, sfDir).select(
             col("l_orderkey").as("o_orderkey"),
-            (col("l_suppkey").cast("long") + SuppOff).as("supp")),
+            (col("l_suppkey").cast("long") * 2 + 1).as("supp")),
           "o_orderkey")
         .select(col("cust"), col("supp")).distinct()
       pairs.select(col("cust").as("src"), col("supp").as("dst"))
@@ -109,14 +108,10 @@ object Graph {
   private def ranks(spark: SparkSession, sfDir: String, i: Int): DataFrame =
     CacheRegistry.cached(spark, s"graph.ranks$i:$sfDir") {
       val deg = degrees(spark, sfDir)
-      if (i == 0) {
-        val n = deg.count()
-        deg.select(col("id"), lit(Scale / n).as("pr"))
-      } else {
-        val n = deg.count()
-        val base = (15L * Scale) / (100L * n)
-        step(edges(spark, sfDir), deg, ranks(spark, sfDir, i - 1), base)
-      }
+      val n = deg.count()
+      if (i == 0) deg.select(col("id"), lit(Scale / n).as("pr"))
+      else step(edges(spark, sfDir), deg, ranks(spark, sfDir, i - 1),
+        (15L * Scale) / (100L * n))
     }
 
   /** Gated: node ranks after [[Iters]] rounds — the full (node_id, pr)
@@ -149,7 +144,7 @@ object Graph {
   def degreeHist(spark: SparkSession, sfDir: String): DataFrame =
     degrees(spark, sfDir)
       .select(
-        when(col("id") >= SuppOff, lit("supplier")).otherwise(lit("customer")).as("side"),
+        when(col("id") % 2 === 1, lit("supplier")).otherwise(lit("customer")).as("side"),
         col("outdeg"))
       .groupBy("side", "outdeg").agg(count(lit(1)).as("nodes"))
 
@@ -161,8 +156,8 @@ object Graph {
 
   private val graphDuck: String =
     s"""pairs AS MATERIALIZED (
-       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
-       |    CAST(l_suppkey AS BIGINT) + $SuppOff AS supp
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS cust,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS supp
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
@@ -203,7 +198,7 @@ object Graph {
 
   val degreeHistSql: String =
     s"""WITH $graphDuck
-       |SELECT CASE WHEN id >= $SuppOff THEN 'supplier' ELSE 'customer' END AS side,
+       |SELECT CASE WHEN id % 2 = 1 THEN 'supplier' ELSE 'customer' END AS side,
        |  outdeg, count(*) AS nodes
        |FROM deg GROUP BY 1, 2""".stripMargin
 

@@ -48,6 +48,19 @@ object Retrieval {
     * tf-normalization quotient; a score contribution is their product
     * (≤ ~1e14 at sf1 — headroom 4 orders below the 2^63 line, audited
     * against N = 5·10^4, T = 2.75·10^6, tf ≤ dl ≤ 10^3).
+    *
+    * Corpus envelope: the per-TERM intermediates ((N−df+1)·IdfScale and
+    * 44·T·tf·TfScale) stay inside int64 through N ≈ 10^8 docs /
+    * T ≈ 10^10 tokens. The per-PAIR score additionally SUMS over shared
+    * terms — a df=2 term at N = 10^8 contributes ~10^17, so ~80 shared
+    * rare terms saturate 2^63 (pairs like that are near-duplicates and
+    * belong to the dedup stack first, but the ranker must not rely on
+    * that). Past either line, shrink IdfScale/TfScale — BM25 needs the
+    * RATIO's ranking precision, not absolute magnitude, so the scales
+    * can fall as the corpus grows (the same one-statistic adaptivity as
+    * [[Sketches.mForCount]]) — or widen the contribution arithmetic to
+    * DECIMAL(38,0) as in q4's property-tested overflow twin
+    * (RefQueries.q4CardinalityPlanDecimal).
     */
   val IdfScale = 1000000L
   val TfScale = 1000L
@@ -101,9 +114,17 @@ object Retrieval {
   private[graft] def scoreAgainst(spark: SparkSession, sfDir: String,
       qt: DataFrame): DataFrame = {
     val tf = tfRel(spark, sfDir)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
-    val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    // Registered like tf: the whole index (tf + dl + df + the 1-row
+    // stats) then builds ONCE however many serve triggers probe it.
+    val dl = CacheRegistry.cached(spark, s"retrieval.dl:$sfDir") {
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    }
+    val st = CacheRegistry.cached(spark, s"retrieval.st:$sfDir") {
+      dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    }
+    val df_ = CacheRegistry.cached(spark, s"retrieval.df:$sfDir") {
+      tf.groupBy("h").agg(count(lit(1)).as("df"))
+    }
     qt.join(tf.select(col("doc_id").as("neighbor_id"), col("h"), col("tf")), "h")
       .join(df_, "h")
       .join(dl.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")

@@ -209,18 +209,15 @@ object Sketches {
   private val cmsBaseSpark: String =
     cmsBaseSql(t => s"explode(split($t, ' '))", tok31Spark)
 
-  val cmsTokenFreqSql: String =
-    s"""WITH $cmsBaseDuck
+  // One SELECT body per query, parameterized on the dialect base CTE —
+  // a report-column edit cannot diverge the two faces.
+  private def cmsFreqSql(base: String): String =
+    s"""WITH $base
        |SELECT tok AS token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
        |FROM est WHERE exact_cnt * $HHDen > (SELECT count(*) FROM occ)""".stripMargin
 
-  val cmsTokenFreqSparkSql: String =
-    s"""WITH $cmsBaseSpark
-       |SELECT tok AS token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
-       |FROM est WHERE exact_cnt * $HHDen > (SELECT count(*) FROM occ)""".stripMargin
-
-  val cmsSketchStatsSql: String =
-    s"""WITH $cmsBaseDuck
+  private def cmsStatsSql(base: String): String =
+    s"""WITH $base
        |SELECT CAST($CmsDepth AS BIGINT) AS depth, CAST($CmsWidth AS BIGINT) AS width,
        |  (SELECT count(*) FROM counters) AS occupied_cells,
        |  (SELECT max(cnt) FROM counters) AS max_cell,
@@ -229,15 +226,10 @@ object Sketches {
        |  (SELECT CAST(sum(exact_cnt) AS BIGINT) FROM est) AS n_occurrences,
        |  (SELECT CAST(sum(est_cnt - exact_cnt) AS BIGINT) FROM est) AS sum_overcount""".stripMargin
 
-  val cmsSketchStatsSparkSql: String =
-    s"""WITH $cmsBaseSpark
-       |SELECT CAST($CmsDepth AS BIGINT) AS depth, CAST($CmsWidth AS BIGINT) AS width,
-       |  (SELECT count(*) FROM counters) AS occupied_cells,
-       |  (SELECT max(cnt) FROM counters) AS max_cell,
-       |  (SELECT CAST(sum(cnt) AS BIGINT) FROM counters) AS total_updates,
-       |  (SELECT count(*) FROM est) AS n_tokens,
-       |  (SELECT CAST(sum(exact_cnt) AS BIGINT) FROM est) AS n_occurrences,
-       |  (SELECT CAST(sum(est_cnt - exact_cnt) AS BIGINT) FROM est) AS sum_overcount""".stripMargin
+  val cmsTokenFreqSql: String = cmsFreqSql(cmsBaseDuck)
+  val cmsTokenFreqSparkSql: String = cmsFreqSql(cmsBaseSpark)
+  val cmsSketchStatsSql: String = cmsStatsSql(cmsBaseDuck)
+  val cmsSketchStatsSparkSql: String = cmsStatsSql(cmsBaseSpark)
 
   // ------------------------------------------------------------------
   // Bloom-filter semi-join economics.
@@ -398,8 +390,12 @@ object Sketches {
       .where(col("edit_distance") <= EditMax)
   }
 
-  val editdistNearDupSql: String =
-    s"""WITH cands AS (${Dedup.minhashLshPairsSql}),
+  /** One text for both engines (ANSI subset — `substr` and
+    * `levenshtein` are common), parameterized on the candidate CTE so
+    * each dialect injects its own minhash-pairs text.
+    */
+  private def editdistSql(candsSql: String): String =
+    s"""WITH cands AS ($candsSql),
        |d AS (SELECT doc_id, substr(text, 1, $EditPrefixLen) AS pfx FROM documents)
        |SELECT c.id_a, c.id_b,
        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
@@ -408,19 +404,13 @@ object Sketches {
        |JOIN d b ON b.doc_id = c.id_b
        |WHERE levenshtein(a.pfx, b.pfx) <= $EditMax""".stripMargin
 
+  val editdistNearDupSql: String = editdistSql(Dedup.minhashLshPairsSql)
+
   /** Spark-dialect face over the minhash text in [[graft.SqlQueries]];
     * the candidate CTE is injected there to share the one existing
     * text.
     */
-  def editdistNearDupSparkSql(candsSql: String): String =
-    s"""WITH cands AS ($candsSql),
-       |d AS (SELECT doc_id, substring(text, 1, $EditPrefixLen) AS pfx FROM documents)
-       |SELECT c.id_a, c.id_b,
-       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
-       |FROM cands c
-       |JOIN d a ON a.doc_id = c.id_a
-       |JOIN d b ON b.doc_id = c.id_b
-       |WHERE levenshtein(a.pfx, b.pfx) <= $EditMax""".stripMargin
+  def editdistNearDupSparkSql(candsSql: String): String = editdistSql(candsSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_cms_token_freq" -> (cmsTokenFreq _),
