@@ -884,6 +884,24 @@ object SqlQueries {
   private lazy val longTailSql: Map[String, String] = Map(
     "p_zorder_layout" -> graft.operators.Layout.zorderLayoutSparkSql,
     "p_zorder_skipping" -> graft.operators.Layout.zorderSkippingSparkSql,
+    "t_vocab_drift" ->
+      s"""WITH cnts AS (
+         |  SELECT tok AS token,
+         |    sum(CASE WHEN d % 2 = 0 THEN 1L ELSE 0L END) AS cnt_a,
+         |    sum(CASE WHEN d % 2 = 0 THEN 0L ELSE 1L END) AS cnt_b
+         |  FROM (SELECT doc_id AS d, explode(${tokensSpark("text")}) AS tok
+         |        FROM documents)
+         |  GROUP BY tok),
+         |tot AS (
+         |  SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM cnts),
+         |sh AS (
+         |  SELECT token, cnt_a, cnt_b,
+         |    CASE WHEN tot_a = 0 THEN 0L ELSE cnt_a * 1000000L div tot_a END AS share_a_ppm,
+         |    CASE WHEN tot_b = 0 THEN 0L ELSE cnt_b * 1000000L div tot_b END AS share_b_ppm
+         |  FROM cnts CROSS JOIN tot)
+         |SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+         |  abs(share_a_ppm - share_b_ppm) AS drift_ppm
+         |FROM sh""".stripMargin,
     "s_bm25_topk" -> Retrieval.bm25TopKSparkSql,
     "s_hybrid_rrf_topk" -> Retrieval.hybridRrfTopKSparkSql(textCosineTopKSparkSql),
     "t_cms_token_freq" -> Sketches.cmsTokenFreqSparkSql,

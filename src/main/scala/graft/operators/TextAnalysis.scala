@@ -695,7 +695,67 @@ object TextAnalysis {
        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
        |FROM s""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Corpus drift monitoring — the day-over-day distribution check a
+  // continuously-ingesting pipeline runs before retraining decisions:
+  // per token, the frequency SHARE in snapshot A vs snapshot B and the
+  // absolute share drift (ppm, exact integer division). Snapshots are
+  // the deterministic doc_id-parity split, the same day-1/day-2
+  // convention as incremental dedup. Σ drift_ppm over the output is the
+  // L1 population-shift statistic (the integer-exact PSI stand-in — a
+  // log-ratio PSI would sum doubles, forbidden by the parity rules).
+  // Scale shape: one conditional two-phase aggregate on the token key
+  // (no join between snapshots — the parity flag rides the explode) +
+  // a broadcast 1-row totals relation; |vocab| output rows. At 100 TB
+  // the shuffled token string swaps for its 8-byte hash exactly like
+  // repetition stats.
+  // ------------------------------------------------------------------
+  def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    // Registered: consumed twice (totals side + cross-join side) — the
+    // same shape Curation.mixPerSource persists for the same reason.
+    val cnts = graft.CacheRegistry.cached(spark, s"text.driftCnts:$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(expr(tokensSpark("text"))).as("token"))
+        .groupBy("token")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
+    }
+    val tot = cnts.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    // Empty-snapshot guard (day-1 bootstrap has no B side yet): share 0,
+    // not an ANSI divide-by-zero — identical CASE in both dialects.
+    cnts.crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        expr("CASE WHEN tot_a = 0 THEN 0L ELSE cnt_a * 1000000L div tot_a END")
+          .as("share_a_ppm"),
+        expr("CASE WHEN tot_b = 0 THEN 0L ELSE cnt_b * 1000000L div tot_b END")
+          .as("share_b_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+  }
+
+  val vocabDriftSql: String =
+    s"""WITH cnts AS (
+       |  SELECT tok AS token,
+       |    CAST(sum(CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(sum(CASE WHEN d % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |  FROM (SELECT doc_id AS d, unnest(${tokensDuck("text")}) AS tok FROM documents)
+       |  GROUP BY tok),
+       |tot AS (
+       |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+       |    CAST(sum(cnt_b) AS BIGINT) AS tot_b
+       |  FROM cnts),
+       |sh AS (
+       |  SELECT token, cnt_a, cnt_b,
+       |    CASE WHEN tot_a = 0 THEN 0 ELSE cnt_a * 1000000 // tot_a END AS share_a_ppm,
+       |    CASE WHEN tot_b = 0 THEN 0 ELSE cnt_b * 1000000 // tot_b END AS share_b_ppm
+       |  FROM cnts CROSS JOIN tot)
+       |SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+       |  abs(share_a_ppm - share_b_ppm) AS drift_ppm
+       |FROM sh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_vocab_drift" -> (vocabDrift _),
     "t_top_ngrams" -> (topNgrams _),
     "t_quality_deciles" -> (qualityDeciles _),
     "t_token_rarity" -> (tokenRarity _),
@@ -712,6 +772,7 @@ object TextAnalysis {
     "t_token_char_fit" -> (tokenCharFit _))
 
   val oracles: Map[String, String] = Map(
+    "t_vocab_drift" -> vocabDriftSql,
     "t_top_ngrams" -> topNgramsSql,
     "t_quality_deciles" -> qualityDecilesSql,
     "t_token_rarity" -> tokenRaritySql,

@@ -9,6 +9,55 @@ import graft.operators.TextAnalysis
   */
 class RegressionSpec extends SparkSpec {
 
+  test("vocab drift: planted snapshots give hand-computed shares and drift") {
+    // even doc 0 -> snapshot A: tokens a,a,b (tot 3); odd doc 1 ->
+    // snapshot B: a,c (tot 2). Integer div: 2e6 div 3 = 666666.
+    val dir = writeFixture(documents = Seq(doc(0, "a a b"), doc(1, "a c")))
+    val got = TextAnalysis.vocabDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Long]("share_a_ppm"), r.getAs[Long]("share_b_ppm"),
+          r.getAs[Long]("drift_ppm"))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 1L, 666666L, 500000L, 166666L)),
+      "b" -> ((1L, 0L, 333333L, 0L, 333333L)),
+      "c" -> ((0L, 1L, 0L, 500000L, 500000L))))
+  }
+
+  test("vocab drift: one-parity snapshot gives zero shares, not a division error") {
+    // all-even doc_ids -> snapshot B is empty (day-1 bootstrap): tot_b=0
+    // must yield share 0, not an ANSI DIVIDE_BY_ZERO
+    val dir = writeFixture(documents = Seq(doc(0, "a b"), doc(2, "a")))
+    val got = TextAnalysis.vocabDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Long]("share_a_ppm"), r.getAs[Long]("share_b_ppm"),
+          r.getAs[Long]("drift_ppm"))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 0L, 666666L, 0L, 666666L)),
+      "b" -> ((1L, 0L, 333333L, 0L, 333333L))))
+  }
+
+  test("vocab drift on the fixture equals the driver-side recomputation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val toks = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map((r.getLong(0) % 2 == 0, _)))
+    val byTok = toks.groupBy(_._2).map { case (t, v) =>
+      t -> (v.count(_._1).toLong, v.count(!_._1).toLong)
+    }
+    val (totA, totB) = (byTok.values.map(_._1).sum, byTok.values.map(_._2).sum)
+    val want = byTok.map { case (t, (a, b)) =>
+      val (sa, sb) = (a * 1000000L / totA, b * 1000000L / totB)
+      t -> ((a, b, sa, sb, math.abs(sa - sb)))
+    }
+    val got = TextAnalysis.vocabDrift(spark, sfDir).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Long]("share_a_ppm"), r.getAs[Long]("share_b_ppm"),
+          r.getAs[Long]("drift_ppm"))).toMap
+    assert(got.nonEmpty && got === want)
+  }
+
   test("two-point source fits the exact interpolating line") {
     // srcA: (x=3,y=2), (x=7,y=4) -> slope 1/2, intercept 1/2, corr 1
     val dir = writeFixture(documents = Seq(
