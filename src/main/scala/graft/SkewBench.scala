@@ -120,6 +120,7 @@ object SkewBench {
 
     val queries = Seq(
       "q3_windowed_count", "q3_windowed_count_salted",
+      "q3_windowed_count_salted_dynamic",
       "q4_star_cardinality", "q4_star_join")
     // Warm EVERY timed query on BOTH fixtures, untimed: the uniform/skewed
     // comparison assumes equal cache state, so first-touch costs (file
