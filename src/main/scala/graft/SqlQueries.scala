@@ -369,6 +369,30 @@ object SqlQueries {
        |    GROUP BY 1, 2))
        |WHERE rnk = 1""".stripMargin
 
+  /** The p_upsert_merge text, named so the snapshot-diff face can
+    * inject it as its version-B CTE — one merge text, two consumers.
+    */
+  private lazy val upsertMergeSparkSql: String =
+    s"""WITH merged AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, poly_hash(text) AS fp
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS BIGINT) AS version,
+       |    poly_hash(concat(text, ' rev2')) AS fp
+       |  FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + ${Curation.UpsertIdOffset}L AS doc_id,
+       |    CAST(1 AS BIGINT) AS version, poly_hash(concat('new ', text)) AS fp
+       |  FROM documents WHERE doc_id % 4 = 2),
+       |winner AS (SELECT doc_id, max(version) AS version FROM merged GROUP BY doc_id)
+       |SELECT m.doc_id, m.version,
+       |  CASE WHEN m.version = 2 THEN 'updated'
+       |       WHEN m.doc_id >= ${Curation.UpsertIdOffset}L THEN 'inserted'
+       |       ELSE 'carried' END AS status,
+       |  m.fp
+       |FROM merged m JOIN winner w
+       |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin
+
   private lazy val trainingSql: Map[String, String] = Map(
     // ---- text analysis ------------------------------------------------
     "t_token_stats" ->
@@ -884,6 +908,50 @@ object SqlQueries {
   private lazy val longTailSql: Map[String, String] = Map(
     "p_zorder_layout" -> graft.operators.Layout.zorderLayoutSparkSql,
     "p_zorder_skipping" -> graft.operators.Layout.zorderSkippingSparkSql,
+    "t_cms_join_size" -> Sketches.cmsJoinSizeSparkSql,
+    "g_dup_triangles" ->
+      graft.operators.Graph.dupTrianglesSqlOver(minhashLshPairsSparkSql, "div"),
+    "p_temperature_mix" ->
+      s"""WITH per_source AS (
+         |  SELECT source,
+         |    CAST(sum(size(${tokensSpark("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens * ${Curation.TempScale}L AS DOUBLE)))
+         |      AS BIGINT) AS w
+         |  FROM per_source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(w) AS BIGINT) AS total_w
+         |  FROM w)
+         |SELECT source, n_tokens, w,
+         |  n_tokens * 1000000L div total_tokens AS nat_ppm,
+         |  w * 1000000L div total_w AS temp_ppm,
+         |  (w * total_tokens * 1000L) div (total_w * n_tokens) AS boost_pm
+         |FROM w, tot""".stripMargin,
+    // The SQL face states the SEMANTIC (one full-corpus pass); the
+    // gated DataFrame twin executes the incremental stored ⊕ Δ plan —
+    // the same face/plan split as a_sole_blame_suppliers' EXISTS form.
+    "p_incremental_vocab" ->
+      s"""SELECT token, count(*) AS tf,
+         |  sum(CASE WHEN d % 2 = 1 THEN 1L ELSE 0L END) AS tf_batch
+         |FROM (SELECT doc_id AS d, explode(${tokensSpark("text")}) AS token
+         |      FROM documents)
+         |GROUP BY token""".stripMargin,
+    "p_snapshot_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, fp FROM ($upsertMergeSparkSql)
+         |  WHERE NOT (doc_id % 17 = 3 AND doc_id < ${Curation.UpsertIdOffset}L)),
+         |a AS (SELECT doc_id, poly_hash(text) AS fp FROM documents)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       WHEN a.fp <> b.fp THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  COALESCE(a.fp, 0L) AS fp_old,
+         |  COALESCE(b.fp, 0L) AS fp_new
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
     "t_vocab_drift" ->
       s"""WITH cnts AS (
          |  SELECT tok AS token,
@@ -1221,26 +1289,7 @@ object SqlQueries {
          |  sum(CAST(size(split(syms, ' ')) AS BIGINT)) AS n_syms
          |FROM toks t JOIN syms${Curation.BpeIters} s ON t.word = s.word
          |GROUP BY doc_id""".stripMargin,
-    "p_upsert_merge" ->
-      s"""WITH merged AS (
-         |  SELECT doc_id, CAST(1 AS BIGINT) AS version, poly_hash(text) AS fp
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, CAST(2 AS BIGINT) AS version,
-         |    poly_hash(concat(text, ' rev2')) AS fp
-         |  FROM documents WHERE doc_id % 4 = 1
-         |  UNION ALL
-         |  SELECT doc_id + ${Curation.UpsertIdOffset}L AS doc_id,
-         |    CAST(1 AS BIGINT) AS version, poly_hash(concat('new ', text)) AS fp
-         |  FROM documents WHERE doc_id % 4 = 2),
-         |winner AS (SELECT doc_id, max(version) AS version FROM merged GROUP BY doc_id)
-         |SELECT m.doc_id, m.version,
-         |  CASE WHEN m.version = 2 THEN 'updated'
-         |       WHEN m.doc_id >= ${Curation.UpsertIdOffset}L THEN 'inserted'
-         |       ELSE 'carried' END AS status,
-         |  m.fp
-         |FROM merged m JOIN winner w
-         |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin,
+    "p_upsert_merge" -> upsertMergeSparkSql,
     "s_lsh_recall" ->
       s"""WITH exact AS ($cosineTopKSparkSql),
          |approx AS ($lshTopKSparkSql)

@@ -110,6 +110,53 @@ object Curation {
       |GROUP BY token""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental vocabulary maintenance — [[vocabFreq]]'s term counts as
+  // a MAINTAINED aggregate (materialized-view / incremental-ETL shape):
+  // day-1 counts (even doc_ids, the vocabDrift snapshot convention) are
+  // the STORED relation; the day-2 batch (odd doc_ids) is aggregated
+  // alone and merged in with one vocab-sized full-outer sum — the
+  // corpus is never re-scanned. The oracle recomputes the counts from
+  // the WHOLE corpus in one pass, so the hash gate IS the maintenance
+  // proof: stored ⊕ Δ ≡ full recompute, token for token (the aggregate
+  // sibling of d_incremental_clusters' label-maintenance gate).
+  //
+  // Scale shape: day-2 cost is batch-proportional — one batch explode +
+  // two-phase count + a merge join keyed by the token (8-byte hash at
+  // 100 TB, the repetitionStats swap); the stored relation is
+  // vocab-sized (millions of rows vs trillions of corpus tokens) and in
+  // production lives as a bucketed table on the token key so the merge
+  // is shuffle-free (the Bucketing day-2 layout). COUNT DISTINCT df is
+  // deliberately NOT maintained here — distinct-over-docs is not
+  // self-maintainable from (token, df) alone; a production pipeline
+  // keeps the (token, doc) keyset (that relation is exactly
+  // d_shingle_novelty's first-seen table at shingle granularity).
+  // ------------------------------------------------------------------
+  private def storedVocab(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"curation.storedVocab:$sfDir") {
+      Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 0)
+        .select(explode(expr("split(text, ' ')")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf_stored"))
+    }
+
+  def incrementalVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 1)
+      .select(explode(expr("split(text, ' ')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf_b"))
+    storedVocab(spark, sfDir).join(batch, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("tf_stored"), lit(0L)) + coalesce(col("tf_b"), lit(0L)))
+          .as("tf"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_batch"))
+  }
+
+  val incrementalVocabSql: String =
+    """SELECT token, count(*) AS tf,
+      |  CAST(sum(CASE WHEN d % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf_batch
+      |FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS token
+      |      FROM (SELECT doc_id, text FROM documents))
+      |GROUP BY token""".stripMargin
+
+  // ------------------------------------------------------------------
   // Bigram statistics: [[vocabFreq]] at order 2 WITH multiplicity (the
   // dedup shingles are distinct-per-doc; an n-gram LM / BPE-merge pass
   // needs every occurrence counted). Same explode + two-phase-agg shape:
@@ -639,6 +686,60 @@ object Curation {
        |WHERE fp % $MixHashMod < keep_thresh""".stripMargin
 
   // ------------------------------------------------------------------
+  // Temperature-smoothed mix: the multilingual-sampling weights of the
+  // large-model data recipes (upsample low-resource sources with
+  // p_i ∝ n_i^α, α = 1/2 here — "temperature 2" in the mT5/XLM-R
+  // convention) next to [[mixWeights]]' natural and equal-share
+  // policies. w_i = ⌊√(n_i·10⁶)⌋ keeps the whole computation inside
+  // the parity rules: BIGINT→DOUBLE is exact below 2^53, sqrt is
+  // IEEE-correctly-rounded in both engines, floor pins the one double
+  // back to an integer — after that every share and boost is integer
+  // cross-multiplied (boost_pm = (w·T·1000) div (W·n): the temperature
+  // share over the natural share in per-mille, computed WITHOUT the
+  // intermediate ppm rounding so no division-by-zero path exists for a
+  // tiny source). Scale shape: identical to mixWeights — one corpus
+  // aggregate to |sources| rows, a broadcast 1-row totals join;
+  // w·T·1000 stays under 2^63 to ~10¹⁴ corpus tokens, past that the
+  // DECIMAL(38,0) hop.
+  // ------------------------------------------------------------------
+  val TempScale = 1000000L
+
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = mixPerSource(spark, sfDir)
+      .select(col("source"), col("n_tokens"),
+        expr(s"CAST(floor(sqrt(CAST(n_tokens * $TempScale AS DOUBLE))) AS BIGINT)")
+          .as("w"))
+    val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
+      sum("w").as("total_w"))
+    perSource.crossJoin(broadcast(totals)).select(
+      col("source"), col("n_tokens"), col("w"),
+      expr("n_tokens * 1000000L div total_tokens").as("nat_ppm"),
+      expr("w * 1000000L div total_w").as("temp_ppm"),
+      expr("(w * total_tokens * 1000L) div (total_w * n_tokens)").as("boost_pm"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source,
+       |    CAST(sum(len(${graft.functions.Parity.tokensDuck("text")})) AS BIGINT)
+       |      AS n_tokens
+       |  FROM (SELECT source, text FROM documents)
+       |  GROUP BY source),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens * $TempScale AS DOUBLE))) AS BIGINT) AS w
+       |  FROM per_source),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(w) AS BIGINT) AS total_w
+       |  FROM w)
+       |SELECT source, n_tokens, w,
+       |  n_tokens * 1000000 // total_tokens AS nat_ppm,
+       |  w * 1000000 // total_w AS temp_ppm,
+       |  (w * total_tokens * 1000) // (total_w * n_tokens) AS boost_pm
+       |FROM w, tot""".stripMargin
+
+  // ------------------------------------------------------------------
   // Per-source quality top-k: keep the QualityTopK best-scoring docs in
   // each source ("best N per domain" curation). Rank runs INSIDE each
   // source partition — a bounded window, the same
@@ -926,6 +1027,57 @@ object Curation {
        |  ON m.doc_id = w.doc_id AND m.version = w.version""".stripMargin
 
   // ------------------------------------------------------------------
+  // Snapshot diff — derive the CHANGE FEED between two corpus versions
+  // (the CDC-derivation step of any snapshot-based ingestion: what a
+  // Delta/Iceberg reader calls table_changes when the writer didn't
+  // record them). Version A = the base corpus; version B composes two
+  // gated conventions — the [[upsertMerge]] winners (revisions +
+  // inserts) minus the [[forgetAudit]] deletion set (original
+  // doc_id % 17 = 3) — so every change class is non-empty: 'added'
+  // (B only), 'removed' (A only), 'changed' (both, fingerprint
+  // differs), 'unchanged'. The comparison is FINGERPRINTS on a
+  // co-partitioned full-outer join over the 8-byte key — text is never
+  // compared or shuffled; missing-side fps report the 0 sentinel
+  // (NULL-free output, the NullSemantics hash-gate discipline).
+  //
+  // Scale shape: one full-outer hash join on doc_id between two
+  // corpus-sized fp relations — both sides live bucketed on the key in
+  // production, making the diff shuffle-free (the Bucketing layout);
+  // output is corpus-sized but 3 integers + a class tag per row.
+  // ------------------------------------------------------------------
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.polyHash(col("text")).as("fp_a"))
+    val b = upsertMerge(spark, sfDir)
+      .where(!(col("doc_id") % 17 === 3 && col("doc_id") < UpsertIdOffset))
+      .select(col("doc_id"), col("fp").as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("fp_a"), lit(0L)).as("fp_old"),
+        coalesce(col("fp_b"), lit(0L)).as("fp_new"))
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, fp FROM ($upsertMergeSql)
+       |  WHERE NOT (doc_id % 17 = 3 AND doc_id < $UpsertIdOffset)),
+       |a AS (
+       |  SELECT doc_id, ${charPolyHashDuck("text")} AS fp
+       |  FROM ($docsSql))
+       |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN 'added'
+       |       WHEN b.doc_id IS NULL THEN 'removed'
+       |       WHEN a.fp <> b.fp THEN 'changed'
+       |       ELSE 'unchanged' END AS change,
+       |  COALESCE(a.fp, 0) AS fp_old,
+       |  COALESCE(b.fp, 0) AS fp_new
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // BPE tokenizer training — the first merge steps of byte-pair encoding
   // as distributed aggregates (the algorithm every modern tokenizer
   // trains with): start from the word vocab with corpus frequencies,
@@ -1164,6 +1316,9 @@ object Curation {
     "p_incremental_chunk_dedup" -> (incrementalChunkDedup _),
     "p_mix_weights" -> (mixWeights _),
     "p_mix_sample" -> (mixSample _),
+    "p_temperature_mix" -> (temperatureMix _),
+    "p_incremental_vocab" -> (incrementalVocab _),
+    "p_snapshot_diff" -> (snapshotDiff _),
     "p_top_quality" -> (topQuality _),
     "p_bigram_freq" -> (bigramFreq _),
     "p_length_trim" -> (lengthTrim _))
@@ -1189,6 +1344,9 @@ object Curation {
     "p_incremental_chunk_dedup" -> incrementalChunkDedupSql,
     "p_mix_weights" -> mixWeightsSql,
     "p_mix_sample" -> mixSampleSql,
+    "p_temperature_mix" -> temperatureMixSql,
+    "p_incremental_vocab" -> incrementalVocabSql,
+    "p_snapshot_diff" -> snapshotDiffSql,
     "p_top_quality" -> topQualitySql,
     "p_bigram_freq" -> bigramFreqSql,
     "p_length_trim" -> lengthTrimSql)

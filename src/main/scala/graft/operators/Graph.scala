@@ -149,6 +149,110 @@ object Graph {
       .groupBy("side", "outdeg").agg(count(lit(1)).as("nodes"))
 
   // ------------------------------------------------------------------
+  // Triangle counting over the near-dup pair graph.
+  // ------------------------------------------------------------------
+
+  /** Gated: triangles + wedges of the MinHash-LSH near-dup graph — the
+    * transitivity audit of the dedup cascade. Connected components
+    * (`d_dedup_clusters`) treat similarity as transitive; this measures
+    * how true that is: a clique-dense graph (3·triangles ≈ wedges)
+    * means CC labels are safe, a path-dense one (triangles ≪ wedges)
+    * means chains like A~B~C with A≁C are being merged — the
+    * over-merge failure mode of template spam. Composes the gated
+    * `d_minhash_lsh_pairs` relation (registry-persisted; fourth
+    * consumer), like the other composition audits (`p_split_leakage`).
+    *
+    * Algorithm is the degree-ordered orientation count: orient every
+    * edge from its (degree, id)-smaller endpoint, enumerate oriented
+    * wedges (two out-edges of one node, heads ordered by (degree, id)),
+    * and close each wedge against the oriented edge set — each triangle
+    * is counted exactly once, at its lowest-degree vertex. The
+    * orientation is the 100 TB lever: per-node oriented out-degree is
+    * bounded by O(√|E|) on any graph (arboricity bound), so the wedge
+    * relation stays near-linear even when a hub vertex has a huge raw
+    * degree — the same hot-key discipline as the salted aggregates,
+    * achieved by *orientation* instead of salting. All joins are
+    * equi-joins on 8-byte ids; the pair relation is the only input
+    * (document text is never touched).
+    *
+    * Output: one row — nodes/edges of the pair graph, undirected wedge
+    * count Σ d(d−1)/2, and the exact triangle count (global
+    * transitivity = 3·n_triangles / n_wedges, left as integers per the
+    * parity rules).
+    */
+  def dupTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOn(Dedup.minhashLshPairs(spark, sfDir)
+      .select(col("id_a").as("u"), col("id_b").as("v")))
+
+  /** The degree-ordered count over an explicit `(u, v)` edge relation
+    * (u < v, one row per undirected edge) — the testable core.
+    */
+  private[graft] def trianglesOn(e: DataFrame): DataFrame = {
+    val deg =
+      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val keep = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e.join(du, "u").join(dv, "v").select(
+      when(keep, col("u")).otherwise(col("v")).as("src"),
+      when(keep, col("v")).otherwise(col("u")).as("dst"),
+      when(keep, col("dv")).otherwise(col("du")).as("ddeg"))
+    val w = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.ddeg") < col("o2.ddeg") ||
+            (col("o1.ddeg") === col("o2.ddeg") && col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val tri = w.join(o, col("src") === col("x") && col("dst") === col("y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1)")), lit(0L)).as("w2"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri).select(
+      col("n_nodes"), col("n_edges"),
+      expr("w2 div 2").as("n_wedges"), col("n_triangles"))
+  }
+
+  /** The triangle query text over an injected `pairs(id_a, id_b, …)`
+    * CTE — dialect-neutral except the integer-division token (`//`
+    * DuckDB, `div` Spark), so the oracle and the SQL face share one
+    * body (the `editdistNearDupSparkSql(pairs)` pattern).
+    */
+  def dupTrianglesSqlOver(pairsSql: String, idiv: String): String =
+    s"""WITH cands AS ($pairsSql),
+       |e AS (SELECT id_a AS u, id_b AS v FROM cands),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+       |  GROUP BY id),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |         THEN e.u ELSE e.v END AS src,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |         THEN e.v ELSE e.u END AS dst,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |         THEN dv.d ELSE du.d END AS ddeg
+       |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+       |w AS (
+       |  SELECT o1.dst AS x, o2.dst AS y
+       |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+       |  WHERE o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM w JOIN o ON o.src = w.x AND o.dst = w.y)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |  (SELECT COALESCE(CAST(sum(d * (d - 1)) AS BIGINT), 0) $idiv 2 FROM deg)
+       |    AS n_wedges,
+       |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
+  val dupTrianglesSql: String =
+    dupTrianglesSqlOver(Dedup.minhashLshPairsSql, "//")
+
+  // ------------------------------------------------------------------
   // DuckDB oracles — the same graph + the same integer formula with the
   // K iterations unrolled as CTEs (`//` = BIGINT floor div; sums pass
   // through HUGEINT and are cast back, exact throughout).
@@ -205,10 +309,12 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> (pageRank _),
     "g_pagerank_converge" -> (pageRankConverge _),
-    "g_degree_hist" -> (degreeHist _))
+    "g_degree_hist" -> (degreeHist _),
+    "g_dup_triangles" -> (dupTriangles _))
 
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pageRankSql,
     "g_pagerank_converge" -> pageRankConvergeSql,
-    "g_degree_hist" -> degreeHistSql)
+    "g_degree_hist" -> degreeHistSql,
+    "g_dup_triangles" -> dupTrianglesSql)
 }

@@ -179,6 +179,40 @@ object Sketches {
       col("n_tokens"), col("n_occurrences"), col("sum_overcount"))
   }
 
+  /** Gated: sketch-based SELF-JOIN SIZE estimation — the optimizer
+    * statistic that predicts the Σ cnt² row blowup of an equi-self-join
+    * BEFORE running it (the cost that makes `d_jaccard_pairs` a labeled
+    * quadratic baseline; a planner reading this estimate picks the
+    * prefix/LSH sibling instead). Classic CMS inner-product estimate
+    * (Cormode–Muthukrishnan): per depth row j, est_j = Σ_cell cnt_j²;
+    * est = min_j est_j — one-sided (est ≥ truth: each row's sum is
+    * Σ cnt² plus nonnegative cross terms from colliding keys), so
+    * `overcount` is the measured collision price, same accounting as
+    * `t_cms_token_freq`. The modern form of the reference's
+    * cost-model-before-strategy discipline
+    * (one-group-stateless/src/main/scala/partitioner/DPartitioner.scala:31-54
+    * picks HH vs APK from measured stats): estimate the join, then pick
+    * the plan.
+    *
+    * 100 TB shape: the estimate needs ONLY the grid (constant rows,
+    * built by partial aggregation in one corpus pass) — never the
+    * per-key frequency relation the exact Σ cnt² needs; truth here is
+    * the fixture-affordable audit column. Grid cell sums stay < 2^31
+    * per ~10⁹-occurrence corpus slice, so cnt² sums sit far under
+    * BIGINT; past that, the DECIMAL(38,0) hop (q4 discipline).
+    */
+  def cmsJoinSize(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = estRel(spark, sfDir)
+      .agg(sum(col("exact_cnt") * col("exact_cnt")).as("true_sjs"))
+    val est = counterRel(spark, sfDir)
+      .groupBy("j").agg(sum(col("cnt") * col("cnt")).as("s"))
+      .agg(min("s").as("est_sjs"))
+    truth.crossJoin(est).select(
+      lit(CmsDepth.toLong).as("depth"), lit(CmsWidth).as("width"),
+      col("true_sjs"), col("est_sjs"),
+      (col("est_sjs") - col("true_sjs")).as("overcount"))
+  }
+
   // ---- CMS SQL (both dialects generated from the same constants) ----
 
   private def cmsBaseSql(unnest: String => String, hash: String => String): String = {
@@ -226,10 +260,22 @@ object Sketches {
        |  (SELECT CAST(sum(exact_cnt) AS BIGINT) FROM est) AS n_occurrences,
        |  (SELECT CAST(sum(est_cnt - exact_cnt) AS BIGINT) FROM est) AS sum_overcount""".stripMargin
 
+  private def cmsJoinSizeSql(base: String): String =
+    s"""WITH $base
+       |SELECT depth, width, true_sjs, est_sjs, est_sjs - true_sjs AS overcount
+       |FROM (
+       |  SELECT CAST($CmsDepth AS BIGINT) AS depth, CAST($CmsWidth AS BIGINT) AS width,
+       |    (SELECT CAST(sum(exact_cnt * exact_cnt) AS BIGINT) FROM est) AS true_sjs,
+       |    (SELECT CAST(min(s) AS BIGINT) FROM (
+       |       SELECT j, sum(cnt * cnt) AS s FROM counters GROUP BY j) rows_per_depth)
+       |      AS est_sjs) x""".stripMargin
+
   val cmsTokenFreqSql: String = cmsFreqSql(cmsBaseDuck)
   val cmsTokenFreqSparkSql: String = cmsFreqSql(cmsBaseSpark)
   val cmsSketchStatsSql: String = cmsStatsSql(cmsBaseDuck)
   val cmsSketchStatsSparkSql: String = cmsStatsSql(cmsBaseSpark)
+  val cmsJoinSizeDuckSql: String = cmsJoinSizeSql(cmsBaseDuck)
+  val cmsJoinSizeSparkSql: String = cmsJoinSizeSql(cmsBaseSpark)
 
   // ------------------------------------------------------------------
   // Bloom-filter semi-join economics.
@@ -415,12 +461,14 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_cms_token_freq" -> (cmsTokenFreq _),
     "t_cms_sketch_stats" -> (cmsSketchStats _),
+    "t_cms_join_size" -> (cmsJoinSize _),
     "a_bloom_semijoin" -> (bloomSemijoin _),
     "d_editdist_neardup" -> (editdistNearDup _))
 
   val oracles: Map[String, String] = Map(
     "t_cms_token_freq" -> cmsTokenFreqSql,
     "t_cms_sketch_stats" -> cmsSketchStatsSql,
+    "t_cms_join_size" -> cmsJoinSizeDuckSql,
     "a_bloom_semijoin" -> bloomSemijoinSql,
     "d_editdist_neardup" -> editdistNearDupSql)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextHashOps
 import graft.operators.{Curation, Similarity}
 
 class CurationSpec extends SparkSpec {
@@ -89,6 +90,98 @@ class CurationSpec extends SparkSpec {
       ((1L, "carried", got(i)._3))))
     // A revised text hashes differently from its (shared) base text.
     assert(got(1L)._3 !== got(3L)._3)
+  }
+
+  test("temperature mix equals a driver recompute; low-resource sources boost above 1000 per-mille") {
+    val sfDir = "/root/testdata/sf0.001"
+    val perSource = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(_.getString(1).split(" ", -1).length.toLong).sum
+      }
+    val w = perSource.map { case (s, n) =>
+      s -> ((n, math.floor(math.sqrt((n * Curation.TempScale).toDouble)).toLong))
+    }
+    val totalTokens = w.values.map(_._1).sum
+    val totalW = w.values.map(_._2).sum
+    val want = w.map { case (s, (n, wi)) =>
+      (s, n, wi, n * 1000000L / totalTokens, wi * 1000000L / totalW,
+        (wi * totalTokens * 1000L) / (totalW * n))
+    }.toSet
+    val got = Curation.temperatureMix(spark, sfDir).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Long]("w"),
+        r.getAs[Long]("nat_ppm"), r.getAs[Long]("temp_ppm"),
+        r.getAs[Long]("boost_pm"))
+    }.toSet
+    assert(got === want)
+    // α = 1/2 flattens the distribution: the smallest source is boosted
+    // (>1000‰), the largest damped (<1000‰), and boost is antitone in size.
+    val bySize = got.toSeq.sortBy(_._2)
+    assert(bySize.head._6 > 1000L, "smallest source must upsample")
+    assert(bySize.last._6 < 1000L, "largest source must downsample")
+    assert(bySize.head._6 >= bySize.last._6)
+  }
+
+  test("incremental vocab maintenance equals a full recompute, token for token") {
+    // even ids = the stored day-1 corpus, odd ids = the day-2 batch;
+    // 'shared' lives on both sides, 'old'/'gone' only in the store,
+    // 'novel' only in the batch — every merge branch is exercised.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "shared old old gone"),
+      doc(2, "shared shared old"),
+      doc(1, "shared novel"),
+      doc(3, "novel novel shared shared")))
+    val all = Seq("shared", "old", "old", "gone", "shared", "shared", "old",
+      "shared", "novel", "novel", "novel", "shared", "shared")
+    val batch = Seq("shared", "novel", "novel", "novel", "shared", "shared")
+    val want = all.groupBy(identity).map { case (t, v) =>
+      (t, v.length.toLong, batch.count(_ == t).toLong)
+    }.toSet
+    val got = Curation.incrementalVocab(spark, dir).collect().map { r =>
+      (r.getAs[String]("token"), r.getAs[Long]("tf"), r.getAs[Long]("tf_batch"))
+    }.toSet
+    assert(got === want)
+    // the maintained total really is stored + delta for every token
+    assert(got.forall { case (_, tf, tfb) => tf >= tfb })
+  }
+
+  test("snapshot diff classifies every key: driver recompute over the two composed relations") {
+    // doc 1 (%4=1) is revised → 'changed'; doc 2 (%4=2) spawns an insert
+    // → 'added'; doc 3 (%17=3) is forgotten → 'removed'; doc 0/4 carry
+    // → 'unchanged'. doc 20 (%4=0, %17=3) pins forget-beats-carry.
+    val dir = writeFixture(documents = Seq(
+      doc(0, "plain zero body"), doc(1, "revised one body"),
+      doc(2, "spawning two body"), doc(3, "forgotten three body"),
+      doc(4, "plain four body"), doc(20, "forgotten twenty body")))
+    val aFps = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextHashOps.polyHash(org.apache.spark.sql.functions.col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bFps = Curation.upsertMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+      .filter { case (id, _) =>
+        !(id % 17 == 3 && id < Curation.UpsertIdOffset)
+      }
+    val want = (aFps.keySet ++ bFps.keySet).map { id =>
+      val (a, b) = (aFps.get(id), bFps.get(id))
+      val change =
+        if (a.isEmpty) "added"
+        else if (b.isEmpty) "removed"
+        else if (a != b) "changed"
+        else "unchanged"
+      (id, change, a.getOrElse(0L), b.getOrElse(0L))
+    }
+    val got = Curation.snapshotDiff(spark, dir).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("change"),
+        r.getAs[Long]("fp_old"), r.getAs[Long]("fp_new"))
+    }.toSet
+    assert(got === want)
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) === "changed")
+    assert(byId(Curation.UpsertIdOffset + 2L) === "added")
+    assert(byId(3L) === "removed" && byId(20L) === "removed")
+    assert(byId(0L) === "unchanged" && byId(4L) === "unchanged")
   }
 
   test("chunking: overlapping windows, short tail, sub-size docs, fp-stable overlap") {

@@ -79,6 +79,73 @@ class GraphSpec extends SparkSpec {
     assert(hist.select("side").distinct().count() === 2L)
   }
 
+  /** Driver-side reference for [[Graph.trianglesOn]]: brute-force over
+    * all vertex triples on a plain Scala edge set.
+    */
+  private def refTriangles(edges: Set[(Long, Long)]): (Long, Long, Long, Long) = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(n => n ->
+      edges.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val has = (a: Long, b: Long) =>
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val ns = nodes.toSeq.sorted
+    val tris = (for {
+      i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+      if has(ns(i), ns(j)) && has(ns(j), ns(k)) && has(ns(i), ns(k))
+    } yield 1).size.toLong
+    (nodes.size.toLong, edges.size.toLong, wedges, tris)
+  }
+
+  private def checkTriangles(edges: Set[(Long, Long)], tag: String): Unit = {
+    import spark.implicits._
+    val got = Graph.trianglesOn(edges.toSeq.toDF("u", "v")).collect() match {
+      case Array(only) => (only.getAs[Long]("n_nodes"), only.getAs[Long]("n_edges"),
+        only.getAs[Long]("n_wedges"), only.getAs[Long]("n_triangles"))
+      case other => fail(s"$tag: expected one row, got ${other.length}")
+    }
+    assert(got === refTriangles(edges), tag)
+  }
+
+  test("triangle count equals brute force on planted and random graphs") {
+    // the K4 clique: 4 triangles, every degree equal (orientation falls
+    // back to the id tiebreak throughout)
+    checkTriangles((for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toSet, "K4")
+    // a star plus one closing edge: hub degree 5, exactly 1 triangle —
+    // the degree-ordered orientation must point INTO the hub
+    checkTriangles(
+      (1L to 5L).map(i => (i, 10L)).toSet + ((1L, 2L)), "star+edge")
+    // a triangle-free path
+    checkTriangles(Set((1L, 2L), (2L, 3L), (3L, 4L)), "path")
+    // random graphs, seeded
+    val rnd = new scala.util.Random(13)
+    for (t <- 1 to 3) {
+      val edges = (for {
+        a <- 1L to 12L; b <- (a + 1) to 12L
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSet
+      checkTriangles(edges, s"random-$t")
+    }
+  }
+
+  test("fixture dup-graph triangles equal a driver recompute over the gated pair relation") {
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.001")
+    val want = refTriangles(pairs)
+    val got = Graph.dupTriangles(spark, sfDir).collect() match {
+      case Array(only) => (only.getAs[Long]("n_nodes"), only.getAs[Long]("n_edges"),
+        only.getAs[Long]("n_wedges"), only.getAs[Long]("n_triangles"))
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    assert(got === want)
+    // every triangle closes 3 wedges, so 3·T ≤ wedges always
+    assert(3 * got._4 <= got._3)
+  }
+
   test("fixture graph: convergence stats are consistent with the chain") {
     val conv = Graph.pageRankConverge(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

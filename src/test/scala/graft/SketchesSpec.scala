@@ -65,6 +65,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS self-join-size estimate equals a full driver-side rebuild and never undershoots") {
+    val grid = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    occurrences.foreach { h =>
+      cells(h).zipWithIndex.foreach { case (c, j) => grid((j, c)) += 1L }
+    }
+    val exact = occurrences.groupBy(identity).map { case (_, v) => v.length.toLong }
+    val trueSjs = exact.map(c => c * c).sum
+    val estSjs = (0 until Sketches.CmsDepth).map { j =>
+      grid.collect { case ((jj, _), c) if jj == j => c * c }.sum
+    }.min
+    val r = Sketches.cmsJoinSize(spark, sfDir).collect() match {
+      case Array(only) => only
+      case other       => fail(s"expected one row, got ${other.length}")
+    }
+    assert(r.getAs[Long]("depth") === Sketches.CmsDepth.toLong)
+    assert(r.getAs[Long]("width") === Sketches.CmsWidth)
+    assert(r.getAs[Long]("true_sjs") === trueSjs)
+    assert(r.getAs[Long]("est_sjs") === estSjs)
+    assert(r.getAs[Long]("overcount") === estSjs - trueSjs)
+    // inner-product estimate is one-sided: collisions only ADD mass
+    assert(estSjs >= trueSjs)
+    // and it is a useful signal, not a degenerate total² bound
+    val n = occurrences.length.toLong
+    assert(estSjs < n * n, "estimate no better than the trivial N² bound")
+  }
+
   test("CMS stats row matches the rebuild and the mergeable-grid bounds") {
     val r = Sketches.cmsSketchStats(spark, sfDir).collect() match {
       case Array(only) => only
