@@ -139,6 +139,20 @@ object SkewBench {
     val maxRatio = results.map { case (_, (u, s)) => s / u }.max
     println(f"""{"metric":"skew_ratio_max","value":$maxRatio%.3f,"unit":"x","queries":$qs,"rows":$n}""")
 
+    // ---- dynamic-d decomposition: stats pass vs salted aggregate ----
+    // The dynamic twin = stats pass (a full (ltw, z) two-phase count
+    // deriving each window's d) + the salted aggregate it feeds. The
+    // static-salt twin above times the salted-agg shape alone (fixed
+    // d, no stats pass), so timing the stats pass alone completes the
+    // attribution of the twin's skewed/uniform ratio.
+    val m = graft.EngineConfig.default.numMappers
+    def statsPass(dir: String) = graft.operators.Salting.dynamicDRel(
+      Shapes.withLtw(Shapes.zxEvents(spark, dir), Shapes.LogicTimeSlotMs), m)
+    dirs.values.foreach(d => statsPass(d).count()) // same warm rule
+    val su = time(statsPass(dirs("uniform")))
+    val ss = time(statsPass(dirs("skewed")))
+    println(f"""{"metric":"dynamic_d_stats_pass","uniform":$su%.3f,"skewed":$ss%.3f,"ratio":${ss / su}%.3f,"rows":$n}""")
+
     // ---- user-key skew over the event-analytics family ----
     val userDirs = Map("uniform" -> s"$base/user_uniform", "skewed" -> s"$base/user_skewed")
     userDirs.foreach { case (kind, dir) =>

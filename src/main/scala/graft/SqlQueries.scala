@@ -466,6 +466,8 @@ object SqlQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter * ${Dedup.JaccDen} > (sa.n + sb.n - inter) * ${Dedup.JaccNum}""".stripMargin,
+    "d_adaptive_jaccard_decision" ->
+      Dedup.adaptiveJaccardDecisionSqlOver(shingleRelSparkSql),
     "d_containment_pairs" ->
       s"""WITH sh AS ($shingleRelSparkSql),
          |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
@@ -871,6 +873,10 @@ object SqlQueries {
     * SQL projection; and the plan-demonstration twins
     * (`q3_windowed_count_salted`, `q3_windowed_count_salted_dynamic`,
     * `a_moving_window_bucketed`,
+    * `d_adaptive_jaccard_pairs` — the arm CHOICE is a driver-side
+    * runtime branch SQL cannot express; its decision statistic has the
+    * `d_adaptive_jaccard_decision` text and its output equals the
+    * `d_jaccard_pairs` text at the J > 1/2 threshold,
     * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
     * `s_ivf_recall` — it composes `s_ivf_topk`; the SQL-face recall
     * eval is `s_lsh_recall`, `s_text_lsh_topk`, `p_pack_sequences`,
@@ -911,6 +917,10 @@ object SqlQueries {
     "t_cms_join_size" -> Sketches.cmsJoinSizeSparkSql,
     "g_dup_triangles" ->
       graft.operators.Graph.dupTrianglesSqlOver(minhashLshPairsSparkSql, "div"),
+    "g_dup_triangles_simhash" ->
+      graft.operators.Graph.dupTrianglesSqlOver(
+        s"WITH $simhashPairsSparkCtes SELECT id_a, id_b FROM spairs",
+        "div", withBound = true),
     "p_temperature_mix" ->
       s"""WITH per_source AS (
          |  SELECT source,
@@ -971,6 +981,7 @@ object SqlQueries {
          |  abs(share_a_ppm - share_b_ppm) AS drift_ppm
          |FROM sh""".stripMargin,
     "s_bm25_topk" -> Retrieval.bm25TopKSparkSql,
+    "s_bm25_topk_capped" -> Retrieval.bm25TopKCappedSparkSql,
     "s_hybrid_rrf_topk" -> Retrieval.hybridRrfTopKSparkSql(textCosineTopKSparkSql),
     "t_cms_token_freq" -> Sketches.cmsTokenFreqSparkSql,
     "t_cms_sketch_stats" -> Sketches.cmsSketchStatsSparkSql,

@@ -143,6 +143,13 @@ object StreamSoak {
     runSoak("cms_stream",
       StreamingParity.cmsCounterStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Update())
+    // Vocab maintenance stream: state = one row per DISTINCT token ever
+    // seen — vocab-bounded (the cms_stream argument one size up); the
+    // state-rows plateau measured here is the fixture's vocabulary
+    // size, flat across replayed batches however many occurrences pass.
+    runSoak("vocab_stream",
+      StreamingParity.vocabStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
+      OutputMode.Update())
 
     // SCD-2 CDC replay: the customer change feed (v1 all keys, v2 for
     // key%4==1, v3 for key%8==1) written in version order so the file

@@ -496,6 +496,132 @@ object Dedup {
        |WHERE inter * $PrefixJaccDen > (sa.n + sb.n - inter) * $PrefixJaccNum""".stripMargin
 
   // ------------------------------------------------------------------
+  // ADAPTIVE pair plan: the CMS self-join-size estimate PICKS between
+  // the exact all-pairs arm and the prefix-filtered arm at runtime —
+  // the t_cms_join_size statistic closed into an executed plan choice
+  // (the AdaptiveAgg HH↔APK pattern applied to join selection; the
+  // reference's cost-model-before-strategy discipline,
+  // one-group-stateless/src/main/scala/partitioner/DPartitioner.scala:31-54,
+  // which reads measured stats BEFORE committing a partitioner).
+  // ------------------------------------------------------------------
+
+  /** Decision-grid width: its OWN width, 4096× the 16-cell pedagogical
+    * grid of `t_cms_*`, because here the estimate is load-bearing — at
+    * width w the expected collision inflation is ((Σdf)² − Σdf²)/w per
+    * depth row, and the 16-cell grid would bury the true Σdf² under
+    * (Σdf)²/16 at every SF. At 65536 cells × 3 depths × 8 B the grid is
+    * 1.5 MB — still a broadcast-sized constant independent of corpus
+    * size — and the measured inflation stays under ~1.4× of truth at
+    * every fixture SF. Same hash family ([[Sketches.cmsCoeffs]]).
+    */
+  val AdaptiveCmsWidth = 65536L
+
+  /** Exact-arm affordability: the all-pairs arm materializes ≈ est_sjs
+    * candidate rows (Σ_sh df² including the df=1 mass); it is taken only
+    * while that stays within [[AdaptiveBudgetPerRow]]× one corpus scan
+    * (Σdf rows). Fixture landing: truth Σdf²/Σdf is 2.1× at sf0.01,
+    * 10.7× at sf0.1, 105× at sf1 — so the rule (budget 32×) takes the
+    * exact arm through sf0.1 and flips to the prefix arm at sf1, with
+    * ≥ 2.2× margin on both sides of the line even after the grid's
+    * collision inflation.
+    */
+  val AdaptiveBudgetPerRow = 32L
+
+  private def adaptiveCellExprs(h: String): IndexedSeq[String] =
+    Sketches.cmsCoeffs.map { case (a, b) =>
+      s"(($a * $h + $b) % ${graft.functions.Parity.P}) % $AdaptiveCmsWidth" }
+
+  /** The decision grid: (j, cell, cnt) over shingle OCCURRENCES —
+    * ≤ depth·width rows out of a partial-aggregated one-pass scan, the
+    * only statistic the plan choice reads. Registry-persisted: the
+    * decision query and the adaptive pair plan both consume it.
+    */
+  private def shingleCmsGrid(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"dedup.shingleCms:$sfDir") {
+      shingleRel(spark, sfDir)
+        .select(posexplode(array(adaptiveCellExprs("sh").map(expr): _*)))
+        .toDF("j", "cell")
+        .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Gated: the one-row decision record — est_sjs = min_j Σ_cell cnt²
+    * (Cormode–Muthukrishnan inner-product estimate, one-sided ≥ truth),
+    * sum_df = Σ occurrences (every depth row carries the full mass, so
+    * max over rows is exact), the budget line, and the arm the estimate
+    * picks. This is the audit face of [[adaptiveJaccardPairs]]: the
+    * DuckDB oracle recomputes the grid from raw text with the same
+    * coefficient literals, so decision PARITY — not just output parity —
+    * is hash-gated at every SF.
+    */
+  def adaptiveJaccardDecision(spark: SparkSession, sfDir: String): DataFrame =
+    shingleCmsGrid(spark, sfDir)
+      .groupBy("j").agg(sum(col("cnt") * col("cnt")).as("s"), sum("cnt").as("t"))
+      .agg(min("s").as("est_sjs"), max("t").as("sum_df"))
+      .select(col("est_sjs"), col("sum_df"),
+        (col("sum_df") * AdaptiveBudgetPerRow).as("budget"),
+        when(col("est_sjs") <= col("sum_df") * AdaptiveBudgetPerRow, "exact")
+          .otherwise("prefix").as("arm"))
+
+  /** Gated: Jaccard pairs at the production threshold (J > 1/2) through
+    * a RUNTIME-CHOSEN plan: read [[adaptiveJaccardDecision]] (a bounded
+    * 1-row collect — the C1-style driver-visible feedback, same
+    * discipline as AdaptiveAgg's per-window stats), then run either the
+    * exact all-pairs arm (affordable: candidate volume within budget) or
+    * the prefix-filtered arm (the scale path). Both arms produce the
+    * SAME relation — the prefix lemma is lossless at its threshold — so
+    * the output is arm-invariant and one equality oracle gates both;
+    * DedupSpec asserts the invariance by running both arms explicitly.
+    */
+  def adaptiveJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = adaptiveJaccardDecision(spark, sfDir).select("arm").collect()
+    if (d.head.getString(0) == "exact")
+      jaccardPairs(spark, sfDir)
+        .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
+    else jaccardPrefixPairs(spark, sfDir)
+  }
+
+  /** Shared decision-SQL body over an injected shingle relation (DuckDB
+    * and Spark dialects differ only in the shingle CTE text) — one body,
+    * so a constant edit cannot diverge the faces.
+    */
+  def adaptiveJaccardDecisionSqlOver(shingleSql: String): String = {
+    val cells = adaptiveCellExprs("sh").zipWithIndex
+      .map { case (e, j) => s"SELECT $j AS j, $e AS cell FROM sh" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shingleSql),
+       |cells AS (
+       |  $cells),
+       |counters AS (
+       |  SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY j, cell),
+       |rows_per_depth AS (
+       |  SELECT j, sum(cnt * cnt) AS s, sum(cnt) AS t FROM counters GROUP BY j)
+       |SELECT CAST(min(s) AS BIGINT) AS est_sjs, CAST(max(t) AS BIGINT) AS sum_df,
+       |  CAST(max(t) * $AdaptiveBudgetPerRow AS BIGINT) AS budget,
+       |  CASE WHEN min(s) <= max(t) * $AdaptiveBudgetPerRow THEN 'exact'
+       |       ELSE 'prefix' END AS arm
+       |FROM rows_per_depth""".stripMargin
+  }
+
+  val adaptiveJaccardDecisionSql: String =
+    adaptiveJaccardDecisionSqlOver(shingleRelSql)
+
+  /** The arm-invariant output oracle: the exact recompute at J > 1/2 —
+    * the same body as [[jaccardPairsSql]] at the prefix threshold.
+    */
+  val adaptiveJaccardPairsSql: String =
+    s"""WITH sh AS ($shingleRelSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter * $PrefixJaccDen > (sa.n + sb.n - inter) * $PrefixJaccNum""".stripMargin
+
+  // ------------------------------------------------------------------
   // MinHash signatures + LSH candidate pairs. Candidates = (a, b) sharing
   // ≥ 1 of 8 band keys, emitted once each; sig_matches/32 estimates J.
   //
@@ -1366,6 +1492,8 @@ object Dedup {
     "d_span_scrub" -> (spanScrub _),
     "d_shingle_novelty" -> (shingleNovelty _),
     "d_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
+    "d_adaptive_jaccard_decision" -> (adaptiveJaccardDecision _),
+    "d_adaptive_jaccard_pairs" -> (adaptiveJaccardPairs _),
     "d_minhash_lsh_pairs" -> (minhashLshPairs _),
     "d_minhash_jaccard_eval" -> (minhashJaccardEval _),
     "d_simhash" -> (simhash _),
@@ -1391,6 +1519,8 @@ object Dedup {
     "d_span_scrub" -> spanScrubSql,
     "d_shingle_novelty" -> shingleNoveltySql,
     "d_jaccard_prefix_pairs" -> jaccardPrefixPairsSql,
+    "d_adaptive_jaccard_decision" -> adaptiveJaccardDecisionSql,
+    "d_adaptive_jaccard_pairs" -> adaptiveJaccardPairsSql,
     "d_minhash_lsh_pairs" -> minhashLshPairsSql,
     "d_minhash_jaccard_eval" -> minhashJaccardEvalSql,
     "d_simhash" -> simhashSql,

@@ -184,10 +184,29 @@ object Graph {
     trianglesOn(Dedup.minhashLshPairs(spark, sfDir)
       .select(col("id_a").as("u"), col("id_b").as("v")))
 
+  /** Gated: the same audit over the SIMHASH pair graph — the
+    * adversarial case for the orientation bound. At sf1 this graph has
+    * 5.15 M edges with 86% of docs in one near-dup mega-component
+    * (per-shard suffixed texts are near-dups of each other by
+    * construction), i.e. exactly the shape where a raw-degree wedge
+    * enumeration explodes. The gate carries the bound AS DATA:
+    * `max_oriented_outdeg` is the largest per-node oriented out-degree,
+    * measured ≤ √(2·|E|) by the arboricity argument (sf1: 671 vs the
+    * 3208 line, 4.8× headroom; oriented wedges 593 M vs 3.36 B
+    * undirected — the orientation is what keeps the close join
+    * near-linear). Composes the gated `d_simhash_pairs` relation.
+    */
+  def dupTrianglesSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOn(Dedup.simhashPairs(spark, sfDir)
+      .select(col("id_a").as("u"), col("id_b").as("v")), withBound = true)
+
   /** The degree-ordered count over an explicit `(u, v)` edge relation
     * (u < v, one row per undirected edge) — the testable core.
+    * `withBound` appends the measured orientation bound column
+    * (max oriented out-degree) for the audit arms that gate it.
     */
-  private[graft] def trianglesOn(e: DataFrame): DataFrame = {
+  private[graft] def trianglesOn(e: DataFrame,
+      withBound: Boolean = false): DataFrame = {
     val deg =
       e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
@@ -209,9 +228,15 @@ object Graph {
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("d * (d - 1)")), lit(0L)).as("w2"))
     val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    nodeStats.crossJoin(edgeStats).crossJoin(tri).select(
+    val base = nodeStats.crossJoin(edgeStats).crossJoin(tri).select(
       col("n_nodes"), col("n_edges"),
       expr("w2 div 2").as("n_wedges"), col("n_triangles"))
+    if (!withBound) base
+    else {
+      val bound = o.groupBy("src").agg(count(lit(1)).as("odeg"))
+        .agg(coalesce(max("odeg"), lit(0L)).as("max_oriented_outdeg"))
+      base.crossJoin(bound)
+    }
   }
 
   /** The triangle query text over an injected `pairs(id_a, id_b, …)`
@@ -219,7 +244,14 @@ object Graph {
     * DuckDB, `div` Spark), so the oracle and the SQL face share one
     * body (the `editdistNearDupSparkSql(pairs)` pattern).
     */
-  def dupTrianglesSqlOver(pairsSql: String, idiv: String): String =
+  def dupTrianglesSqlOver(pairsSql: String, idiv: String,
+      withBound: Boolean = false): String = {
+    val boundCol =
+      if (withBound)
+        ",\n  (SELECT COALESCE(max(odeg), 0) FROM" +
+          " (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM o GROUP BY src) od)" +
+          " AS max_oriented_outdeg"
+      else ""
     s"""WITH cands AS ($pairsSql),
        |e AS (SELECT id_a AS u, id_b AS v FROM cands),
        |deg AS (
@@ -247,10 +279,14 @@ object Graph {
        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        |  (SELECT COALESCE(CAST(sum(d * (d - 1)) AS BIGINT), 0) $idiv 2 FROM deg)
        |    AS n_wedges,
-       |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+       |  (SELECT n_triangles FROM tri) AS n_triangles$boundCol""".stripMargin
+  }
 
   val dupTrianglesSql: String =
     dupTrianglesSqlOver(Dedup.minhashLshPairsSql, "//")
+
+  val dupTrianglesSimhashSql: String =
+    dupTrianglesSqlOver(Dedup.simhashPairsSql, "//", withBound = true)
 
   // ------------------------------------------------------------------
   // DuckDB oracles — the same graph + the same integer formula with the
@@ -310,11 +346,13 @@ object Graph {
     "g_pagerank" -> (pageRank _),
     "g_pagerank_converge" -> (pageRankConverge _),
     "g_degree_hist" -> (degreeHist _),
-    "g_dup_triangles" -> (dupTriangles _))
+    "g_dup_triangles" -> (dupTriangles _),
+    "g_dup_triangles_simhash" -> (dupTrianglesSimhash _))
 
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pageRankSql,
     "g_pagerank_converge" -> pageRankConvergeSql,
     "g_degree_hist" -> degreeHistSql,
-    "g_dup_triangles" -> dupTrianglesSql)
+    "g_dup_triangles" -> dupTrianglesSql,
+    "g_dup_triangles_simhash" -> dupTrianglesSimhashSql)
 }

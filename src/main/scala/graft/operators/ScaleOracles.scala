@@ -230,6 +230,54 @@ object ScaleOracles {
       Check("equality", jaccardPairsEquality, setup = jaccardPairsSetup),
     "d_jaccard_prefix_pairs" ->
       Check("equality", jaccardPrefixPairsEquality, setup = jaccardPrefixPairsSetup),
+    // The adaptive pair plan's output is arm-invariant and at sf1 the
+    // decision (its own gated query, plain-oracle-verified at every SF)
+    // picks the prefix arm — so the complete check is frame equality
+    // against the staged-recompute-verified prefix relation from the
+    // same run. The single-statement Σdf² self-join text this replaces
+    // is exactly the plan the r8 regression showed DuckDB mis-plans at
+    // sf1.
+    "d_adaptive_jaccard_pairs" -> Check("equality",
+      "SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs"),
     "d_embedding_neardup" ->
-      Check("equality", embeddingNearDupEquality, setup = embeddingNearDupSetup))
+      Check("equality", embeddingNearDupEquality, setup = embeddingNearDupSetup),
+    // Triangle audit over the sf1 SIMHASH graph (5.15 M edges, 86%
+    // mega-component): complete recomputation composed from the
+    // equality-verified pair relation, with the edge/degree/orientation
+    // stages materialized so DuckDB's planner can't flip the 593 M-row
+    // oriented wedge join (measured ~6 min single-statement from
+    // parquet; staging keeps it in the same ballpark and plan-stable).
+    "g_dup_triangles_simhash" -> Check("equality",
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t_tri_deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t_tri_e) AS n_edges,
+        |  (SELECT COALESCE(CAST(sum(d * (d - 1)) AS BIGINT), 0) // 2
+        |     FROM t_tri_deg) AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |     FROM (SELECT o1.dst AS x, o2.dst AS y
+        |           FROM t_tri_o o1 JOIN t_tri_o o2 ON o1.src = o2.src
+        |           WHERE o1.ddeg < o2.ddeg
+        |              OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)) w
+        |     JOIN t_tri_o o ON o.src = w.x AND o.dst = w.y) AS n_triangles,
+        |  (SELECT COALESCE(max(odeg), 0)
+        |     FROM (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+        |           FROM t_tri_o GROUP BY src) od) AS max_oriented_outdeg"""
+        .stripMargin,
+      setup = Seq(
+        "CREATE TEMP TABLE t_tri_e AS SELECT id_a AS u, id_b AS v FROM out_d_simhash_pairs",
+        """CREATE TEMP TABLE t_tri_deg AS
+          |SELECT id, CAST(count(*) AS BIGINT) AS d
+          |FROM (SELECT u AS id FROM t_tri_e UNION ALL SELECT v AS id FROM t_tri_e) x
+          |GROUP BY id""".stripMargin,
+        """CREATE TEMP TABLE t_tri_o AS
+          |SELECT
+          |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |       THEN e.u ELSE e.v END AS src,
+          |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |       THEN e.v ELSE e.u END AS dst,
+          |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          |       THEN dv.d ELSE du.d END AS ddeg
+          |FROM t_tri_e e
+          |JOIN t_tri_deg du ON du.id = e.u
+          |JOIN t_tri_deg dv ON dv.id = e.v""".stripMargin)))
 }

@@ -888,6 +888,29 @@ object StreamingParity {
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  // ------------------------------------------------------------------
+  // Streaming vocabulary maintenance — the continuous twin of
+  // Curation.incrementalVocab (p_incremental_vocab): the (token, tf)
+  // running count as a streaming aggregate. The batch operator merges a
+  // day-2 delta into a stored vocab with one vocab-sized full-outer
+  // sum; the stream IS that merge executed every micro-batch by the
+  // state store — each trigger's explode is absorbed map-side (partial
+  // aggregation) before touching state, so per-trigger state I/O is
+  // bounded by the trigger's DISTINCT tokens, not its occurrences.
+  // State is VOCAB-bounded — one row per distinct token ever seen, the
+  // cms_stream argument one size up (corpus unbounded, key domain
+  // bounded: millions of tokens vs trillions of occurrences) — and the
+  // soak measures the plateau. No watermark: a running total, not a
+  // windowed aggregate. df is deliberately NOT maintained, same reason
+  // as the batch twin (distinct-over-docs is not self-maintainable from
+  // the aggregate alone; the (token, doc) keyset relation is the
+  // production answer).
+  // ------------------------------------------------------------------
+  def vocabStream(docs: Dataset[StreamDoc]): DataFrame =
+    docs.toDF()
+      .select(explode(expr("split(text, ' ')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+
   def streamingDedup(docs: Dataset[StreamDoc]): DataFrame =
     docs.toDF()
       .withColumn("event_ts", timestamp_millis(col("event_time")))

@@ -46,6 +46,52 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("adaptive jaccard: decision parity with the driver-recomputed grid " +
+      "and output invariance across both arms") {
+    val dir = fixture()
+    // FULL driver-side recompute of the decision statistic: shingle
+    // hashes via the engine kernel (distinct per doc, w = ShingleW),
+    // the CMS grid over the same coefficient family, est = min_j Σcnt².
+    val texts = Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0))
+    val occ = texts.flatMap { t =>
+      val arr = graft.functions.TextKernels.shingleHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        Dedup.ShingleW, distinct = true, wide = false)
+      (0 until arr.numElements()).map(arr.getLong)
+    }
+    val P = graft.functions.Parity.P
+    val perDepth = graft.operators.Sketches.cmsCoeffs.map { case (a, b) =>
+      val cells = occ.groupBy(h => ((a * h + b) % P) % Dedup.AdaptiveCmsWidth)
+        .map(_._2.length.toLong)
+      (cells.map(c => c * c).sum, cells.sum)
+    }
+    val est = perDepth.map(_._1).min
+    val sumDf = perDepth.map(_._2).max
+    val arm = if (est <= sumDf * Dedup.AdaptiveBudgetPerRow) "exact" else "prefix"
+    val got = Dedup.adaptiveJaccardDecision(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("est_sjs"), r.getAs[Long]("sum_df"),
+      r.getAs[Long]("budget"), r.getAs[String]("arm")) ===
+      ((est, sumDf, sumDf * Dedup.AdaptiveBudgetPerRow, arm)))
+    // Output invariance: the adaptive plan, the exact arm, and the
+    // prefix arm all produce the same J > 1/2 relation.
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+        x.getAs[Long]("inter"), x.getAs[Long]("uni"))).toSet
+    val exactArm = pairSet(Dedup.jaccardPairs(spark, dir)
+      .where(org.apache.spark.sql.functions.expr(
+        s"inter * ${Dedup.PrefixJaccDen} > uni * ${Dedup.PrefixJaccNum}")))
+    val prefixArm = pairSet(Dedup.jaccardPrefixPairs(spark, dir))
+    val adaptive = pairSet(Dedup.adaptiveJaccardPairs(spark, dir))
+    assert(adaptive.nonEmpty && adaptive === exactArm && adaptive === prefixArm)
+    // On this 4-doc fixture the estimate must land on the exact arm
+    // (tiny Σdf²) — the prefix choice is exercised by the sf1 scale gate,
+    // where the composed oracle pins the OTHER branch.
+    assert(arm === "exact")
+  }
+
   test("containment pairs detect an embedded copy that jaccard misses") {
     def ws(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
     // A (20 words) is a strict prefix of B (50 words): full containment,

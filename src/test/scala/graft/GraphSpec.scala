@@ -146,6 +146,34 @@ class GraphSpec extends SparkSpec {
     assert(3 * got._4 <= got._3)
   }
 
+  test("simhash triangle arm: bound column equals the driver-recomputed " +
+      "max oriented out-degree and respects the arboricity line") {
+    val pairs = graft.operators.Dedup.simhashPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "no simhash pairs at sf0.001")
+    val want = refTriangles(pairs)
+    // driver-side orientation: same (degree, id) order as the operator
+    val nodes = pairs.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(n => n ->
+      pairs.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val maxOdeg = pairs.toSeq
+      .map { case (u, v) =>
+        if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v }
+      .groupBy(x => x).values.map(_.length.toLong).max
+    val got = Graph.dupTrianglesSimhash(spark, sfDir).collect() match {
+      case Array(only) => (only.getAs[Long]("n_nodes"), only.getAs[Long]("n_edges"),
+        only.getAs[Long]("n_wedges"), only.getAs[Long]("n_triangles"),
+        only.getAs[Long]("max_oriented_outdeg"))
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    assert((got._1, got._2, got._3, got._4) === want)
+    assert(got._5 === maxOdeg)
+    // the orientation's whole point: per-node oriented out-degree stays
+    // under the √(2·|E|) arboricity line
+    assert(got._5 * got._5 <= 2 * got._2)
+  }
+
   test("fixture graph: convergence stats are consistent with the chain") {
     val conv = Graph.pageRankConverge(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

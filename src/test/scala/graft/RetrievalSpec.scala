@@ -64,6 +64,45 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size === Similarity.NumQueries * Similarity.TopK)
   }
 
+  test("df-capped BM25 equals the closed form over the surviving vocabulary") {
+    val n = tfByDoc.size.toLong
+    val dl = tfByDoc.map { case (d, m) => d -> m.values.sum }
+    val t = dl.values.sum
+    val df = tfByDoc.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (h, v) => h -> v.length.toLong }
+    val kept = df.filter { case (_, d) => 2 * d <= n }.keySet
+    // the cap must BITE on this fixture (it prunes the ~30 stopword
+    // terms and keeps the rare ones) — otherwise the twin tests nothing
+    assert(kept.nonEmpty && kept.size < df.size)
+    val scored = for {
+      q <- tfByDoc.keys.toSeq if q < Retrieval.NumQueriesCapped
+      qTerms = tfByDoc(q).keySet.intersect(kept) if qTerms.nonEmpty
+      (c, ctf) <- tfByDoc.toSeq if c != q
+      shared = qTerms.intersect(ctf.keySet) if shared.nonEmpty
+    } yield {
+      val score = shared.toSeq.map { h =>
+        val idfS = (n - df(h) + 1) * Retrieval.IdfScale / (df(h) + 1)
+        val tfn = (44 * t * ctf(h) * Retrieval.TfScale) /
+          (20 * t * ctf(h) + 6 * t + 18 * dl(c) * n)
+        idfS * tfn
+      }.sum
+      (q, c, score)
+    }
+    val want = topK[Long](scored, identity)
+    val got = Retrieval.bm25TopKCapped(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rnk").toLong, r.getAs[Long]("score"))
+    }.toSet
+    assert(got.nonEmpty && got === want)
+    // probe-volume contract: candidates can only be docs sharing a
+    // SURVIVING term with the query — i.e. Σ_kept df(t) bounds the join,
+    // not Σ_all (every doc shares stopwords with every query)
+    val rareDocs = tfByDoc.collect {
+      case (d, m) if m.keySet.exists(kept) => d
+    }.toSet
+    assert(got.forall { case (q, c, _, _) => rareDocs(q) && rareDocs(c) })
+  }
+
   test("RRF fusion equals the recompute from the two ranker outputs") {
     val bm = Retrieval.bm25TopK(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->

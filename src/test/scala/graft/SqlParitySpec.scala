@@ -55,7 +55,8 @@ class SqlParitySpec extends SparkSpec {
       "m_audio_features",
       "q3_windowed_count_salted", "q3_windowed_count_salted_dynamic",
       "a_moving_window_bucketed",
-      "d_jaccard_prefix_pairs", "d_embedding_neardup_lsh",
+      "d_jaccard_prefix_pairs", "d_adaptive_jaccard_pairs",
+      "d_embedding_neardup_lsh",
       "s_ivf_topk", "s_ivf_recall", "s_text_lsh_topk",
       "p_pack_sequences", "p_stratified_sample",
       "a_profile", "a_timeseries_similarity",

@@ -265,6 +265,53 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming vocab maintenance: per-trigger table equals the batch " +
+      "stored/merged vocab (stored ⊕ Δ ≡ recompute, continuously)") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Same day-1/day-2 convention as Curation.incrementalVocab: even
+    // doc_ids are the stored corpus, odd ids the day-2 batch.
+    val texts = Map(
+      0L -> "alpha beta alpha", 2L -> "gamma beta",
+      1L -> "alpha delta", 3L -> "beta beta epsilon")
+    val dir = writeFixture(documents =
+      texts.toSeq.sortBy(_._1).map { case (id, t) => doc(id, t) })
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.vocabStream(input.toDS())
+      .writeStream.format("memory").queryName("vocab_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def table(): Map[String, Long] = s.table("vocab_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // trigger 1: the stored corpus — table == day-1 vocab
+      input.addData(Seq(
+        StreamDoc(1000, 0, texts(0L)), StreamDoc(2000, 2, texts(2L))))
+      query.processAllAvailable()
+      val day1 = Seq(0L, 2L).flatMap(id => texts(id).split(" ", -1))
+        .groupBy(x => x).map { case (t, v) => t -> v.size.toLong }
+      assert(table() === day1)
+      // trigger 2: the day-2 batch arrives — table == full recompute,
+      // token for token (the state store performed the batch twin's
+      // full-outer merge)
+      input.addData(Seq(
+        StreamDoc(3000, 1, texts(1L)), StreamDoc(4000, 3, texts(3L))))
+      query.processAllAvailable()
+      val full = graft.operators.Curation.vocabFreq(s, dir).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("tf")).toMap
+      assert(table() === full)
+      // and the merged totals agree with the gated incremental form's
+      // tf column (its tf_batch rows are exactly the trigger-2 tokens)
+      val incr = graft.operators.Curation.incrementalVocab(s, dir).collect()
+        .map(r => r.getAs[String]("token") ->
+          (r.getAs[Long]("tf"), r.getAs[Long]("tf_batch"))).toMap
+      assert(incr.view.mapValues(_._1).toMap === full)
+      val day2Tokens = Seq(1L, 3L).flatMap(id => texts(id).split(" ", -1)).toSet
+      assert(incr.filter(_._2._2 > 0).keySet === day2Tokens)
+    } finally query.stop()
+  }
+
   test("streaming chunker emits the batch twin's chunks with identical fingerprints") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
