@@ -602,7 +602,12 @@ object Dedup {
        |FROM rows_per_depth""".stripMargin
   }
 
-  val adaptiveJaccardDecisionSql: String =
+  // LAZY: adaptiveCellExprs reads Sketches.cmsCoeffs, and Sketches' own
+  // oracle vals read back into Dedup (editdistNearDupSql embeds
+  // minhashLshPairsSql) — an eager val here runs Sketches' initializer
+  // in the middle of Dedup's and bakes a literal "null" into that SQL
+  // (caught by the r14 full sf0.01 sweep).
+  lazy val adaptiveJaccardDecisionSql: String =
     adaptiveJaccardDecisionSqlOver(shingleRelSql)
 
   /** The arm-invariant output oracle: the exact recompute at J > 1/2 —

@@ -192,7 +192,7 @@ object Graph {
     * enumeration explodes. The gate carries the bound AS DATA:
     * `max_oriented_outdeg` is the largest per-node oriented out-degree,
     * measured ≤ √(2·|E|) by the arboricity argument (sf1: 671 vs the
-    * 3208 line, 4.8× headroom; oriented wedges 593 M vs 3.36 B
+    * 3208 line, 4.8× headroom; oriented wedges 590 M vs 3.36 B
     * undirected — the orientation is what keeps the close join
     * near-linear). Composes the gated `d_simhash_pairs` relation.
     */

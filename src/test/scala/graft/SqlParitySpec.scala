@@ -38,6 +38,20 @@ class SqlParitySpec extends SparkSpec {
     SqlQueries.sql.keys.foreach(n => assert(SparkEntry.queries.contains(n)))
   }
 
+  test("no oracle or SQL-face text embeds an uninitialized fragment") {
+    // Scala object-initialization cycles bake the literal string "null"
+    // into an interpolated SQL val (r14: an eager Dedup val triggered
+    // Sketches' initializer mid-Dedup-init, and Sketches' editdist
+    // oracle captured Dedup.minhashLshPairsSql while it was still
+    // null). Init order varies by entry point, so the gate sweeps every
+    // text for the tell-tale "<keyword> (null" shape.
+    val bad = Seq("AS (null", "FROM (null", "JOIN (null", "WITH (null")
+    (SparkEntry.oracleSql ++ SqlQueries.sql).foreach { case (name, text) =>
+      bad.foreach(b => assert(!text.contains(b),
+        s"$name embeds an uninitialized SQL fragment ('$b')"))
+    }
+  }
+
   test("the SQL surface covers every gated batch query not on the documented boundary") {
     // The exhaustive complement of SqlQueries' scaladoc boundary list:
     // iterative driver-controlled queries (clusters, k-means), typed
