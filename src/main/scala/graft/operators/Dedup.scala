@@ -109,7 +109,12 @@ object Dedup {
     s"""SELECT doc_id, unnest(${hashedArrayDuck(shinglesDuck(tokensDuck("text"), ShingleW))}) AS sh
        |FROM ($docsSql)""".stripMargin
 
-  val jaccardPairsSql: String =
+  /** The all-pairs Jaccard oracle body at an injected threshold — ONE
+    * text generates both the gated d_jaccard_pairs oracle (J > 1/10)
+    * and the adaptive twin's arm-invariant oracle (J > 1/2), so a body
+    * edit cannot diverge them.
+    */
+  private def jaccardPairsSqlAt(num: Long, den: Long): String =
     s"""WITH sh AS ($shingleRelSql),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
@@ -120,7 +125,9 @@ object Dedup {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE inter * $JaccDen > (sa.n + sb.n - inter) * $JaccNum""".stripMargin
+       |WHERE inter * $den > (sa.n + sb.n - inter) * $num""".stripMargin
+
+  val jaccardPairsSql: String = jaccardPairsSqlAt(JaccNum, JaccDen)
 
   // ------------------------------------------------------------------
   // CONTAINMENT pairs — asymmetric partial-copy detection (a quote, an
@@ -528,8 +535,7 @@ object Dedup {
   val AdaptiveBudgetPerRow = 32L
 
   private def adaptiveCellExprs(h: String): IndexedSeq[String] =
-    Sketches.cmsCoeffs.map { case (a, b) =>
-      s"(($a * $h + $b) % ${graft.functions.Parity.P}) % $AdaptiveCmsWidth" }
+    Sketches.cmsCellExprs(h, AdaptiveCmsWidth)
 
   /** The decision grid: (j, cell, cnt) over shingle OCCURRENCES —
     * ≤ depth·width rows out of a partial-aggregated one-pass scan, the
@@ -602,11 +608,14 @@ object Dedup {
        |FROM rows_per_depth""".stripMargin
   }
 
-  // LAZY: adaptiveCellExprs reads Sketches.cmsCoeffs, and Sketches' own
-  // oracle vals read back into Dedup (editdistNearDupSql embeds
+  // LAZY: adaptiveCellExprs reads Sketches.cmsCellExprs, and Sketches'
+  // own oracle vals read back into Dedup (editdistNearDupSql embeds
   // minhashLshPairsSql) — an eager val here runs Sketches' initializer
   // in the middle of Dedup's and bakes a literal "null" into that SQL
-  // (caught by the r14 full sf0.01 sweep).
+  // (caught by the r14 full sf0.01 sweep). The `oracles` map below is
+  // ALSO lazy, so this is structural, not positional: Dedup's
+  // initializer completes without ever entering Sketches, whatever the
+  // declaration order.
   lazy val adaptiveJaccardDecisionSql: String =
     adaptiveJaccardDecisionSqlOver(shingleRelSql)
 
@@ -614,17 +623,7 @@ object Dedup {
     * the same body as [[jaccardPairsSql]] at the prefix threshold.
     */
   val adaptiveJaccardPairsSql: String =
-    s"""WITH sh AS ($shingleRelSql),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = id_a
-       |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE inter * $PrefixJaccDen > (sa.n + sb.n - inter) * $PrefixJaccNum""".stripMargin
+    jaccardPairsSqlAt(PrefixJaccNum, PrefixJaccDen)
 
   // ------------------------------------------------------------------
   // MinHash signatures + LSH candidate pairs. Candidates = (a, b) sharing
@@ -1513,7 +1512,11 @@ object Dedup {
     "d_embedding_clusters" -> (embeddingClusters _),
     "d_canonical_stats" -> (canonicalStats _))
 
-  val oracles: Map[String, String] = Map(
+  // Lazy so evaluating this map (the only forcer of the lazy SQL vals
+  // above) happens strictly AFTER Dedup's initializer finishes — the
+  // structural half of the init-cycle fix; SqlParitySpec's standalone-
+  // "null" sweep is the backstop.
+  lazy val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> exactDedupSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "d_incremental_neardup" -> incrementalNearDupSql,

@@ -131,20 +131,30 @@ object Retrieval {
     * space; the batch gate (whose queries ARE corpus docs) filters the
     * key-equal pairs afterwards, which commutes with the grouped sum.
     */
+  // The rest of the index, registered like tf: dl + df + the 1-row
+  // stats build ONCE however many consumers (the two ranked gates, the
+  // capped twin's vocab prune, serve triggers) probe them.
+  private def dlRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"retrieval.dl:$sfDir") {
+      tfRel(spark, sfDir).groupBy("doc_id").agg(sum("tf").as("dl"))
+    }
+
+  private def stRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"retrieval.st:$sfDir") {
+      dlRel(spark, sfDir).agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    }
+
+  private def dfRel(spark: SparkSession, sfDir: String): DataFrame =
+    CacheRegistry.cached(spark, s"retrieval.df:$sfDir") {
+      tfRel(spark, sfDir).groupBy("h").agg(count(lit(1)).as("df"))
+    }
+
   private[graft] def scoreAgainst(spark: SparkSession, sfDir: String,
       qt: DataFrame): DataFrame = {
     val tf = tfRel(spark, sfDir)
-    // Registered like tf: the whole index (tf + dl + df + the 1-row
-    // stats) then builds ONCE however many serve triggers probe it.
-    val dl = CacheRegistry.cached(spark, s"retrieval.dl:$sfDir") {
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    }
-    val st = CacheRegistry.cached(spark, s"retrieval.st:$sfDir") {
-      dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
-    }
-    val df_ = CacheRegistry.cached(spark, s"retrieval.df:$sfDir") {
-      tf.groupBy("h").agg(count(lit(1)).as("df"))
-    }
+    val dl = dlRel(spark, sfDir)
+    val st = stRel(spark, sfDir)
+    val df_ = dfRel(spark, sfDir)
     qt.join(tf.select(col("doc_id").as("neighbor_id"), col("h"), col("tf")), "h")
       .join(df_, "h")
       .join(dl.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")
@@ -178,11 +188,10 @@ object Retrieval {
     */
   private def dfKeptRel(spark: SparkSession, sfDir: String): DataFrame =
     CacheRegistry.cached(spark, s"retrieval.dfkept:$sfDir") {
-      val tf = tfRel(spark, sfDir)
-      val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
-      val n = tf.select(col("doc_id")).distinct()
-        .agg(count(lit(1)).as("n"))
-      df_.crossJoin(broadcast(n))
+      // Both inputs are the already-registered index relations — the
+      // prune costs one vocab-sized filter, zero extra corpus passes.
+      dfRel(spark, sfDir)
+        .crossJoin(broadcast(stRel(spark, sfDir).select("n")))
         .where(col("df") * 2 <= col("n")).select("h")
     }
 

@@ -107,8 +107,14 @@ object Sketches {
       s"list_transform(string_split($c, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $P)"
 
-  private[graft] def cmsCellExprs(h: String): IndexedSeq[String] =
-    cmsCoeffs.map { case (a, b) => s"(($a * $h + $b) % $P) % $CmsWidth" }
+  /** One cell expression per depth row over hash column `h` — the width
+    * parameterizes so the dedup plan-choice grid (Dedup.AdaptiveCmsWidth)
+    * shares THIS hash family instead of duplicating it: a change to the
+    * hash form lands in every grid at once.
+    */
+  private[graft] def cmsCellExprs(h: String,
+      width: Long = CmsWidth): IndexedSeq[String] =
+    cmsCoeffs.map { case (a, b) => s"(($a * $h + $b) % $P) % $width" }
 
   /** (tok, h) for every token OCCURRENCE (non-distinct — CMS counts
     * frequencies). Cached: both CMS queries consume it.

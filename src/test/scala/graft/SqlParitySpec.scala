@@ -43,12 +43,16 @@ class SqlParitySpec extends SparkSpec {
     // into an interpolated SQL val (r14: an eager Dedup val triggered
     // Sketches' initializer mid-Dedup-init, and Sketches' editdist
     // oracle captured Dedup.minhashLshPairsSql while it was still
-    // null). Init order varies by entry point, so the gate sweeps every
-    // text for the tell-tale "<keyword> (null" shape.
-    val bad = Seq("AS (null", "FROM (null", "JOIN (null", "WITH (null")
+    // null). Init order varies by entry point and the null can land
+    // parenthesized or bare (a CTE-chain fragment interpolates as
+    // "WITH null,"), so the gate is the full word-boundary sweep: no
+    // text may contain standalone lowercase "null" at all — SQL NULL
+    // literals are uppercase throughout this repo, and identifiers like
+    // nullif/null_orderkeys don't match the boundary.
+    val bad = "\\bnull\\b".r
     (SparkEntry.oracleSql ++ SqlQueries.sql).foreach { case (name, text) =>
-      bad.foreach(b => assert(!text.contains(b),
-        s"$name embeds an uninitialized SQL fragment ('$b')"))
+      assert(bad.findFirstIn(text).isEmpty,
+        s"$name embeds an uninitialized SQL fragment (standalone 'null')")
     }
   }
 
