@@ -143,6 +143,14 @@ object StreamSoak {
     runSoak("cms_stream",
       StreamingParity.cmsCounterStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Update())
+    // Dedup-plan decision grid: state = the 3×65536 decision-CMS cells
+    // over the streamed shingle relation — constant-bounded however
+    // many documents replay (the cms_stream contract at the
+    // load-bearing width); the measured plateau is the occupied-cell
+    // count the per-trigger decideJaccardArm read folds over.
+    runSoak("shingle_cms_stream",
+      StreamingParity.shingleCmsStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
+      OutputMode.Update())
     // Vocab maintenance stream: state = one row per DISTINCT token ever
     // seen — vocab-bounded (the cms_stream argument one size up); the
     // state-rows plateau measured here is the fixture's vocabulary

@@ -534,8 +534,23 @@ object Dedup {
     */
   val AdaptiveBudgetPerRow = 32L
 
-  private def adaptiveCellExprs(h: String): IndexedSeq[String] =
+  private[graft] def adaptiveCellExprs(h: String): IndexedSeq[String] =
     Sketches.cmsCellExprs(h, AdaptiveCmsWidth)
+
+  /** The decision formula on collected per-depth grid aggregates
+    * (Σ cnt², Σ cnt) — ONE pure function shared by the batch face's
+    * driver read ([[adaptiveJaccardPairs]]) and the streaming grid's
+    * per-trigger read (StreamingParity.shingleCmsStream consumers), so
+    * the two arms cannot disagree on the rule. Returns
+    * (est_sjs, sum_df, arm).
+    */
+  def decideJaccardArm(perDepth: Seq[(Long, Long)]): (Long, Long, String) = {
+    require(perDepth.nonEmpty, "decideJaccardArm: empty grid")
+    val est = perDepth.map(_._1).min
+    val sumDf = perDepth.map(_._2).max
+    (est, sumDf,
+      if (est <= sumDf * AdaptiveBudgetPerRow) "exact" else "prefix")
+  }
 
   /** The decision grid: (j, cell, cnt) over shingle OCCURRENCES —
     * ≤ depth·width rows out of a partial-aggregated one-pass scan, the

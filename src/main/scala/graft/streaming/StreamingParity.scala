@@ -911,6 +911,32 @@ object StreamingParity {
       .select(explode(expr("split(text, ' ')")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
 
+  // ------------------------------------------------------------------
+  // Streaming dedup-plan decision grid — the continuous twin of
+  // Dedup.adaptiveJaccardDecision's statistic (d_adaptive_jaccard_*).
+  // The batch form reads a CMS grid over the corpus shingle stream to
+  // decide exact-vs-prefix BEFORE materializing any pair row; on a
+  // continuously-ingested corpus the same grid is an update-mode
+  // streaming count over the shingle cells: additive counters, so each
+  // trigger's shingles collapse map-side and state stays ≤ depth·width
+  // rows (196 608 at the decision width) FOREVER — constant-bounded
+  // like cms_stream, sized for a load-bearing estimate. Per trigger a
+  // consumer reads the ≤ depth-row aggregate and calls the SAME
+  // Dedup.decideJaccardArm formula the batch face uses — the C1-style
+  // feedback loop (AdaptiveAgg) applied to join-plan selection: the
+  // day-N ingest pipeline always knows, before it runs, whether the
+  // next full-dedup pass can afford exactness.
+  // ------------------------------------------------------------------
+  def shingleCmsStream(docs: Dataset[StreamDoc]): DataFrame = {
+    import graft.operators.Dedup
+    docs.toDF()
+      .select(explode(graft.functions.TextHashOps.shingleHashes(
+        col("text"), Dedup.ShingleW)).as("sh"))
+      .select(posexplode(array(Dedup.adaptiveCellExprs("sh").map(expr): _*)))
+      .toDF("j", "cell")
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
   def streamingDedup(docs: Dataset[StreamDoc]): DataFrame =
     docs.toDF()
       .withColumn("event_ts", timestamp_millis(col("event_time")))

@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan shape guards — structural scale properties asserted on
+  * the PRE-AQE plan (`queryExecution.sparkPlan`: AQE can upgrade a
+  * shuffle join to broadcast at runtime but never introduces a
+  * cartesian, so the static plan is the conservative surface to pin).
+  *
+  * The headline sweep: NO gated query may plan a `CartesianProduct` —
+  * the both-sides-shuffled row multiplication that turns a 100 TB join
+  * into corpus² — except the labeled all-pairs baselines whose
+  * documentation says exactly that (each has a gated linear/sublinear
+  * sibling as the scale path). `BroadcastNestedLoopJoin` is NOT banned
+  * globally: the repo's 1-row stats crossJoins (`crossJoin(broadcast(
+  * totals))`) legitimately plan as broadcast nested loops over a
+  * single-row side, which is scale-safe. A query that silently grows a
+  * non-equi join in a refactor fails here before any fixture slows
+  * down enough for a human to notice.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Labeled quadratic / brute-force oracle baselines where an
+    * all-pairs plan IS the documented contract.
+    */
+  private val allPairsBaselines = Set(
+    "d_jaccard_pairs", "d_embedding_neardup", "s_cosine_topk",
+    "d_minhash_jaccard_eval", "s_lsh_recall", "s_ivf_recall",
+    "s_pq_recall", "s_knn_agreement", "s_text_cosine_topk",
+    "d_modality_agreement", "a_timeseries_similarity")
+
+  test("no gated query plans a CartesianProduct except the labeled " +
+      "all-pairs baselines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => allPairsBaselines(name) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.sparkPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan at sf0.001: ${e.getMessage}")
+          }
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian join: ${offenders.mkString(", ")}")
+  }
+
+  test("the triangle audits' wedge and close joins are equi-joins " +
+      "(never cartesian, never nested-loop over the edge relation)") {
+    Seq("g_dup_triangles", "g_dup_triangles_simhash").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), q)
+      // the only nested-loop joins allowed are the final 1-row stat
+      // combines; the oriented-edge self-join must key on src (and the
+      // close join on (src, dst)) — both appear as equi-join conditions
+      assert(plan.contains("src"), q)
+    }
+  }
+
+  test("the capped BM25 prune is a broadcast join on the token hash") {
+    val plan = SparkEntry.queries("s_bm25_topk_capped")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the capped-vocab prune must broadcast, never shuffle the index")
+  }
+}

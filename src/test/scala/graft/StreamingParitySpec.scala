@@ -312,6 +312,49 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decision grid: per-trigger arm choice equals the batch " +
+      "adaptive-Jaccard decision over the docs seen so far") {
+    import graft.streaming.StreamingParity.StreamDoc
+    import graft.operators.{Dedup, Sketches}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val day1 = Seq(0L -> words("a", 12), 1L -> words("b", 12))
+    val day2 = Seq(2L -> words("a", 12), 3L -> words("c", 12))
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.shingleCmsStream(input.toDS())
+      .writeStream.format("memory").queryName("shcms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // the per-trigger consumer read: ≤ depth rows off the grid table,
+      // folded through the SAME formula the batch face uses
+      def streamDecision(): (Long, Long, String) = {
+        val grid = s.table("shcms_stream").collect()
+          .map(r => (r.getInt(0), r.getLong(2)))
+        assert(grid.length <= Sketches.CmsDepth * Dedup.AdaptiveCmsWidth)
+        Dedup.decideJaccardArm(grid.groupBy(_._1).values.toSeq
+          .map(cells => (cells.map(c => c._2 * c._2).sum, cells.map(_._2).sum)))
+      }
+      def batchDecision(docsSoFar: Seq[(Long, String)]): (Long, Long, String) = {
+        val dir = writeFixture(documents =
+          docsSoFar.map { case (id, t) => doc(id, t) })
+        val r = Dedup.adaptiveJaccardDecision(s, dir).collect().head
+        (r.getAs[Long]("est_sjs"), r.getAs[Long]("sum_df"),
+          r.getAs[String]("arm"))
+      }
+      input.addData(day1.map { case (id, t) => StreamDoc(1000 + id, id, t) })
+      query.processAllAvailable()
+      assert(streamDecision() === batchDecision(day1))
+      input.addData(day2.map { case (id, t) => StreamDoc(2000 + id, id, t) })
+      query.processAllAvailable()
+      assert(streamDecision() === batchDecision(day1 ++ day2))
+      // the fixture is tiny, so the rule must land on the exact arm —
+      // the prefix branch is pinned by the sf1 gate of the batch face
+      assert(streamDecision()._3 === "exact")
+    } finally query.stop()
+  }
+
   test("streaming chunker emits the batch twin's chunks with identical fingerprints") {
     import graft.streaming.StreamingParity.StreamDoc
     val s = spark
