@@ -1366,6 +1366,9 @@ object SqlQueries {
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "p_source_overlap_minhash" ->
+      graft.operators.Curation.sourceOverlapMinhashSqlOver(
+        "poly_hash(text)", "div"),
     "p_top_quality" ->
       s"""SELECT source, rk, doc_id, quality_score
          |FROM (

@@ -802,6 +802,100 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // MinHash SOURCE signatures: [[sourceOverlap]]'s statistic as a
+  // mergeable summary — one 32-long signature per source over its
+  // distinct doc-fingerprint set, pairwise compared for an estimated
+  // fingerprint-Jaccard NEXT TO the exact inter/union (the
+  // estimate-beside-truth accounting of d_minhash_jaccard_eval and
+  // t_cms_token_freq, at source granularity). The curation use: source
+  // acquisition planning reads cross-source duplication BEFORE paying
+  // the fp equi-join — and because min is associative, per-source
+  // signatures maintain incrementally (day-2 batch: 32 mins folded
+  // into the stored 32, the vocabStream/incrementalVocab discipline).
+  //
+  // 100 TB shape: the signature aggregate is one two-phase pass over
+  // (source, fp31) — 32 codegen'd mins absorbed map-side; the pair
+  // comparison runs on |sources| rows of 32 longs (driver-scale at any
+  // corpus size). The exact inter/union columns are the
+  // fixture-affordable audit the estimate is gated against — at
+  // production scale the signature columns alone are the product, the
+  // same split as t_cms_join_size's est-vs-truth.
+  //
+  // Domain: the 31-bit polyhash component (fp div Pack — exact: fp =
+  // a·Pack + b with b < P2 < Pack), because the minhash permutations
+  // ((a_i·h + b_i) mod P) require h < P to stay inside 2^62.
+  // ------------------------------------------------------------------
+  def sourceOverlapMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Parity._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), TextHashOps.polyHash(col("text")).as("fp"))
+      .select(col("source"), expr(s"fp div $Pack").as("h"))
+      .distinct()
+    val sigs = base.groupBy("source")
+      .agg(count(lit(1)).as("n_fps"),
+        minhashAggSpark("h").map(expr): _*)
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1L ELSE 0L END")
+      .mkString(" + ")
+    val inter = base.as("x").join(base.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        expr(s"$matchSum").as("sig_matches"),
+        col("a.n_fps").as("n_a"), col("b.n_fps").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("sig_matches"),
+        expr(s"sig_matches * 1000000L div $NumHashes").as("est_jaccard_ppm"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).as("uni"),
+        expr(s"coalesce(inter, 0L) * 1000000L div (n_a + n_b - coalesce(inter, 0L))")
+          .as("true_jaccard_ppm"))
+  }
+
+  /** The SQL body in either dialect — `fpHash` is the dialect's 62-bit
+    * char polyhash expression over `text`, `idiv` its integer-division
+    * token; one body, both faces.
+    */
+  def sourceOverlapMinhashSqlOver(fpHash: String, idiv: String): String = {
+    import graft.functions.Parity._
+    val aggs = minhashAggDuck("h").mkString(",\n    ")
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT DISTINCT source, $fpHash $idiv $Pack AS h
+       |  FROM (SELECT source, text FROM documents)),
+       |sigs AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_fps,
+       |    $aggs
+       |  FROM base GROUP BY source),
+       |pm AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST($matchSum AS BIGINT) AS sig_matches,
+       |    a.n_fps AS n_a, b.n_fps AS n_b
+       |  FROM sigs a JOIN sigs b ON a.source < b.source),
+       |iv AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM base x JOIN base y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT pm.src_a, pm.src_b, pm.sig_matches,
+       |  pm.sig_matches * 1000000 $idiv ${NumHashes} AS est_jaccard_ppm,
+       |  COALESCE(iv.inter, 0) AS inter,
+       |  pm.n_a + pm.n_b - COALESCE(iv.inter, 0) AS uni,
+       |  COALESCE(iv.inter, 0) * 1000000
+       |    $idiv (pm.n_a + pm.n_b - COALESCE(iv.inter, 0)) AS true_jaccard_ppm
+       |FROM pm LEFT JOIN iv ON pm.src_a = iv.src_a AND pm.src_b = iv.src_b""".stripMargin
+  }
+
+  lazy val sourceOverlapMinhashSql: String = {
+    import graft.functions.Parity._
+    sourceOverlapMinhashSqlOver(charPolyHashDuck("text"), "//")
+  }
+
+  // ------------------------------------------------------------------
   // Quality-vs-duplication calibration: bucket every doc by its quality
   // score (decile of the score VALUE — a pure projection, deliberately
   // not ntile(), whose global sort is the one thing this must not do at
@@ -1303,6 +1397,7 @@ object Curation {
     "p_curation_cascade" -> (curationCascade _),
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
+    "p_source_overlap_minhash" -> (sourceOverlapMinhash _),
     "p_corpus_curation" -> (corpusCuration _),
     "p_stratified_sample" -> (stratifiedSample _),
     "p_vocab_freq" -> (vocabFreq _),
@@ -1331,6 +1426,7 @@ object Curation {
     "p_curation_cascade" -> curationCascadeSql,
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,
+    "p_source_overlap_minhash" -> sourceOverlapMinhashSql,
     "p_corpus_curation" -> corpusCurationSql,
     "p_stratified_sample" -> stratifiedSampleSql,
     "p_vocab_freq" -> vocabFreqSql,

@@ -505,4 +505,55 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("bps"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
     assert(again === got)
   }
+
+  test("source-overlap minhash: estimate and truth equal the driver " +
+      "recompute over per-source fingerprint sets") {
+    import graft.functions.Parity
+    // three sources: A/B share 2 of their docs (one an exact duplicate
+    // within A too — distinct fps collapse it), C is disjoint
+    val texts = Seq(
+      (0L, "alpha beta gamma", "srcA"), (1L, "delta epsilon zeta", "srcA"),
+      (2L, "alpha beta gamma", "srcA"), // dup within A: same fp as doc 0
+      (3L, "alpha beta gamma", "srcB"), (4L, "delta epsilon zeta", "srcB"),
+      (5L, "eta theta iota", "srcB"),
+      (6L, "kappa lambda mu", "srcC"))
+    val dir = writeFixture(documents =
+      texts.map { case (id, t, s) => doc(id, t, source = s) })
+    // driver-side: fp31 = polyHash div Pack, distinct per source
+    def fp31(t: String): Long =
+      graft.functions.TextKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) / Parity.Pack
+    val sets: Map[String, Set[Long]] = texts.groupBy(_._3).view
+      .mapValues(_.map(x => fp31(x._2)).toSet).toMap
+    def sig(hs: Set[Long]): IndexedSeq[Long] =
+      Parity.minhashCoeffs.map { case (a, b) =>
+        hs.map(h => (a * h + b) % Parity.P).min }
+    val want = (for {
+      sa <- sets.keys; sb <- sets.keys if sa < sb
+    } yield {
+      val (ha, hb) = (sets(sa), sets(sb))
+      val matches = sig(ha).zip(sig(hb)).count { case (x, y) => x == y }.toLong
+      val inter = ha.intersect(hb).size.toLong
+      val uni = ha.size.toLong + hb.size.toLong - inter
+      (sa, sb, matches, matches * 1000000L / Parity.NumHashes,
+        inter, uni, inter * 1000000L / uni)
+    }).toSet
+    val got = graft.operators.Curation.sourceOverlapMinhash(spark, dir)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("sig_matches"), r.getAs[Long]("est_jaccard_ppm"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+        r.getAs[Long]("true_jaccard_ppm"))).toSet
+    assert(got === want)
+    // the planted overlap must be visible through BOTH faces: A∩B has
+    // 2 shared fps (truth 2/3), A∩C and B∩C are disjoint (truth 0)
+    val byPair = got.map(x => (x._1, x._2) -> (x._5, x._7)).toMap
+    assert(byPair(("srcA", "srcB")) === ((2L, 666666L)))
+    assert(byPair(("srcA", "srcC"))._1 === 0L)
+    assert(byPair(("srcB", "srcC"))._1 === 0L)
+    // signature-agreement estimate must also separate them: more
+    // matches on the overlapping pair than on either disjoint pair
+    val m = got.map(x => (x._1, x._2) -> x._3).toMap
+    assert(m(("srcA", "srcB")) > m(("srcA", "srcC")))
+    assert(m(("srcA", "srcB")) > m(("srcB", "srcC")))
+  }
 }
