@@ -1369,6 +1369,9 @@ object SqlQueries {
     "p_source_overlap_minhash" ->
       graft.operators.Curation.sourceOverlapMinhashSqlOver(
         "poly_hash(text)", "div"),
+    "p_incremental_source_sigs" ->
+      graft.operators.Curation.incrementalSourceSigsSqlOver(
+        "poly_hash(text)", "div"),
     "p_top_quality" ->
       s"""SELECT source, rk, doc_id, quality_score
          |FROM (

@@ -896,6 +896,64 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Incremental source-signature maintenance — the "min is associative"
+  // claim of [[sourceOverlapMinhash]] EXECUTED as a gate: day-1
+  // signatures (even doc_ids, the stored relation) merge a day-2 batch
+  // (odd ids, aggregated alone) via one |sources|-row full-outer
+  // element-wise min, and the oracle recomputes the signatures from the
+  // WHOLE corpus in one pass — stored ⊕ Δ ≡ recompute, slot for slot
+  // (the p_incremental_vocab discipline applied to a sketch, not a
+  // count). Day-2 cost is batch-proportional; the merge relation is
+  // |sources| × 32 longs. n_fps is deliberately NOT maintained —
+  // distinct counts don't merge from aggregates (the vocab df rule);
+  // signatures DO, which is the point of keeping them.
+  // ------------------------------------------------------------------
+  private def sourceSigsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Parity._
+    docs.select(col("source"), TextHashOps.polyHash(col("text")).as("fp"))
+      .select(col("source"), expr(s"fp div $Pack").as("h"))
+      .distinct()
+      .groupBy("source").agg(
+        minhashAggSpark("h").map(expr).head,
+        minhashAggSpark("h").map(expr).tail: _*)
+  }
+
+  def incrementalSourceSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Parity._
+    val stored = sourceSigsOf(
+      Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 0))
+    val batch = sourceSigsOf(
+      Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 1))
+    val merged = (0 until NumHashes).map { i =>
+      expr(s"""CASE WHEN a.m$i IS NULL THEN b.m$i
+              |WHEN b.m$i IS NULL THEN a.m$i
+              |WHEN a.m$i < b.m$i THEN a.m$i ELSE b.m$i END""".stripMargin)
+        .as(s"m$i")
+    }
+    stored.as("a").join(batch.as("b"),
+        col("a.source") === col("b.source"), "full_outer")
+      .select(coalesce(col("a.source"), col("b.source")).as("source") +: merged: _*)
+  }
+
+  /** The recompute oracle body in either dialect — the gate's whole
+    * point is that the merged output hashes equal to this.
+    */
+  def incrementalSourceSigsSqlOver(fpHash: String, idiv: String): String = {
+    import graft.functions.Parity._
+    val aggs = minhashAggDuck("h").mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT DISTINCT source, $fpHash $idiv $Pack AS h
+       |  FROM (SELECT source, text FROM documents))
+       |SELECT source, $aggs
+       |FROM base GROUP BY source""".stripMargin
+  }
+
+  lazy val incrementalSourceSigsSql: String = {
+    import graft.functions.Parity._
+    incrementalSourceSigsSqlOver(charPolyHashDuck("text"), "//")
+  }
+
+  // ------------------------------------------------------------------
   // Quality-vs-duplication calibration: bucket every doc by its quality
   // score (decile of the score VALUE — a pure projection, deliberately
   // not ntile(), whose global sort is the one thing this must not do at
@@ -1398,6 +1456,7 @@ object Curation {
     "p_quality_dup_calibration" -> (qualityDupCalibration _),
     "p_source_overlap" -> (sourceOverlap _),
     "p_source_overlap_minhash" -> (sourceOverlapMinhash _),
+    "p_incremental_source_sigs" -> (incrementalSourceSigs _),
     "p_corpus_curation" -> (corpusCuration _),
     "p_stratified_sample" -> (stratifiedSample _),
     "p_vocab_freq" -> (vocabFreq _),
@@ -1427,6 +1486,7 @@ object Curation {
     "p_quality_dup_calibration" -> qualityDupCalibrationSql,
     "p_source_overlap" -> sourceOverlapSql,
     "p_source_overlap_minhash" -> sourceOverlapMinhashSql,
+    "p_incremental_source_sigs" -> incrementalSourceSigsSql,
     "p_corpus_curation" -> corpusCurationSql,
     "p_stratified_sample" -> stratifiedSampleSql,
     "p_vocab_freq" -> vocabFreqSql,

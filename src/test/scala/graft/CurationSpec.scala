@@ -556,4 +556,41 @@ class CurationSpec extends SparkSpec {
     assert(m(("srcA", "srcB")) > m(("srcA", "srcC")))
     assert(m(("srcA", "srcB")) > m(("srcB", "srcC")))
   }
+
+  test("incremental source signatures: stored ⊕ day-2 merge equals the " +
+      "full recompute, slot for slot") {
+    import graft.functions.Parity
+    // srcA has both day-1 (even id) and day-2 (odd id) docs; srcNew
+    // exists ONLY in the day-2 batch (the full-outer merge's null arm)
+    val texts = Seq(
+      (0L, "alpha beta gamma", "srcA"), (2L, "delta epsilon", "srcA"),
+      (1L, "zeta eta theta", "srcA"),
+      (4L, "iota kappa", "srcB"),
+      (5L, "lambda mu nu", "srcNew"))
+    val dir = writeFixture(documents =
+      texts.map { case (id, t, s) => doc(id, t, source = s) })
+    def fp31(t: String): Long =
+      graft.functions.TextKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) / Parity.Pack
+    // full driver recompute over the WHOLE corpus
+    val want = texts.groupBy(_._3).map { case (src, docs) =>
+      val hs = docs.map(d => fp31(d._2)).toSet
+      src -> Parity.minhashCoeffs.map { case (a, b) =>
+        hs.map(h => (a * h + b) % Parity.P).min }
+    }
+    val got = graft.operators.Curation.incrementalSourceSigs(spark, dir)
+      .collect().map { r =>
+        r.getAs[String]("source") ->
+          (0 until Parity.NumHashes).map(i => r.getAs[Long](s"m$i"))
+      }.toMap
+    assert(got === want)
+    // the day-2 batch must actually CHANGE srcA's signature somewhere
+    // (otherwise the merge arm is untested): at least one slot's min
+    // comes from the odd-id doc
+    val day1A = Set(fp31("alpha beta gamma"), fp31("delta epsilon"))
+    val day1Sig = Parity.minhashCoeffs.map { case (a, b) =>
+      day1A.map(h => (a * h + b) % Parity.P).min }
+    assert(got("srcA") !== day1Sig)
+    assert(got.keySet === Set("srcA", "srcB", "srcNew"))
+  }
 }
