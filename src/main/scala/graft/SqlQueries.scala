@@ -574,6 +574,15 @@ object SqlQueries {
     * native ASOF JOIN — this text IS the documented composition).
     */
   private lazy val eventAnalyticsSql: Map[String, String] = Map(
+    // The five r14 TPC-H shapes: their oracle texts are dialect-neutral
+    // (year(), TIMESTAMP literals, DECIMAL casts, a correlated scalar
+    // subquery Catalyst decorrelates to the DataFrame form's agg+join),
+    // so one text serves both engines.
+    "a_min_cost_supplier" -> graft.operators.Analytics.minCostSupplierSql,
+    "a_important_parts" -> graft.operators.Analytics.importantPartsSql,
+    "a_promo_revenue" -> graft.operators.Analytics.promoRevenueSql,
+    "a_top_supplier" -> graft.operators.Analytics.topSupplierSql,
+    "a_nation_trade_volume" -> graft.operators.Analytics.nationTradeVolumeSql,
     "a_large_orders" ->
       s"""WITH qty AS (
          |  SELECT l_orderkey,

@@ -1456,7 +1456,246 @@ object Analytics {
       |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
       |GROUP BY n_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q2 shape: min-cost supplier per part — the correlated-scalar-
+  // subquery decorrelation story. The DataFrame form IS the decorrelated
+  // plan (per-part min + equality join back); the SQL faces state the
+  // textbook correlated form (`WHERE price = (SELECT min ... WHERE same
+  // part)`) and Catalyst/DuckDB decorrelate to the same agg+join —
+  // asserted equal by the hash gate, like a_small_qty_revenue. No
+  // partsupp table in the fixtures, so lineitem is the part↔supplier
+  // price bridge and EUROPE suppliers the region cut (dimension chain
+  // broadcast). Prices ride as exact integer CENTS; ties resolve to the
+  // smallest supplier key (Q2's deterministic tiebreak).
+  // 100 TB: one fact scan, one 8-byte-partkey shuffle for the min, one
+  // equality join back on the same partitioning.
+  // ------------------------------------------------------------------
+  private def euSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .join(broadcast(Tables.region(spark, sfDir)
+            .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+      .join(broadcast(euSuppliers(spark, sfDir).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val minp = li.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min("price_cents").as("min_price_cents"))
+    li.join(minp,
+        col("l_partkey") === col("mp_partkey") &&
+          col("price_cents") === col("min_price_cents"))
+      .groupBy(col("l_partkey").as("p_partkey"), col("min_price_cents"))
+      .agg(min("l_suppkey").as("best_suppkey"))
+      .select("p_partkey", "min_price_cents", "best_suppkey")
+  }
+
+  val minCostSupplierSql: String =
+    s"""WITH eu AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |li AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS price_cents
+       |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey)
+       |SELECT l_partkey AS p_partkey, price_cents AS min_price_cents,
+       |  min(l_suppkey) AS best_suppkey
+       |FROM li o
+       |WHERE price_cents = (
+       |  SELECT min(price_cents) FROM li i WHERE i.l_partkey = o.l_partkey)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q11 shape: "important parts" — per-part value with a HAVING
+  // against the GLOBAL statistics (value·n_parts > Σvalue, the
+  // cross-multiplied exact form of value > mean). Q11's textbook
+  // fraction is a tuning constant; against this fixture's
+  // Poisson-concentrated per-part values ANY fixed fraction either
+  // empties or passes everything as the scale factor moves, so the
+  // gate pins the structural content — a grouped aggregate filtered
+  // against a broadcast 1-row global aggregate of itself — with the
+  // scale-free above-average line. The global scalar rides a broadcast;
+  // the fact shuffles once on the part key.
+  // ------------------------------------------------------------------
+  def importantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val value = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+      .join(broadcast(euSuppliers(spark, sfDir).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum("price_cents").as("value_cents"))
+    val total = value.agg(sum("value_cents").as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(total))
+      .where(col("value_cents") * col("n_parts") > col("total_cents"))
+      .select("p_partkey", "value_cents")
+  }
+
+  val importantPartsSql: String =
+    s"""WITH eu AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |v AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS value_cents
+       |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+       |  GROUP BY 1),
+       |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+       |  count(*) AS n_parts FROM v)
+       |SELECT p_partkey, value_cents
+       |FROM v CROSS JOIN t
+       |WHERE value_cents * n_parts > total_cents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q14 shape: promo revenue share per ship-year — conditional
+  // aggregation against the group total; exact DECIMAL(38,4) sums, the
+  // share exposed as the one permitted double division of identical
+  // decimals (the a_market_share rule).
+  // ------------------------------------------------------------------
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate").cast("timestamp")).as("ship_year"),
+        col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("disc_price"))
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+    li.groupBy("ship_year")
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("disc_price"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").as("promo_dec"),
+        sum("disc_price").cast("decimal(38,4)").as("total_dec"))
+      .select(col("ship_year").cast("long").as("ship_year"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        (col("promo_dec").cast("double") / col("total_dec").cast("double"))
+          .as("promo_share"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT ship_year,
+      |  CAST(promo_dec AS DOUBLE) AS promo_revenue,
+      |  CAST(total_dec AS DOUBLE) AS total_revenue,
+      |  CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_share
+      |FROM (
+      |  SELECT year(CAST(l_shipdate AS TIMESTAMP)) AS ship_year,
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_dec,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS DECIMAL(38,4)) AS total_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1) sub""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q15 shape: top supplier(s) by revenue inside a ship window —
+  // the max-over-aggregate with TIE-SAFE emission (Q15's VIEW + "=max"
+  // subquery; a LIMIT 1 would silently drop co-leaders). Global max via
+  // broadcast 1-row relation; revenue in exact cents.
+  // ------------------------------------------------------------------
+  val TopSupplierFrom = "1997-01-01"
+  val TopSupplierTo = "1998-01-01"
+
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").cast("timestamp") >=
+          lit(TopSupplierFrom).cast("timestamp") &&
+        col("l_shipdate").cast("timestamp") <
+          lit(TopSupplierTo).cast("timestamp"))
+      .select(col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum("price_cents").as("revenue_cents"))
+    val mx = rev.agg(max("revenue_cents").as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("revenue_cents") === col("max_cents"))
+      .select("s_suppkey", "revenue_cents")
+  }
+
+  val topSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS revenue_cents
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '$TopSupplierFrom'
+       |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '$TopSupplierTo'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, revenue_cents FROM rev
+       |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q7 shape: trade volume between distinct nation pairs per ship
+  // year — the two-dimension-chain join (supplier→nation on one side,
+  // orders→customer→nation on the other) with both chains broadcast and
+  // the fact shuffled once on the orderkey equi-join.
+  // ------------------------------------------------------------------
+  def nationTradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val sn = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cn = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("timestamp")).as("ship_year"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        col("ship_year").cast("long").as("ship_year"))
+      .agg(sum("price_cents").as("volume_cents"))
+  }
+
+  val nationTradeVolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS volume_cents
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_min_cost_supplier" -> (minCostSupplier _),
+    "a_important_parts" -> (importantParts _),
+    "a_promo_revenue" -> (promoRevenue _),
+    "a_top_supplier" -> (topSupplier _),
+    "a_nation_trade_volume" -> (nationTradeVolume _),
     "a_large_orders" -> (largeOrders _),
     "a_sole_blame_suppliers" -> (soleBlameSuppliers _),
     "a_idle_customers" -> (idleCustomers _),
@@ -1493,6 +1732,11 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_min_cost_supplier" -> minCostSupplierSql,
+    "a_important_parts" -> importantPartsSql,
+    "a_promo_revenue" -> promoRevenueSql,
+    "a_top_supplier" -> topSupplierSql,
+    "a_nation_trade_volume" -> nationTradeVolumeSql,
     "a_large_orders" -> largeOrdersSql,
     "a_sole_blame_suppliers" -> soleBlameSuppliersSql,
     "a_idle_customers" -> idleCustomersSql,

@@ -568,4 +568,91 @@ class AnalyticsSpec extends SparkSpec {
     assert(naivePlan.contains("BroadcastNestedLoop"),
       s"baseline sanity: the keyless range join nested-loops:\n$naivePlan")
   }
+
+  test("the five r14 TPC-H shapes equal their driver-side recomputes") {
+    val sfDir = "/root/testdata/sf0.001"
+    // shared collected base relations (exact integer cents throughout)
+    val euSupp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sfDir).select(
+        col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_orderkey").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)"), // disc_price in exact 1e-4 units
+        expr("year(CAST(l_shipdate AS TIMESTAMP))").cast("long"),
+        expr(s"CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '${Analytics.TopSupplierFrom}'" +
+          s" AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '${Analytics.TopSupplierTo}'"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+
+    // Q2 shape: per-part min cents among EU lineitems, min-suppkey ties
+    val eu = li.filter(x => euSupp(x._2))
+    val wantMin = eu.groupBy(_._1).map { case (pk, xs) =>
+      val m = xs.map(_._4).min
+      (pk, m, xs.filter(_._4 == m).map(_._2).min)
+    }.toSet
+    val gotMin = Analytics.minCostSupplier(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("min_price_cents"),
+        r.getAs[Long]("best_suppkey"))).toSet
+    assert(gotMin.nonEmpty && gotMin === wantMin)
+
+    // Q11 shape: per-part EU value vs the above-average global line
+    val values = eu.groupBy(_._1).map { case (pk, xs) => pk -> xs.map(_._4).sum }
+    val total = values.values.sum
+    val nParts = values.size.toLong
+    val wantImp = values.filter(_._2 * nParts > total).toSet
+    val gotImp = Analytics.importantParts(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("value_cents"))).toSet
+    assert(gotImp.nonEmpty && gotImp === wantImp)
+    assert(gotImp.size < values.size) // the line must actually cut
+
+    // Q14 shape: promo share per ship-year (exact 1e-4 sums -> doubles)
+    val promoParts = Tables.part(spark, sfDir)
+      .where(col("p_type") === "PROMO")
+      .select(col("p_partkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val wantPromo = li.groupBy(_._6).map { case (y, xs) =>
+      val promo = xs.filter(x => promoParts(x._1)).map(_._5).sum
+      val tot = xs.map(_._5).sum
+      (y, promo / 1e4, tot / 1e4, (promo / 1e4) / (tot / 1e4))
+    }.toSet
+    val gotPromo = Analytics.promoRevenue(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("ship_year"), r.getAs[Double]("promo_revenue"),
+        r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_share"))).toSet
+    assert(gotPromo.nonEmpty && gotPromo === wantPromo)
+
+    // Q15 shape: tie-safe max-revenue suppliers in the window
+    val revs = li.filter(_._7).groupBy(_._2).map { case (sk, xs) =>
+      sk -> xs.map(_._4).sum }
+    val mx = revs.values.max
+    val wantTop = revs.filter(_._2 == mx).toSet
+    val gotTop = Analytics.topSupplier(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("revenue_cents"))).toSet
+    assert(gotTop.nonEmpty && gotTop === wantTop)
+
+    // Q7 shape: nation-pair volume per ship year
+    val suppNation = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderNation = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantVol = li
+      .map(x => (suppNation(x._2), orderNation(x._3), x._6, x._4))
+      .filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2, x._3)).map { case ((sn, cn, y), xs) =>
+        (sn, cn, y, xs.map(_._4).sum) }.toSet
+    val gotVol = Analytics.nationTradeVolume(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
+        r.getAs[Long]("ship_year"), r.getAs[Long]("volume_cents"))).toSet
+    assert(gotVol.nonEmpty && gotVol === wantVol)
+  }
 }
