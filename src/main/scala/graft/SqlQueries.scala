@@ -579,6 +579,8 @@ object SqlQueries {
     // subquery Catalyst decorrelates to the DataFrame form's agg+join),
     // so one text serves both engines.
     "a_min_cost_supplier" -> graft.operators.Analytics.minCostSupplierSql,
+    "a_disjunctive_revenue" -> graft.operators.Analytics.disjunctiveRevenueSql,
+    "a_dominant_suppliers" -> graft.operators.Analytics.dominantSuppliersSql,
     "a_important_parts" -> graft.operators.Analytics.importantPartsSql,
     "a_promo_revenue" -> graft.operators.Analytics.promoRevenueSql,
     "a_top_supplier" -> graft.operators.Analytics.topSupplierSql,

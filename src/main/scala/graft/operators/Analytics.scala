@@ -1690,8 +1690,95 @@ object Analytics {
       |WHERE sn.n_name <> cn.n_name
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+  // part×lineitem predicates (brand/size/quantity bands). The planner
+  // story: the join key and the per-disjunct residuals survive as one
+  // equi-join + an OR filter — no union-of-three-scans, no cartesian;
+  // common sub-predicates prune in-stream. One row out (exact cents +
+  // the qualifying row count, so an empty-disjunct regression is
+  // visible, not hashed away).
+  // ------------------------------------------------------------------
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)").as("disc_e4"))
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
+          col("qty").between(20, 30)))
+      .agg(coalesce(sum("disc_e4"), lit(0L)).as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT
+      |  COALESCE(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    * 10000 AS BIGINT)) AS BIGINT), 0) AS revenue_e4,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q20 shape, reshaped onto lineitem (no partsupp fixture):
+  // HEAD suppliers per part — (supplier, part) pairs whose shipped
+  // quantity exceeds the part's fair share (pair_qty·n_suppliers >
+  // Σpart qty, the exact cross-multiplied form of "above the per-
+  // supplier average for this part"; the textbook majority line never
+  // fires on this generator — measured max share ≈ 25% at every SF —
+  // so the gate pins the structural content with the per-group
+  // relative threshold, the reference's per-key head/tail split at
+  // (part, supplier) granularity). The Q20 skeleton survives: a
+  // per-(supp,part) aggregate filtered against a per-part aggregate of
+  // the same fact — one scan, two aggregates on 8-byte keys, the
+  // per-part relation re-joined on its own partitioning.
+  // ------------------------------------------------------------------
+  def dominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val perPair = base.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("pair_qty"))
+    val perPart = perPair.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum("pair_qty").as("part_qty"), count(lit(1)).as("n_supp"))
+    perPair.join(perPart, col("l_partkey") === col("pp_partkey"))
+      .where(col("pair_qty") * col("n_supp") > col("part_qty"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_suppkey").as("s_suppkey"),
+        col("pair_qty"), col("part_qty"), col("n_supp"))
+  }
+
+  val dominantSuppliersSql: String =
+    """WITH pair AS (
+      |  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |part_tot AS (
+      |  SELECT p_partkey, CAST(sum(pair_qty) AS BIGINT) AS part_qty,
+      |    count(*) AS n_supp
+      |  FROM pair GROUP BY 1)
+      |SELECT pair.p_partkey, pair.s_suppkey, pair.pair_qty,
+      |  part_tot.part_qty, part_tot.n_supp
+      |FROM pair JOIN part_tot ON pair.p_partkey = part_tot.p_partkey
+      |WHERE pair.pair_qty * part_tot.n_supp > part_tot.part_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_min_cost_supplier" -> (minCostSupplier _),
+    "a_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "a_dominant_suppliers" -> (dominantSuppliers _),
     "a_important_parts" -> (importantParts _),
     "a_promo_revenue" -> (promoRevenue _),
     "a_top_supplier" -> (topSupplier _),
@@ -1733,6 +1820,8 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "a_min_cost_supplier" -> minCostSupplierSql,
+    "a_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "a_dominant_suppliers" -> dominantSuppliersSql,
     "a_important_parts" -> importantPartsSql,
     "a_promo_revenue" -> promoRevenueSql,
     "a_top_supplier" -> topSupplierSql,

@@ -654,5 +654,49 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
         r.getAs[Long]("ship_year"), r.getAs[Long]("volume_cents"))).toSet
     assert(gotVol.nonEmpty && gotVol === wantVol)
+
+    // Q19 shape: disjunctive brand/size/quantity bands
+    val partMeta = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long"), col("p_brand"),
+        col("p_size").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val qty = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long"),
+        col("l_quantity").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def inBand(pk: Long, q: Long): Boolean = {
+      val (b, s) = partMeta(pk)
+      (b == "Brand#12" && s >= 1 && s <= 15 && q >= 1 && q <= 11) ||
+      (b == "Brand#23" && s >= 1 && s <= 25 && q >= 10 && q <= 20) ||
+      (b == "Brand#34" && s >= 1 && s <= 50 && q >= 20 && q <= 30)
+    }
+    val hits = qty.filter(x => inBand(x._1, x._2))
+    val gotDis = Analytics.disjunctiveRevenue(spark, sfDir).head()
+    assert(gotDis.getAs[Long]("revenue_e4") === hits.map(_._3).sum)
+    assert(gotDis.getAs[Long]("n_rows") === hits.length.toLong)
+    assert(hits.nonEmpty) // the disjunction must actually select rows
+
+    // Q20 shape: per-part dominant (supp, part) pairs
+    val pairQ = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPairQ = pairQ.groupBy(x => (x._1, x._2)).map { case ((pk, sk), xs) =>
+      (pk, sk, xs.map(_._3).sum) }
+    val byPartQ = byPairQ.groupBy(_._1).map { case (pk, xs) =>
+      pk -> (xs.map(_._3).sum, xs.size.toLong) }
+    val wantDom = byPairQ.collect {
+      case (pk, sk, pq) if pq * byPartQ(pk)._2 > byPartQ(pk)._1 =>
+        (pk, sk, pq, byPartQ(pk)._1, byPartQ(pk)._2)
+    }.toSet
+    val gotDom = Analytics.dominantSuppliers(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("s_suppkey"),
+        r.getAs[Long]("pair_qty"), r.getAs[Long]("part_qty"),
+        r.getAs[Long]("n_supp"))).toSet
+    assert(gotDom.nonEmpty && gotDom === wantDom)
+    assert(gotDom.size < byPairQ.size) // the fair-share line must cut
   }
 }
