@@ -578,6 +578,15 @@ object SqlQueries {
     // (year(), TIMESTAMP literals, DECIMAL casts, a correlated scalar
     // subquery Catalyst decorrelates to the DataFrame form's agg+join),
     // so one text serves both engines.
+    // The six round-14 closing shapes (Q6/Q9/Q10/Q12/Q13/Q16 — the full
+    // 22-shape TPC-H sweep): five texts are dialect-neutral; Q12 has a
+    // Spark twin because datediff argument order differs between engines.
+    "a_forecast_revenue" -> graft.operators.Analytics.forecastRevenueSql,
+    "a_nation_profit" -> graft.operators.Analytics.nationProfitSql,
+    "a_returned_revenue" -> graft.operators.Analytics.returnedRevenueSql,
+    "a_ship_delay_priority" -> graft.operators.Analytics.shipDelayPrioritySparkSql,
+    "a_order_count_distribution" -> graft.operators.Analytics.orderCountDistributionSql,
+    "a_supplier_variety" -> graft.operators.Analytics.supplierVarietySql,
     "a_min_cost_supplier" -> graft.operators.Analytics.minCostSupplierSql,
     "a_disjunctive_revenue" -> graft.operators.Analytics.disjunctiveRevenueSql,
     "a_dominant_suppliers" -> graft.operators.Analytics.dominantSuppliersSql,
@@ -1124,6 +1133,32 @@ object SqlQueries {
          |  SELECT source, gram, cnt,
          |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rnk
          |  FROM cnts)
+         |WHERE rnk <= ${TextAnalysis.TopNgramK}""".stripMargin,
+    // the executed 8-byte-gram-hash plan in SQL clothes: count on
+    // poly_hash(gram), rank-with-ties candidates, recover display grams
+    // for the candidate fps only, final re-rank by (cnt, gram)
+    "t_top_ngrams_hashed" ->
+      s"""WITH grams AS (
+         |  SELECT source, gram, poly_hash(gram) AS gram_fp FROM (
+         |    SELECT source, explode(CASE WHEN size(toks) >= ${TextAnalysis.NgramW}
+         |      THEN transform(sequence(0, size(toks) - ${TextAnalysis.NgramW}),
+         |        i -> concat_ws(' ', slice(toks, i + 1, ${TextAnalysis.NgramW})))
+         |      ELSE array() END) AS gram
+         |    FROM (SELECT source, ${tokensSpark("text")} AS toks FROM documents))),
+         |cand AS (
+         |  SELECT source AS c_source, gram_fp AS c_fp, cnt FROM (
+         |    SELECT source, gram_fp, count(*) AS cnt,
+         |      rank() OVER (PARTITION BY source ORDER BY count(*) DESC) AS crnk
+         |    FROM grams GROUP BY source, gram_fp)
+         |  WHERE crnk <= ${TextAnalysis.TopNgramK}),
+         |recovered AS (
+         |  SELECT DISTINCT g.source, g.gram, c.cnt
+         |  FROM grams g JOIN cand c
+         |    ON g.source = c.c_source AND g.gram_fp = c.c_fp)
+         |SELECT source, gram, cnt, rnk FROM (
+         |  SELECT source, gram, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rnk
+         |  FROM recovered)
          |WHERE rnk <= ${TextAnalysis.TopNgramK}""".stripMargin,
     "t_token_rarity" ->
       s"""WITH toks AS (

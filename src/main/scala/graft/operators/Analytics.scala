@@ -1775,7 +1775,284 @@ object Analytics {
       |FROM pair JOIN part_tot ON pair.p_partkey = part_tot.p_partkey
       |WHERE pair.pair_qty * part_tot.n_supp > part_tot.part_qty""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q6 shape: forecast-revenue-change — one tight scan with three
+  // residual predicates (ship-year, a discount band on the EXACT decimal
+  // image of the double column, a quantity ceiling) and a single exact
+  // sum of extendedprice·discount in 1e-4 units. The planner story is
+  // that all three predicates sit on the scan (no join, no shuffle
+  // beyond the 1-row final agg) — at 100 TB this is the query partition
+  // pruning and min/max skipping exist for, and the Layout module's
+  // z-order report measures exactly this family.
+  // ------------------------------------------------------------------
+  val ForecastYear = 1996
+
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(year(col("l_shipdate").cast("timestamp")) === ForecastYear &&
+        col("l_discount").cast("decimal(18,2)").between(
+          lit(BigDecimal("0.05")), lit(BigDecimal("0.07"))) &&
+        col("l_quantity") < 24)
+      .agg(
+        coalesce(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)")), lit(0L))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+
+  val forecastRevenueSql: String =
+    s"""SELECT
+       |  COALESCE(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT),
+       |    0) AS revenue_e4,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE year(CAST(l_shipdate AS TIMESTAMP)) = $ForecastYear
+       |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q9 shape: product-type profit per (nation, order-year). The
+  // fixtures carry no partsupp, so supply cost is proxied by a
+  // deterministic function of an existing column — p_retailprice/10 per
+  // unit — keeping Q9's structure intact: a name-pattern filter on part,
+  // profit = disc_price − cost·qty per line, supplier→nation for the
+  // group key, orders for the year. Exact 1e-4 units throughout
+  // (retailprice has 2 decimals, so retailprice·qty·1000 is the /10 cost
+  // in 1e-4 units, integer-exact). Both dims broadcast; the fact
+  // shuffles once on the orderkey join.
+  // ------------------------------------------------------------------
+  val ProfitNamePattern = "%gear%"
+
+  def nationProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_name").like(ProfitNamePattern))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("decimal(18,2)").as("unit_cost10"))
+    val sn = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)").as("disc_e4"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"),
+        (col("disc_e4") -
+          expr("CAST(unit_cost10 * qty * 1000 AS BIGINT)")).as("amount_e4"))
+      .groupBy("nation", "o_year")
+      .agg(sum("amount_e4").as("profit_e4"))
+  }
+
+  val nationProfitSql: String =
+    s"""SELECT n_name AS nation,
+       |  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+       |  CAST(sum(
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      * 10000 AS BIGINT)
+       |    - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+       |      * CAST(l_quantity AS DECIMAL(18,2)) * 1000 AS BIGINT)
+       |  ) AS BIGINT) AS profit_e4
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '$ProfitNamePattern'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q10 shape: returned-item reporting — revenue lost to 'R'-flag
+  // lineitems of orders placed in one quarter, per customer with the
+  // nation dimension attached. The full qualifying-customer relation is
+  // emitted (Q10's LIMIT 20 is a presentation detail; a tie-unsafe head
+  // would make the gate order-dependent). Revenue in exact 1e-4 units,
+  // acctbal as exact cents. orders filters to ~1/27 of the span BEFORE
+  // its join, customer/nation broadcast-shaped, fact shuffled once.
+  // ------------------------------------------------------------------
+  val ReturnedFrom = "1996-10-01"
+  val ReturnedTo = "1997-01-01"
+
+  def returnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate").cast("timestamp") >=
+          lit(ReturnedFrom).cast("timestamp") &&
+        col("o_orderdate").cast("timestamp") <
+          lit(ReturnedTo).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("acctbal_cents"),
+        col("nation"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)").as("disc_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum("disc_e4").as("revenue_e4"))
+      .join(cust, "c_custkey")
+      .select("c_custkey", "c_name", "acctbal_cents", "nation", "revenue_e4")
+  }
+
+  val returnedRevenueSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+       |  n_name AS nation,
+       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '$ReturnedFrom'
+       |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '$ReturnedTo'
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q12 shape, reshaped (no l_shipmode/commitdate/receiptdate in
+  // the fixtures): per ship-delay band — floor((l_shipdate −
+  // o_orderdate)/180d) clamped to [−4,4]; the generator draws the two
+  // dates independently, so negative bands are real — conditional counts
+  // of high-priority ('1-URGENT'/'2-HIGH') vs other order lines. Q12's
+  // skeleton survives intact: fact⋈orders once on the orderkey, a
+  // derived band as the group key, and the CASE-counted priority split.
+  // ------------------------------------------------------------------
+  def shipDelayPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        greatest(lit(-4L), least(lit(4L),
+          floor(datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")) / 180.0))).as("delay_band"),
+        col("o_orderpriority"))
+      .groupBy("delay_band")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  val shipDelayPrioritySql: String =
+    """SELECT
+      |  GREATEST(-4, LEAST(4, CAST(FLOOR(
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |    / 180.0) AS BIGINT))) AS delay_band,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** Spark-dialect twin of [[shipDelayPrioritySql]] (datediff argument
+    * order differs between engines; everything else is shared).
+    */
+  val shipDelayPrioritySparkSql: String =
+    """SELECT
+      |  GREATEST(-4, LEAST(4, CAST(FLOOR(
+      |    datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+      |    / 180.0) AS BIGINT))) AS delay_band,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q13 shape: customer order-count distribution INCLUDING the
+  // zero-order customers (the left-join-then-count trap). Shaped for
+  // scale: orders aggregates to per-customer counts FIRST (map-side
+  // combinable, no wide join), then customer left-joins the count
+  // relation and coalesces absent keys to 0 — the fact never rides a
+  // row-expanding join. The priority filter stands in for Q13's comment
+  // NOT-LIKE: counted orders exclude '4-NOT SPECIFIED'.
+  // ------------------------------------------------------------------
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val orderCountDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT COALESCE(n_orders, 0) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |    FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |    GROUP BY 1) oc
+      |  ON c_custkey = oc.o_custkey) per_cust
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q16 shape, reshaped onto lineitem (no partsupp fixture):
+  // supplier variety per (brand, type, size) for parts outside an
+  // excluded brand/type with an IN-list of sizes — count(DISTINCT
+  // supplier) realized as the explicit two-phase plan: distinct
+  // (brand,type,size,suppkey) quads first (partial dedup map-side),
+  // then a plain count per group. The part dim filters BEFORE the
+  // broadcast, so the fact join only carries qualifying parts.
+  // ------------------------------------------------------------------
+  val VarietySizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)
+
+  def supplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(VarietySizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  val supplierVarietySql: String =
+    s"""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+       |  AND p_size IN (${VarietySizes.mkString(", ")})
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_forecast_revenue" -> (forecastRevenue _),
+    "a_nation_profit" -> (nationProfit _),
+    "a_returned_revenue" -> (returnedRevenue _),
+    "a_ship_delay_priority" -> (shipDelayPriority _),
+    "a_order_count_distribution" -> (orderCountDistribution _),
+    "a_supplier_variety" -> (supplierVariety _),
     "a_min_cost_supplier" -> (minCostSupplier _),
     "a_disjunctive_revenue" -> (disjunctiveRevenue _),
     "a_dominant_suppliers" -> (dominantSuppliers _),
@@ -1819,6 +2096,12 @@ object Analytics {
     "s_ivf_recall" -> (ivfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "a_forecast_revenue" -> forecastRevenueSql,
+    "a_nation_profit" -> nationProfitSql,
+    "a_returned_revenue" -> returnedRevenueSql,
+    "a_ship_delay_priority" -> shipDelayPrioritySql,
+    "a_order_count_distribution" -> orderCountDistributionSql,
+    "a_supplier_variety" -> supplierVarietySql,
     "a_min_cost_supplier" -> minCostSupplierSql,
     "a_disjunctive_revenue" -> disjunctiveRevenueSql,
     "a_dominant_suppliers" -> dominantSuppliersSql,

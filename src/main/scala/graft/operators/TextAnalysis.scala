@@ -563,6 +563,56 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // The EXECUTED 8-byte-gram-hash swap the topNgrams scaladoc documents
+  // as the 100 TB lever — same output relation, different physical plan:
+  //   1. hash each trigram to its 62-bit fingerprint AT EXPLODE TIME, so
+  //      the heavy (source, gram) count shuffle carries an 8-byte long
+  //      instead of the ~25-byte gram string;
+  //   2. rank-with-ties candidates per source on the hash counts
+  //      (rank() ≤ K keeps every boundary tie — the hash ordering must
+  //      not decide ties the display form breaks by gram string);
+  //   3. recover display grams for the FEW candidate fps only: a second
+  //      map-side pass re-derives (source, fp, gram), a broadcast
+  //      semi-join against the tiny candidate set filters before any
+  //      string shuffles, and a distinct collapses repeat occurrences;
+  //   4. the final row_number re-ranks by (cnt DESC, gram ASC) exactly
+  //      like the string form, so the gate can pin output identity.
+  // The oracle is deliberately the PLAIN string recipe — the hashed plan
+  // must reproduce the straightforward relation bit-for-bit. A 62-bit fp
+  // collision between distinct grams of one source would merge their
+  // counts (birthday bound ~2^31 distinct grams per source); at that
+  // corpus size the winners' counts dwarf the collision term.
+  // ------------------------------------------------------------------
+  def topNgramsHashed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashOps
+    def gramRows(withText: Boolean): DataFrame = {
+      val g = Tables.documents(spark, sfDir)
+        .select(col("source"), expr(tokensSpark("text")).as("toks"))
+        .select(col("source"), explode(expr(
+          s"CASE WHEN size(toks) >= $NgramW THEN transform(sequence(0, size(toks) - $NgramW)," +
+            s" i -> concat_ws(' ', slice(toks, i + 1, $NgramW))) ELSE array() END"))
+          .as("gram"))
+      val hashed = g.withColumn("gram_fp", TextHashOps.polyHash(col("gram")))
+      if (withText) hashed else hashed.select("source", "gram_fp")
+    }
+    val cand = gramRows(withText = false)
+      .groupBy("source", "gram_fp").agg(count(lit(1)).as("cnt"))
+      .withColumn("crnk", rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt").desc)))
+      .where(col("crnk") <= TopNgramK)
+      .select(col("source").as("c_source"), col("gram_fp").as("c_fp"),
+        col("cnt"))
+    gramRows(withText = true)
+      .join(broadcast(cand),
+        col("source") === col("c_source") && col("gram_fp") === col("c_fp"))
+      .select("source", "gram", "cnt").distinct()
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("source").orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rnk") <= TopNgramK)
+      .select("source", "gram", "cnt", "rnk")
+  }
+
+  // ------------------------------------------------------------------
   // Token-rarity scoring — the integer-exact stand-in for a unigram-LM
   // perplexity filter: documents whose tokens are corpus-rare (low
   // frequency sums, hapax-heavy) are the OOD/noise candidates a quality
@@ -757,6 +807,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_vocab_drift" -> (vocabDrift _),
     "t_top_ngrams" -> (topNgrams _),
+    "t_top_ngrams_hashed" -> (topNgramsHashed _),
     "t_quality_deciles" -> (qualityDeciles _),
     "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
@@ -774,6 +825,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t_vocab_drift" -> vocabDriftSql,
     "t_top_ngrams" -> topNgramsSql,
+    "t_top_ngrams_hashed" -> topNgramsSql,
     "t_quality_deciles" -> qualityDecilesSql,
     "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,

@@ -699,4 +699,131 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotDom.nonEmpty && gotDom === wantDom)
     assert(gotDom.size < byPairQ.size) // the fair-share line must cut
   }
+
+  test("the six closing TPC-H shapes equal their driver-side recomputes") {
+    val sfDir = "/root/testdata/sf0.001"
+    // one collected lineitem image with every derived measure the six
+    // shapes need (exact units derived by the same decimal chains the
+    // queries use; epoch-day ship date for the delay bands)
+    val li = Tables.lineitem(spark, sfDir).select(
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"), col("l_quantity").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)"), // disc_e4
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)"), // disc_rev_e4
+        expr("year(CAST(l_shipdate AS TIMESTAMP))").cast("long"),
+        expr("CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07"),
+        col("l_returnflag"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7), r.getString(8), r.getLong(9)))
+    val orders = Tables.orders(spark, sfDir).select(
+        col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        expr("year(CAST(o_orderdate AS TIMESTAMP))").cast("long"),
+        col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).cast("long"),
+        expr(s"CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '${Analytics.ReturnedFrom}'" +
+          s" AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '${Analytics.ReturnedTo}'"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5)))
+    val ordByKey = orders.map(o => o._1 -> o).toMap
+
+    // Q6 shape: one tight scan, exact 1e-4 revenue + row count
+    val q6 = li.filter(x => x._7 == Analytics.ForecastYear && x._8 && x._4 < 24)
+    val gotQ6 = Analytics.forecastRevenue(spark, sfDir).head()
+    assert(gotQ6.getAs[Long]("revenue_e4") === q6.map(_._6).sum)
+    assert(gotQ6.getAs[Long]("n_rows") === q6.length.toLong)
+    assert(q6.nonEmpty)
+
+    // Q9 shape: (nation, order-year) profit with the retailprice/10 cost
+    val costPat = Tables.part(spark, sfDir)
+      .where(col("p_name").like(Analytics.ProfitNamePattern))
+      .select(col("p_partkey").cast("long"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 1000 AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val suppNat = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantQ9 = li.filter(x => costPat.contains(x._2))
+      .map(x => (suppNat(x._3), ordByKey(x._1)._3, x._5 - costPat(x._2) * x._4))
+      .groupBy(x => (x._1, x._2)).map { case ((n, y), xs) =>
+        (n, y, xs.map(_._3).sum) }.toSet
+    val gotQ9 = Analytics.nationProfit(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year"),
+        r.getAs[Long]("profit_e4"))).toSet
+    assert(gotQ9.nonEmpty && gotQ9 === wantQ9)
+
+    // Q10 shape: returned revenue per customer in the quarter
+    val custAttrs = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        col("n_name"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getString(3))).toMap
+    val wantQ10 = li.filter(x => x._9 == "R" && ordByKey(x._1)._6)
+      .groupBy(x => ordByKey(x._1)._2).map { case (ck, xs) =>
+        val (nm, ab, nat) = custAttrs(ck)
+        (ck, nm, ab, nat, xs.map(_._5).sum) }.toSet
+    val gotQ10 = Analytics.returnedRevenue(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+        r.getAs[Long]("acctbal_cents"), r.getAs[String]("nation"),
+        r.getAs[Long]("revenue_e4"))).toSet
+    assert(gotQ10.nonEmpty && gotQ10 === wantQ10)
+
+    // Q12 shape: clamped signed half-year delay bands × priority split
+    val high = Set("1-URGENT", "2-HIGH")
+    val wantQ12 = li.map { x =>
+      val o = ordByKey(x._1)
+      val band = math.max(-4L, math.min(4L,
+        math.floor((x._10 - o._5) / 180.0).toLong))
+      (band, o._4)
+    }.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.count(x => high(x._2)).toLong,
+        xs.count(x => !high(x._2)).toLong) }.toSet
+    val gotQ12 = Analytics.shipDelayPriority(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("delay_band"), r.getAs[Long]("high_line_count"),
+        r.getAs[Long]("low_line_count"))).toSet
+    assert(gotQ12.nonEmpty && gotQ12 === wantQ12)
+    assert(wantQ12.exists(_._1 < 0)) // negative bands are real on this generator
+
+    // Q13 shape: order-count distribution INCLUDING zero-order customers
+    val countedOrders = orders.filter(_._4 != "4-NOT SPECIFIED")
+      .groupBy(_._2).map { case (ck, xs) => ck -> xs.size.toLong }
+    val allCust = custAttrs.keySet
+    val wantQ13 = allCust.toSeq.map(ck => countedOrders.getOrElse(ck, 0L))
+      .groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }.toSet
+    val gotQ13 = Analytics.orderCountDistribution(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
+    assert(gotQ13.nonEmpty && gotQ13 === wantQ13)
+    // The left-join zero bucket: every sf0.001/sf0.01 customer has a
+    // qualifying order, so the structural point only materializes from
+    // sf0.1 up (7 zero-order customers measured there) — assert it at
+    // that scale, where the query touches only orders+customer (cheap).
+    val q13AtBench = Analytics.orderCountDistribution(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
+    assert(q13AtBench.exists(_._1 == 0L),
+      "the zero-order bucket must survive the left join at sf0.1")
+
+    // Q16 shape: supplier variety per (brand, type, size)
+    val varietyParts = Tables.part(spark, sfDir)
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(Analytics.VarietySizes: _*))
+      .select(col("p_partkey").cast("long"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3))).toMap
+    val wantQ16 = li.filter(x => varietyParts.contains(x._2))
+      .map(x => (varietyParts(x._2), x._3)).distinct
+      .groupBy(_._1).map { case ((b, t, s), xs) =>
+        (b, t, s, xs.size.toLong) }.toSet
+    val gotQ16 = Analytics.supplierVariety(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Long]("p_size"), r.getAs[Long]("supplier_cnt"))).toSet
+    assert(gotQ16.nonEmpty && gotQ16 === wantQ16)
+  }
 }

@@ -64,4 +64,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "the capped-vocab prune must broadcast, never shuffle the index")
   }
+
+  test("the hashed top-ngrams twin counts on the 8-byte fp and recovers " +
+      "strings through a broadcast join, and its output equals the " +
+      "string form row-for-row") {
+    val hashed = SparkEntry.queries("t_top_ngrams_hashed")(spark, sfDir)
+    val plan = hashed.queryExecution.sparkPlan.toString
+    // the heavy count shuffle keys on (source, gram_fp), never the gram
+    // string; the candidate set rides a broadcast, not a shuffle join
+    assert(plan.contains("gram_fp"), "count stage must key on the fp")
+    assert(plan.contains("BroadcastHashJoin"),
+      "display-gram recovery must broadcast the candidate fps")
+    val plain = SparkEntry.queries("t_top_ngrams")(spark, sfDir)
+    assert(hashed.collect().toSet === plain.collect().toSet)
+  }
 }
