@@ -1121,6 +1121,34 @@ object SqlQueries {
          |SELECT source, decile, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
          |  min(quality_score) AS min_score, max(quality_score) AS max_score
          |FROM j GROUP BY source, decile""".stripMargin,
+    // the sketch-cutpoint decile plan in SQL clothes: one mergeable
+    // approx_percentile aggregate, a broadcast-size cutpoint relation,
+    // per-row higher-order bucket assignment — no per-source total sort
+    "t_quality_deciles_approx" ->
+      s"""WITH q AS ($qualityScoreSparkSql),
+         |j AS (
+         |  SELECT d.source, q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |    q.quality_score
+         |  FROM q JOIN (SELECT doc_id, source FROM documents) d
+         |    ON q.doc_id = d.doc_id),
+         |cuts AS (
+         |  SELECT source, approx_percentile(quality_score,
+         |    array(${TextAnalysis.DecilePs.map(p => s"${p}D").mkString(", ")}),
+         |    ${graft.operators.Analytics.ApproxQuantileAccuracy}) AS cuts
+         |  FROM j GROUP BY source)
+         |SELECT j.source, CAST(1 + size(filter(cuts.cuts, c -> j.quality_score > c)) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+         |  min(quality_score) AS min_score, max(quality_score) AS max_score
+         |FROM j JOIN cuts ON j.source = cuts.source
+         |GROUP BY 1, 2""".stripMargin,
+    "t_quality_histogram" ->
+      s"""WITH q AS ($qualityScoreSparkSql)
+         |SELECT d.source,
+         |  CAST(least(floor(q.quality_score * 100.0), ${TextAnalysis.QualityBins - 1}) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, sum(CAST(q.n_tokens AS BIGINT)) AS sum_tokens
+         |FROM q JOIN (SELECT doc_id, source FROM documents) d
+         |  ON q.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "t_top_ngrams" ->
       s"""WITH grams AS (
          |  SELECT source, explode(CASE WHEN size(toks) >= ${TextAnalysis.NgramW}

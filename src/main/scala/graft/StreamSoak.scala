@@ -158,6 +158,15 @@ object StreamSoak {
     runSoak("vocab_stream",
       StreamingParity.vocabStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Update())
+    // Quality-histogram stream: state = the fixed 100-bin score grid —
+    // ≤ 100 rows however many documents replay (the smallest bounded
+    // grid in the surface); the plateau measured here is the number of
+    // OCCUPIED score bins, the relation live cutpoint re-derivation
+    // reads per trigger.
+    runSoak("quality_hist_stream",
+      StreamingParity.qualityHistogramStream(
+        streamDf(docDir, docStreamDf).as[StreamDoc]),
+      OutputMode.Update())
 
     // SCD-2 CDC replay: the customer change feed (v1 all keys, v2 for
     // key%4==1, v3 for key%8==1) written in version order so the file

@@ -34,6 +34,10 @@ object TextAnalysis {
 
   private def countInSpark(toks: String, xs: Seq[String]): String =
     s"size(filter($toks, t -> t IN ${inList(xs)}))"
+  /** Stopword-hit count over a token-array column — shared with the
+    * streaming quality-histogram twin so both faces score identically. */
+  private[graft] def stopCountSpark(toks: String): String =
+    countInSpark(toks, Stopwords)
   private def countInDuck(toks: String, xs: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN ${inList(xs)}))"
 
@@ -660,12 +664,20 @@ object TextAnalysis {
   // cutpoints (the a_quantiles_approx recipe) when a streaming-friendly
   // histogram is enough.
   // ------------------------------------------------------------------
+  /** (doc_id, n_tokens, quality_score, source) — the scored relation all
+    * three quality analyses (exact deciles, sketch cutpoints, histogram)
+    * read; registry-shared so the tokenize+join builds once per session. */
+  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"text.scoredDocs:$sfDir") {
+      qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality_score"))
+        .join(Tables.documents(spark, sfDir).select("doc_id", "source"),
+          "doc_id")
+    }
+
   def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = qualityScore(spark, sfDir)
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        col("quality_score"))
-    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
-    q.join(src, "doc_id")
+    scoredDocs(spark, sfDir)
       .withColumn("decile", org.apache.spark.sql.functions.ntile(10).over(
         org.apache.spark.sql.expressions.Window.partitionBy("source")
           .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
@@ -687,6 +699,108 @@ object TextAnalysis {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  min(quality_score) AS min_score, max(quality_score) AS max_score
        |FROM j GROUP BY source, decile""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quality deciles, sketch-cutpoint plan — the EXECUTED form of the
+  // 100 TB lever documented on `qualityDeciles`: instead of the
+  // per-source global NTILE sort (a total order over every row of the
+  // corpus), ONE mergeable approx_percentile aggregate yields the nine
+  // per-source cutpoints (p = 0.1 … 0.9), the 9-value rows broadcast
+  // back, and bucket membership is a per-row comparison — so the only
+  // shuffle carries sketch partials, never rows, and the heavy side is
+  // embarrassingly map-side. Bucket b = 1 + #{cutpoints strictly below
+  // the score} (ascending: bucket 10 is the top decile; a score EQUAL
+  // to a cutpoint falls low, and duplicate cutpoint values may skip
+  // buckets — a histogram, not an equal-count NTILE). Parity: at gate
+  // scales n < accuracy, so the sketch is in exact mode and returns the
+  // order statistic at rank ceil(p·n) — the DuckDB oracle computes that
+  // rank recipe independently (row_number + ceil join, the
+  // a_quantiles_approx discipline), making the sketch-vs-rank
+  // equivalence itself the gate. Scores are engine-stable doubles
+  // (identical rational arithmetic both sides).
+  // ------------------------------------------------------------------
+  val DecilePs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  def qualityDecilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredDocs(spark, sfDir)
+    val psLit = DecilePs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val cuts = scored.groupBy("source")
+      .agg(expr(s"approx_percentile(quality_score, $psLit, " +
+        s"${Analytics.ApproxQuantileAccuracy})").as("cuts"))
+    scored.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        (lit(1) + expr("size(filter(cuts, c -> quality_score > c))")).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("quality_score").as("min_score"), max("quality_score").as("max_score"))
+  }
+
+  val qualityDecilesApproxSql: String = {
+    // p as DECIMAL literals: Spark's exact-mode sketch lands on the
+    // EXACT-arithmetic ceil(p·n) rank (probed across every decile
+    // fraction and n ∈ multiples of 10 where the naive double product
+    // would round one rank up), and DuckDB's DECIMAL p·n is exact too —
+    // casting p to DOUBLE here would INTRODUCE the off-by-one.
+    val psRows = DecilePs.map(p => s"($p)").mkString(", ")
+    s"""WITH q AS ($qualityScoreSql),
+       |j AS (
+       |  SELECT d.source, q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       |    q.quality_score
+       |  FROM q JOIN (SELECT doc_id, source FROM documents) d
+       |    ON q.doc_id = d.doc_id),
+       |counts AS (SELECT source, count(*) AS n FROM j GROUP BY source),
+       |ranked AS (
+       |  SELECT source, quality_score,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality_score) AS r
+       |  FROM j),
+       |ps AS (SELECT * FROM (VALUES $psRows) AS t(p)),
+       |cuts AS (
+       |  SELECT ranked.source, ranked.quality_score AS c
+       |  FROM ranked
+       |  JOIN counts ON ranked.source = counts.source
+       |  JOIN ps ON ranked.r = CAST(ceil(ps.p * counts.n) AS BIGINT)),
+       |b AS (
+       |  SELECT j.source, j.doc_id, j.n_tokens, j.quality_score,
+       |    1 + count(cuts.c) AS bucket
+       |  FROM j LEFT JOIN cuts
+       |    ON j.source = cuts.source AND j.quality_score > cuts.c
+       |  GROUP BY j.source, j.doc_id, j.n_tokens, j.quality_score)
+       |SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(quality_score) AS min_score, max(quality_score) AS max_score
+       |FROM b GROUP BY source, bucket""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Quality histogram — the bounded-cardinality relation the cutpoint
+  // analyses derive from: scores live in [0,1] by construction, so a
+  // fixed 100-bin integer histogram per source is a (sources × 100)-row
+  // output REGARDLESS of corpus size — the mergeable-summary shape that
+  // also makes the continuous twin's state grid-bounded
+  // (StreamingParity.qualityHistogramStream). bin = least(floor(
+  // score·100), 99): the ×100/floor is the same IEEE arithmetic on the
+  // same engine-stable score double on both sides, so bin ids are
+  // exact integers. One two-phase aggregate; no sort, no window.
+  // ------------------------------------------------------------------
+  val QualityBins: Int = 100
+
+  def qualityHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    scoredDocs(spark, sfDir)
+      .withColumn("bin", least(floor(col("quality_score") * 100.0),
+        lit(QualityBins - 1)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
+  val qualityHistogramSql: String =
+    s"""WITH q AS ($qualityScoreSql)
+       |SELECT d.source,
+       |  CAST(least(floor(q.quality_score * 100.0), ${QualityBins - 1}) AS BIGINT) AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM q JOIN (SELECT doc_id, source FROM documents) d
+       |  ON q.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
   // Sufficient-statistics regression — the map-reduce ML-training
@@ -809,6 +923,8 @@ object TextAnalysis {
     "t_top_ngrams" -> (topNgrams _),
     "t_top_ngrams_hashed" -> (topNgramsHashed _),
     "t_quality_deciles" -> (qualityDeciles _),
+    "t_quality_deciles_approx" -> (qualityDecilesApprox _),
+    "t_quality_histogram" -> (qualityHistogram _),
     "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
     "t_pii_scrub" -> (piiScrub _),
@@ -827,6 +943,8 @@ object TextAnalysis {
     "t_top_ngrams" -> topNgramsSql,
     "t_top_ngrams_hashed" -> topNgramsSql,
     "t_quality_deciles" -> qualityDecilesSql,
+    "t_quality_deciles_approx" -> qualityDecilesApproxSql,
+    "t_quality_histogram" -> qualityHistogramSql,
     "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,
     "t_pii_scrub" -> piiScrubSql,

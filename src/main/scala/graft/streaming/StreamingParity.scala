@@ -912,6 +912,33 @@ object StreamingParity {
       .groupBy("token").agg(count(lit(1)).as("tf"))
 
   // ------------------------------------------------------------------
+  // Streaming quality histogram — the continuous twin of
+  // TextAnalysis.qualityHistogram (t_quality_histogram): the per-bin
+  // doc count as an update-mode running aggregate. Scores live in [0,1]
+  // by construction, so the 100 integer bins bound the state store at
+  // ≤ 100 rows FOREVER — the cms_stream argument with an even smaller
+  // grid — and each trigger's docs collapse map-side (partial agg)
+  // before touching state. This is the relation a continuous curation
+  // pipeline watches to re-derive quality cutpoints per trigger
+  // (the t_quality_deciles_approx analysis on live data) without ever
+  // sorting or retaining rows. Same score arithmetic as the batch twin
+  // (identical expressions), pinned bin-identical in the spec.
+  // ------------------------------------------------------------------
+  def qualityHistogramStream(docs: Dataset[StreamDoc]): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.toDF()
+      .withColumn("toks", expr(graft.functions.Parity.tokensSpark("text")))
+      .withColumn("quality_score", expr(
+        "0.4 * (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))" +
+          " + 0.3 * (1.0 - abs(CAST(" + TextAnalysis.stopCountSpark("toks") +
+          " AS DOUBLE) / size(toks) - 0.2))" +
+          " + 0.3 * (CAST(least(size(toks), 100) AS DOUBLE) / 100.0)"))
+      .withColumn("bin", least(floor(col("quality_score") * 100.0),
+        lit(TextAnalysis.QualityBins - 1)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ------------------------------------------------------------------
   // Streaming dedup-plan decision grid — the continuous twin of
   // Dedup.adaptiveJaccardDecision's statistic (d_adaptive_jaccard_*).
   // The batch form reads a CMS grid over the corpus shingle stream to

@@ -461,6 +461,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("quality deciles approx: sketch cutpoints bucket every doc, strict bucket ordering, mass conserved") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = operators.TextAnalysis.qualityDecilesApprox(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Double]("min_score"), r.getAs[Double]("max_score")))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    val srcCounts = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // Token mass must agree with the exact NTILE form — same rows, only
+    // the bucket boundaries differ.
+    val exactTokens = operators.TextAnalysis.qualityDeciles(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("sum_tokens"))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    bySource.foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      // buckets live in 1..10 (duplicate cutpoints may skip some)
+      assert(sorted.forall(d => d._2 >= 1L && d._2 <= 10L), src)
+      assert(sorted.map(_._3).sum === srcCounts(src), src)
+      assert(sorted.map(_._4).sum === exactTokens(src), src)
+      // ascending orientation: a higher bucket sits strictly above the
+      // previous bucket's top score (scores equal to a cutpoint fall low)
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._5 > w(0)._6, src)
+      }
+    }
+    // The bounded histogram conserves the same masses: per-source doc
+    // and token totals agree with the decile relations, bins stay in
+    // the fixed [0, 99] grid (the state-bound argument of the twin).
+    val hist = operators.TextAnalysis.qualityHistogram(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))
+    assert(hist.forall(h => h._2 >= 0L && h._2 <= 99L))
+    hist.groupBy(_._1).foreach { case (src, bs) =>
+      assert(bs.map(_._3).sum === srcCounts(src), src)
+      assert(bs.map(_._4).sum === exactTokens(src), src)
+    }
+  }
+
   test("token rarity: corpus frequency sums, rarest token, hapax count") {
     val dir = writeFixture(documents = Seq(doc(0, "a a b"), doc(1, "b c")))
     val got = operators.TextAnalysis.tokenRarity(spark, dir).collect()

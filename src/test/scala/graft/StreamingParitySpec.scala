@@ -265,6 +265,45 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality histogram: bin-identical to the batch twin, " +
+      "state bounded by the 100-bin grid") {
+    import graft.streaming.StreamingParity.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val texts = Map(
+      0L -> "the cat sat on the mat",
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "a a a a a a a a",
+      3L -> "of the and to in is on the quick brown fox")
+    val dir = writeFixture(documents =
+      texts.toSeq.sortBy(_._1).map { case (id, t) => doc(id, t) })
+    val input = MemoryStream[StreamDoc]
+    val query = StreamingParity.qualityHistogramStream(input.toDS())
+      .writeStream.format("memory").queryName("qhist_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def table(): Map[Long, Long] = s.table("qhist_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      input.addData(Seq(
+        StreamDoc(1000, 0, texts(0L)), StreamDoc(2000, 1, texts(1L))))
+      query.processAllAvailable()
+      input.addData(Seq(
+        StreamDoc(3000, 2, texts(2L)), StreamDoc(4000, 3, texts(3L))))
+      query.processAllAvailable()
+      // streamed grid == the batch operator's histogram over the same
+      // docs (summed across sources), bin for bin
+      val batch = graft.operators.TextAnalysis.qualityHistogram(s, dir)
+        .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_docs"))
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      assert(table() === batch)
+      // the state relation is grid-bounded: ≤ 100 rows regardless of
+      // how many docs streamed, and every bin id is in [0, 99]
+      assert(table().size <= graft.operators.TextAnalysis.QualityBins)
+      assert(table().keys.forall(b => b >= 0L && b <= 99L))
+    } finally query.stop()
+  }
+
   test("streaming vocab maintenance: per-trigger table equals the batch " +
       "stored/merged vocab (stored ⊕ Δ ≡ recompute, continuously)") {
     import graft.streaming.StreamingParity.StreamDoc
