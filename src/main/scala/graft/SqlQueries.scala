@@ -1149,6 +1149,27 @@ object SqlQueries {
          |FROM q JOIN (SELECT doc_id, source FROM documents) d
          |  ON q.doc_id = d.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // cutpoints read off the bounded grid: integer-exact ceil rank via
+    // (p10*n + 9) div 10, first bin whose cumsum reaches it
+    "t_quality_cutpoints_binned" ->
+      s"""WITH q AS ($qualityScoreSparkSql),
+         |h AS (
+         |  SELECT d.source,
+         |    CAST(least(floor(q.quality_score * 100.0), ${TextAnalysis.QualityBins - 1}) AS BIGINT) AS bin,
+         |    count(*) AS n_docs
+         |  FROM q JOIN (SELECT doc_id, source FROM documents) d
+         |    ON q.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, bin, sum(n_docs) OVER (PARTITION BY source
+         |    ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_docs
+         |  FROM h),
+         |tot AS (SELECT source, sum(n_docs) AS n FROM h GROUP BY source),
+         |ps AS (SELECT explode(sequence(1, 9)) AS p10)
+         |SELECT cum.source, CAST(ps.p10 AS BIGINT) AS p10, min(cum.bin) AS cut_bin
+         |FROM cum JOIN tot ON cum.source = tot.source CROSS JOIN ps
+         |WHERE cum.cum_docs >= (ps.p10 * tot.n + 9) div 10
+         |GROUP BY cum.source, ps.p10""".stripMargin,
     "t_top_ngrams" ->
       s"""WITH grams AS (
          |  SELECT source, explode(CASE WHEN size(toks) >= ${TextAnalysis.NgramW}

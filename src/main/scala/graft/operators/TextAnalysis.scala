@@ -803,6 +803,48 @@ object TextAnalysis {
        |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Binned cutpoints — the histogram CONSUMED: re-derive the nine
+  // decile cutpoints from the 100-bin summary alone, never touching a
+  // row. target rank = ceil(p·n) computed in exact integers
+  // ((p10·n + 9) div 10), cut bin = first bin whose cumulative doc
+  // count reaches it — a ≤100-row-per-source window cumsum, the
+  // per-trigger read the streaming histogram twin serves. Because
+  // scores map monotonically to bins, this lands in EXACTLY the bin of
+  // the sketch cutpoint (rank-ceil element), asserted cross-operator in
+  // the spec — the approximation error of reading cutpoints off the
+  // grid is bounded by one bin width by construction. All-integer
+  // output: trivially hash-exact.
+  // ------------------------------------------------------------------
+  def qualityCutpointsBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = qualityHistogram(spark, sfDir).select("source", "bin", "n_docs")
+    val cum = hist
+      .withColumn("cum_docs", sum("n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = hist.groupBy("source").agg(sum("n_docs").as("n"))
+    val ps = spark.range(1, 10).toDF("p10")
+    cum.join(broadcast(tot), "source")
+      .crossJoin(broadcast(ps))
+      .where(col("cum_docs") >= expr("(p10 * n + 9) div 10"))
+      .groupBy("source", "p10")
+      .agg(min("bin").as("cut_bin"))
+  }
+
+  val qualityCutpointsBinnedSql: String =
+    s"""WITH h AS ($qualityHistogramSql),
+       |cum AS (
+       |  SELECT source, bin, sum(n_docs) OVER (PARTITION BY source
+       |    ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_docs
+       |  FROM h),
+       |tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n FROM h GROUP BY source),
+       |ps AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(p10))
+       |SELECT cum.source, CAST(ps.p10 AS BIGINT) AS p10, min(cum.bin) AS cut_bin
+       |FROM cum JOIN tot ON cum.source = tot.source CROSS JOIN ps
+       |WHERE cum.cum_docs >= (ps.p10 * tot.n + 9) // 10
+       |GROUP BY cum.source, ps.p10""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sufficient-statistics regression — the map-reduce ML-training
   // pattern: ONE scan accumulates exact-integer sums (n, Σx, Σy, Σx²,
   // Σxy, Σy²) per group, the model solves in closed form from those
@@ -925,6 +967,7 @@ object TextAnalysis {
     "t_quality_deciles" -> (qualityDeciles _),
     "t_quality_deciles_approx" -> (qualityDecilesApprox _),
     "t_quality_histogram" -> (qualityHistogram _),
+    "t_quality_cutpoints_binned" -> (qualityCutpointsBinned _),
     "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
     "t_pii_scrub" -> (piiScrub _),
@@ -945,6 +988,7 @@ object TextAnalysis {
     "t_quality_deciles" -> qualityDecilesSql,
     "t_quality_deciles_approx" -> qualityDecilesApproxSql,
     "t_quality_histogram" -> qualityHistogramSql,
+    "t_quality_cutpoints_binned" -> qualityCutpointsBinnedSql,
     "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,
     "t_pii_scrub" -> piiScrubSql,

@@ -500,6 +500,28 @@ class DedupSpec extends SparkSpec {
       assert(bs.map(_._3).sum === srcCounts(src), src)
       assert(bs.map(_._4).sum === exactTokens(src), src)
     }
+    // Binned cutpoints land in EXACTLY the bin of the sketch cutpoint:
+    // scores map monotonically to bins, so the first bin whose cumsum
+    // reaches ceil(p·n) is the rank-ceil element's bin. The sketch
+    // cutpoint array is ascending p = 0.1 … 0.9, index k ↔ p10 = k+1.
+    val binned = operators.TextAnalysis.qualityCutpointsBinned(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("p10")) ->
+        r.getAs[Long]("cut_bin")).toMap
+    val sketchBins = {
+      import org.apache.spark.sql.functions._
+      // recompute the cutpoints the same way the operator does, bin them
+      val q = operators.TextAnalysis.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score"))
+        .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      q.groupBy("source").agg(expr(
+          s"approx_percentile(quality_score, array(${operators.TextAnalysis.DecilePs.map(p => s"${p}D").mkString(", ")}), " +
+            s"${operators.Analytics.ApproxQuantileAccuracy})").as("cuts"))
+        .select(col("source"), posexplode(col("cuts")).as(Seq("k", "c")))
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("k") + 1L) ->
+          math.min(math.floor(r.getAs[Double]("c") * 100.0).toLong, 99L)).toMap
+    }
+    assert(binned.keySet === sketchBins.keySet)
+    binned.foreach { case (k, b) => assert(b === sketchBins(k), k) }
   }
 
   test("token rarity: corpus frequency sums, rarest token, hapax count") {
