@@ -760,6 +760,32 @@ object SqlQueries {
          |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
          |  max(t) - min(t) AS duration_ms, count(*) AS n_events
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    // the native PIVOT syntax — a distinct third formulation of the
+    // reshape (DataFrame .pivot / conditional-agg oracle / SQL PIVOT)
+    "a_pivot_revenue" ->
+      """SELECT * FROM (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS dp
+        |  FROM lineitem)
+        |PIVOT (CAST(CAST(sum(dp) AS DECIMAL(38,4)) AS DOUBLE)
+        |  FOR l_returnflag IN ('A' AS rev_a, 'N' AS rev_n, 'R' AS rev_r))""".stripMargin,
+    "a_gap_fill" ->
+      s"""WITH hourly AS (
+         |  SELECT z, event_time div ${graft.operators.Analytics.GapFillSlotMs} AS h,
+         |    sum(x) AS h_sum
+         |  FROM graft_zx GROUP BY 1, 2),
+         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+         |spine AS (
+         |  SELECT z, explode(sequence(b.lo, b.hi)) AS h
+         |  FROM (SELECT DISTINCT z FROM hourly) CROSS JOIN b)
+         |SELECT spine.z, spine.h,
+         |  coalesce(last(hourly.h_sum, true) OVER (
+         |    PARTITION BY spine.z ORDER BY spine.h
+         |    ROWS UNBOUNDED PRECEDING), 0L) AS filled_sum,
+         |  CAST(CASE WHEN hourly.h_sum IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         |FROM spine LEFT JOIN hourly
+         |  ON spine.z = hourly.z AND spine.h = hourly.h""".stripMargin,
     "a_quantiles" ->
       """SELECT l_returnflag, CAST(p AS BIGINT) AS q_idx, v AS q_val
         |FROM (

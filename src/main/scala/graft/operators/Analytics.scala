@@ -490,6 +490,106 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Pivot (wide reshaping): ship-year rows × return-flag columns of
+  // exact-decimal revenue — the report-table reshape every warehouse
+  // face needs. Uses the native `Dataset.pivot` with the value set
+  // PINNED (A/N/R): an unpinned pivot runs an extra distinct job to
+  // discover columns and makes the output schema data-dependent — the
+  // wrong default at 100 TB. Plan: the heavy scan collapses map-side in
+  // the (year, flag) two-phase aggregate; the reshape is a SECOND
+  // aggregate whose exchange carries only the |years|·|flags|
+  // pre-aggregated rows — negligible at any scale. Oracle states the
+  // same table as conditional aggregation (the pivot identity); the
+  // Spark-SQL face uses the native PIVOT syntax — three formulations,
+  // one result.
+  // ------------------------------------------------------------------
+  def pivotRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("disc_price"))
+      .groupBy("ship_year")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("disc_price").cast("decimal(38,4)").cast("double"))
+      .withColumnRenamed("A", "rev_a")
+      .withColumnRenamed("N", "rev_n")
+      .withColumnRenamed("R", "rev_r")
+
+  val pivotRevenueSql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS rev_a,
+      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'N' THEN
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS rev_n,
+      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS rev_r
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Calendar-spine gap fill with carry-forward (LOCF) — the resampling
+  // pass every metrics/telemetry pipeline runs before joining series:
+  // per event type, hourly sums on a dense hour spine from the global
+  // [lo, hi] range, missing hours carried forward from the last
+  // observed hour (leading gaps fill 0). The spine is |types|×|hours|
+  // rows — built from a broadcast 1-row bounds relation and the tiny
+  // distinct-type relation, so the only heavy step is the hourly
+  // two-phase aggregate; the LOCF window sorts the SPINE (bounded,
+  // hours × types), never the events. is_gap marks synthesized rows so
+  // downstream can weight them.
+  // ------------------------------------------------------------------
+  val GapFillSlotMs: Long = 3600000L
+
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Shapes
+    // registry-persisted: bounds, the distinct-type relation, and the
+    // spine join all read this (types × hours)-row aggregate — without
+    // the registry each consumer would re-scan the events fact.
+    val hourly = graft.CacheRegistry.cached(spark, s"analytics.gapHourly:$sfDir") {
+      Shapes.zxEvents(spark, sfDir)
+        .select(col("z"), expr(s"event_time div $GapFillSlotMs").as("h"), col("x"))
+        .groupBy("z", "h").agg(sum("x").as("h_sum"))
+    }
+    val bounds = hourly.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = hourly.select("z").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("z"), explode(expr("sequence(lo, hi)")).as("h"))
+    spine.join(hourly, Seq("z", "h"), "left")
+      .withColumn("filled_sum", coalesce(
+        org.apache.spark.sql.functions.last("h_sum", ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("z").orderBy("h")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+        lit(0L)))
+      .withColumn("is_gap", (col("h_sum").isNull).cast("long"))
+      .select("z", "h", "filled_sum", "is_gap")
+  }
+
+  val gapFillSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type AS z, epoch_ms(ts) // $GapFillSlotMs AS h,
+       |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS h_sum
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+       |spine AS (
+       |  SELECT z, unnest(generate_series(b.lo, b.hi)) AS h
+       |  FROM (SELECT DISTINCT z FROM hourly) CROSS JOIN b)
+       |SELECT spine.z, spine.h,
+       |  coalesce(last_value(hourly.h_sum IGNORE NULLS) OVER (
+       |    PARTITION BY spine.z ORDER BY spine.h
+       |    ROWS UNBOUNDED PRECEDING), 0) AS filled_sum,
+       |  CAST(CASE WHEN hourly.h_sum IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+       |FROM spine LEFT JOIN hourly
+       |  ON spine.z = hourly.z AND spine.h = hourly.h""".stripMargin
+
+  // ------------------------------------------------------------------
   // Column profiling (data-quality audit): per profiled column, row/null/
   // distinct counts and min/max — the schema-health pass a pipeline runs
   // before trusting a new data drop. One UNION branch per column, each a
@@ -2090,6 +2190,8 @@ object Analytics {
     "a_timeseries_similarity" -> (timeseriesSimilarity _),
     "a_asof_join" -> (asofJoin _),
     "a_sessionize" -> (sessionize _),
+    "a_pivot_revenue" -> (pivotRevenue _),
+    "a_gap_fill" -> (gapFill _),
     "a_quantiles" -> (quantiles _),
     "a_quantiles_approx" -> (quantilesApprox _),
     "s_lsh_recall" -> (lshRecall _),
@@ -2139,6 +2241,8 @@ object Analytics {
     "a_timeseries_similarity" -> timeseriesSimilaritySql,
     "a_asof_join" -> asofJoinSql,
     "a_sessionize" -> sessionizeSql,
+    "a_pivot_revenue" -> pivotRevenueSql,
+    "a_gap_fill" -> gapFillSql,
     "a_quantiles" -> quantilesSql,
     "a_quantiles_approx" -> quantilesApproxSql,
     "s_lsh_recall" -> lshRecallSql,

@@ -826,4 +826,62 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Long]("p_size"), r.getAs[Long]("supplier_cnt"))).toSet
     assert(gotQ16.nonEmpty && gotQ16 === wantQ16)
   }
+
+  test("pivot revenue: wide table equals the conditional-agg recompute, flag for flag") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sfDir).select(
+        expr("year(CAST(l_shipdate AS TIMESTAMP))").cast("long"),
+        col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+          "* 10000 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def want(flag: String): Map[Long, Long] = li.filter(_._2 == flag)
+      .groupBy(_._1).map { case (y, xs) => y -> xs.map(_._3).sum }
+    val got = Analytics.pivotRevenue(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("ship_year") ->
+        ((r.getAs[Double]("rev_a"), r.getAs[Double]("rev_n"),
+          r.getAs[Double]("rev_r")))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet === li.map(_._1).toSet)
+    for ((flag, pick) <- Seq[(String, ((Double, Double, Double)) => Double)](
+        ("A", _._1), ("N", _._2), ("R", _._3));
+        (y, cents4) <- want(flag)) {
+      assert(pick(got(y)) === cents4.toDouble / 10000.0, s"$flag/$y")
+    }
+  }
+
+  test("gap fill: dense hourly spine, LOCF carries the last observed sum, leading gaps are 0") {
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.Shapes
+    val hourly = Shapes.zxEvents(spark, sfDir)
+      .select(col("z"), expr(s"event_time div ${Analytics.GapFillSlotMs}").as("h"),
+        col("x"))
+      .collect().map(r => (r.getAs[String]("z"), r.getAs[Long]("h"), r.getAs[Long]("x")))
+      .groupBy(t => (t._1, t._2)).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val lo = hourly.keys.map(_._2).min
+    val hi = hourly.keys.map(_._2).max
+    val types = hourly.keys.map(_._1).toSet
+    val got = Analytics.gapFill(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("z"), r.getAs[Long]("h")) ->
+        ((r.getAs[Long]("filled_sum"), r.getAs[Long]("is_gap")))).toMap
+    // dense spine: every (type, hour) cell present, exactly once
+    assert(got.size === types.size * (hi - lo + 1).toInt)
+    // LOCF recompute per type in hour order
+    for (z <- types) {
+      var lastSeen = 0L
+      for (h <- lo to hi) {
+        val cell = got((z, h))
+        hourly.get((z, h)) match {
+          case Some(s) =>
+            lastSeen = s
+            assert(cell === ((s, 0L)), s"$z/$h observed")
+          case None =>
+            assert(cell === ((lastSeen, 1L)), s"$z/$h gap")
+        }
+      }
+    }
+    // the fixture genuinely exercises the fill: gaps exist at this SF
+    assert(got.valuesIterator.count(_._2 == 1L) > 0)
+  }
 }
