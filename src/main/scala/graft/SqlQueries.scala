@@ -770,6 +770,17 @@ object SqlQueries {
         |  FROM lineitem)
         |PIVOT (CAST(CAST(sum(dp) AS DECIMAL(38,4)) AS DOUBLE)
         |  FOR l_returnflag IN ('A' AS rev_a, 'N' AS rev_n, 'R' AS rev_r))""".stripMargin,
+    // native UNPIVOT syntax over the PIVOT subquery — the SQL round trip
+    "a_unpivot_revenue" ->
+      """SELECT ship_year, upper(substr(flag, 5, 1)) AS flag, revenue FROM (
+        |  SELECT * FROM (
+        |    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS dp
+        |    FROM lineitem)
+        |  PIVOT (CAST(CAST(sum(dp) AS DECIMAL(38,4)) AS DOUBLE)
+        |    FOR l_returnflag IN ('A' AS rev_a, 'N' AS rev_n, 'R' AS rev_r)))
+        |UNPIVOT (revenue FOR flag IN (rev_a, rev_n, rev_r))""".stripMargin,
     "a_gap_fill" ->
       s"""WITH hourly AS (
          |  SELECT z, event_time div ${graft.operators.Analytics.GapFillSlotMs} AS h,

@@ -535,6 +535,32 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Unpivot (melt) — the inverse reshape, stated AS the round trip:
+  // melt the pivoted wide table back to (year, flag, revenue) long
+  // form. The DuckDB oracle computes the long form DIRECTLY from
+  // lineitem, so the gate pins the algebraic identity
+  // unpivot(pivot(x)) ≡ groupBy(x) — a reshape that lost or duplicated
+  // a cell hash-mismatches. NULL cells (flags absent in a year) drop on
+  // melt, matching the direct form, which never had them.
+  // ------------------------------------------------------------------
+  def unpivotRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    pivotRevenue(spark, sfDir)
+      .unpivot(Array(col("ship_year")),
+        Array(col("rev_a"), col("rev_n"), col("rev_r")), "flag", "revenue")
+      .where(col("revenue").isNotNull)
+      .select(col("ship_year"),
+        upper(substring(col("flag"), 5, 1)).as("flag"), col("revenue"))
+
+  val unpivotRevenueSql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  l_returnflag AS flag,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // Calendar-spine gap fill with carry-forward (LOCF) — the resampling
   // pass every metrics/telemetry pipeline runs before joining series:
   // per event type, hourly sums on a dense hour spine from the global
@@ -2191,6 +2217,7 @@ object Analytics {
     "a_asof_join" -> (asofJoin _),
     "a_sessionize" -> (sessionize _),
     "a_pivot_revenue" -> (pivotRevenue _),
+    "a_unpivot_revenue" -> (unpivotRevenue _),
     "a_gap_fill" -> (gapFill _),
     "a_quantiles" -> (quantiles _),
     "a_quantiles_approx" -> (quantilesApprox _),
@@ -2242,6 +2269,7 @@ object Analytics {
     "a_asof_join" -> asofJoinSql,
     "a_sessionize" -> sessionizeSql,
     "a_pivot_revenue" -> pivotRevenueSql,
+    "a_unpivot_revenue" -> unpivotRevenueSql,
     "a_gap_fill" -> gapFillSql,
     "a_quantiles" -> quantilesSql,
     "a_quantiles_approx" -> quantilesApproxSql,

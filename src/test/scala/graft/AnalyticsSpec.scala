@@ -849,6 +849,13 @@ class AnalyticsSpec extends SparkSpec {
         (y, cents4) <- want(flag)) {
       assert(pick(got(y)) === cents4.toDouble / 10000.0, s"$flag/$y")
     }
+    // round trip: melt(pivot(x)) ≡ the direct long form, cell for cell
+    val melted = Analytics.unpivotRevenue(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("ship_year"), r.getAs[String]("flag")) ->
+        r.getAs[Double]("revenue")).toMap
+    val direct = (for (flag <- Seq("A", "N", "R"); (y, c4) <- want(flag))
+      yield (y, flag) -> c4.toDouble / 10000.0).toMap
+    assert(melted === direct)
   }
 
   test("gap fill: dense hourly spine, LOCF carries the last observed sum, leading gaps are 0") {
