@@ -581,16 +581,20 @@ object SqlQueries {
     // The six round-14 closing shapes (Q6/Q9/Q10/Q12/Q13/Q16 — the full
     // 22-shape TPC-H sweep): five texts are dialect-neutral; Q12 has a
     // Spark twin because datediff argument order differs between engines.
+    // r15: the four partsupp consumers (Q2/Q9/Q11/Q16) and a_partsupp
+    // itself take Spark twins because the derived-partsupp CTE dialects
+    // diverge (DIV vs //, sequence/explode vs generate_series/unnest).
     "a_forecast_revenue" -> graft.operators.Analytics.forecastRevenueSql,
-    "a_nation_profit" -> graft.operators.Analytics.nationProfitSql,
+    "a_nation_profit" -> graft.operators.Analytics.nationProfitSparkSql,
+    "a_partsupp" -> graft.operators.Analytics.partsuppBuildSparkSql,
     "a_returned_revenue" -> graft.operators.Analytics.returnedRevenueSql,
     "a_ship_delay_priority" -> graft.operators.Analytics.shipDelayPrioritySparkSql,
     "a_order_count_distribution" -> graft.operators.Analytics.orderCountDistributionSql,
-    "a_supplier_variety" -> graft.operators.Analytics.supplierVarietySql,
-    "a_min_cost_supplier" -> graft.operators.Analytics.minCostSupplierSql,
+    "a_supplier_variety" -> graft.operators.Analytics.supplierVarietySparkSql,
+    "a_min_cost_supplier" -> graft.operators.Analytics.minCostSupplierSparkSql,
     "a_disjunctive_revenue" -> graft.operators.Analytics.disjunctiveRevenueSql,
     "a_dominant_suppliers" -> graft.operators.Analytics.dominantSuppliersSql,
-    "a_important_parts" -> graft.operators.Analytics.importantPartsSql,
+    "a_important_parts" -> graft.operators.Analytics.importantPartsSparkSql,
     "a_promo_revenue" -> graft.operators.Analytics.promoRevenueSql,
     "a_top_supplier" -> graft.operators.Analytics.topSupplierSql,
     "a_nation_trade_volume" -> graft.operators.Analytics.nationTradeVolumeSql,
@@ -937,7 +941,9 @@ object SqlQueries {
     * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
     * `s_ivf_recall` — it composes `s_ivf_topk`; the SQL-face recall
     * eval is `s_lsh_recall`, `s_text_lsh_topk`, `p_pack_sequences`,
-    * `p_stratified_sample`, `a_profile`, `a_timeseries_similarity`,
+    * `p_stratified_sample`, `a_profile`, `a_profile_approx` (the
+    * single-pass wide-agg + stack reshape IS the demonstrated plan),
+    * `a_timeseries_similarity`,
     * `d_incremental_*`) whose value is a specific physical plan or a
     * long expr pipeline the Column form already states more clearly —
     * their SEMANTIC twins (the unsalted/unbucketed/brute-force forms)

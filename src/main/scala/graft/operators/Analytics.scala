@@ -628,9 +628,10 @@ object Analytics {
   // advice: a_profile was the 3rd-slowest query at 1.40 s). Each branch
   // prunes to exactly one parquet column, so the union's total I/O equals
   // the old single scan's — without the Expand. At 100 TB the same shape
-  // holds: per-branch shuffles carry distinct values, not rows; swap in
-  // approx_count_distinct only if a single pass over all columns at once
-  // is required.
+  // holds: per-branch shuffles carry distinct values, not rows; when even
+  // the distinct-value shuffle is too much (10⁹-distinct key columns),
+  // [[profileLineitemApprox]] is the executed single-pass HLL++ form
+  // (gated as a_profile_approx).
   // ------------------------------------------------------------------
   private val ProfileCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity_floor")
@@ -658,6 +659,69 @@ object Analytics {
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  count(DISTINCT $c) AS n_distinct, min($c) AS min_v, max($c) AS max_v
+         |FROM li""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    CAST(floor(l_quantity) AS BIGINT) AS l_quantity_floor
+       |  FROM lineitem)
+       |$branches""".stripMargin
+  }
+
+  /** Single-pass approx twin of [[profileLineitem]] — the executed form of
+    * that scaladoc's "swap in approx_count_distinct" note. The production
+    * plan: ONE scan of the five profiled columns, ONE driver-bound 1-row
+    * reduce; each column contributes null-count / HLL++ register set /
+    * min / max to the same partial aggregate, so NOTHING per-row ever
+    * shuffles — vs the exact profile's five per-branch shuffles of every
+    * distinct value. That is the shape that survives a 100 TB drop with
+    * 10⁹-distinct key columns, where shipping the distinct values
+    * themselves (exact plan) costs more than the scan. The wide 1-row
+    * result is re-shaped to the per-column long form with `stack` (all
+    * five profiled columns are LONG, so the stack branches type-align).
+    *
+    * Gate (the [[dailyActiveApprox]] discipline — HLL++ has no exact
+    * regime, so hash-gating the estimate would gate noise): the row joins
+    * the exact profile on col_name, carries the exact n_distinct as the
+    * anchor, and `approx_ok` asserts |approx − exact| ≤ max(1, 3·rsd·
+    * exact) — the 3σ band at rsd 0.01 with an absolute ±1 floor (HLL's
+    * integer rounding makes ±1 reachable at any cardinality; deterministic
+    * on fixed data, so the flag is stable). The oracle demands approx_ok=1
+    * for every column; n_rows/n_null/n_distinct/min/max stay exact-hashed.
+    */
+  def profileLineitemApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      floor(col("l_quantity")).cast("long").as("l_quantity_floor"))
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__ad"),
+        min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
+    }
+    val wide = li.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', ${c}__nn, ${c}__ad, ${c}__mn, ${c}__mx").mkString(", ")
+    val approx = wide.select(col("__rows").as("n_rows"),
+      expr(s"stack(${ProfileCols.size}, $stackArgs)")
+        .as(Seq("col_name", "n_null", "n_distinct_approx", "min_v", "max_v")))
+    val exact = profileLineitem(spark, sfDir)
+      .select(col("col_name").as("e_col"), col("n_distinct"))
+    approx.join(broadcast(exact), col("col_name") === col("e_col"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"),
+        when(abs(col("n_distinct_approx") - col("n_distinct")) * lit(100L) <=
+            greatest(lit(100L), lit(3L) * col("n_distinct")), 1L)
+          .otherwise(0L).as("approx_ok"))
+  }
+
+  val profileLineitemApproxSql: String = {
+    val branches = ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct, min($c) AS min_v, max($c) AS max_v,
+         |  CAST(1 AS BIGINT) AS approx_ok
          |FROM li""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH li AS (
        |  SELECT l_orderkey, l_partkey, l_suppkey,
@@ -1583,18 +1647,118 @@ object Analytics {
       |GROUP BY n_name""".stripMargin
 
   // ------------------------------------------------------------------
+  // The PARTSUPP relation (TPC-H's part↔supplier bridge with supply cost
+  // and availability). The driver fixtures ship no partsupp.parquet and
+  // /root/testdata is read-only, so partsupp is a DETERMINISTIC DERIVED
+  // TABLE: a pure integer function of the part and supplier key spaces,
+  // recomputed identically by the Spark plan and by the DuckDB oracle
+  // (as a CTE over the part/supplier views) — referentially consistent
+  // at EVERY scale factor by construction, including GenScale's sharded
+  // sf1/sf10 trees (keys shift by shard·10⁸; the formula works within
+  // each shard, so a shard-k part gets shard-k suppliers exactly as the
+  // sharding model requires). Shape, mirroring dbgen: each part gets 4
+  // suppliers stepped S0/4 apart around the (0-based, contiguous —
+  // asserted by a_expectations-style fixtures) supplier key ring;
+  // availqty and supply cost are integer hashes of the within-shard
+  // (part, supplier) base keys, cost carried as exact BIGINT CENTS (the
+  // repo-wide money discipline). S0 — suppliers per shard — is read
+  // from the supplier table itself (count below the shard stride), so
+  // the same text is correct at sf0.001 (S0=10) through sf10 (S0=1000
+  // per shard × 100 shards). Duplicate (part,supplier) pairs can arise
+  // when the step wraps the ring (tiny S0); qty/cost depend only on the
+  // base-key pair, so the duplicates are bit-identical rows and one
+  // DISTINCT restores the primary key.
+  // 100 TB: partsupp is |part|·4 rows — a DIMENSION-side relation (the
+  // 4 derived rows per part are generated map-side from the part scan,
+  // never shuffled; the one exchange is the DISTINCT's hash on the pair
+  // key, skippable when S0 ≥ 4·step as the ring can't wrap).
+  // ------------------------------------------------------------------
+  val PartSuppStride: Long = 100000000L // = GenScale.Stride
+
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame = {
+    val s0 = Tables.supplier(spark, sfDir)
+      .where(col("s_suppkey") < lit(PartSuppStride))
+      .agg(count(lit(1)).as("s0"))
+    Tables.part(spark, sfDir).select("p_partkey")
+      .crossJoin(broadcast(s0))
+      .select(col("p_partkey"), col("s0"),
+        explode(expr("sequence(0L, 3L)")).as("i"))
+      .selectExpr(
+        "p_partkey",
+        s"p_partkey % ${PartSuppStride}L AS bp",
+        s"p_partkey - p_partkey % ${PartSuppStride}L AS shard_off",
+        s"(p_partkey % ${PartSuppStride}L + i * greatest(1L, s0 div 4)) % s0 AS bs")
+      .selectExpr(
+        "p_partkey AS ps_partkey",
+        "shard_off + bs AS ps_suppkey",
+        "(bp * 17 + bs * 31) % 9999 + 1 AS ps_availqty",
+        "(bp * 293 + bs * 577) % 99901 + 100 AS ps_supplycost_cents")
+      .distinct()
+  }
+
+  /** DuckDB-dialect CTE list deriving `partsupp` (use as `WITH $cte, …`). */
+  val PartSuppCteDuck: String =
+    s"""s0 AS (
+       |  SELECT count(*) AS s0 FROM supplier WHERE s_suppkey < $PartSuppStride),
+       |psg AS (
+       |  SELECT p_partkey, p_partkey % $PartSuppStride AS bp,
+       |    p_partkey - p_partkey % $PartSuppStride AS shard_off,
+       |    (p_partkey % $PartSuppStride + i * greatest(1, s0 // 4)) % s0 AS bs
+       |  FROM part CROSS JOIN s0
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+       |partsupp AS (
+       |  SELECT DISTINCT p_partkey AS ps_partkey, shard_off + bs AS ps_suppkey,
+       |    (bp * 17 + bs * 31) % 9999 + 1 AS ps_availqty,
+       |    (bp * 293 + bs * 577) % 99901 + 100 AS ps_supplycost_cents
+       |  FROM psg)""".stripMargin
+
+  /** Spark-SQL-dialect twin of [[PartSuppCteDuck]] (div / sequence). */
+  val PartSuppCteSpark: String =
+    s"""s0 AS (
+       |  SELECT count(*) AS s0 FROM supplier WHERE s_suppkey < ${PartSuppStride}L),
+       |psg AS (
+       |  SELECT p_partkey, p_partkey % ${PartSuppStride}L AS bp,
+       |    p_partkey - p_partkey % ${PartSuppStride}L AS shard_off,
+       |    (p_partkey % ${PartSuppStride}L + i * greatest(1L, s0 DIV 4)) % s0 AS bs
+       |  FROM part CROSS JOIN s0
+       |  CROSS JOIN (SELECT explode(sequence(0L, 3L)) AS i)),
+       |partsupp AS (
+       |  SELECT DISTINCT p_partkey AS ps_partkey, shard_off + bs AS ps_suppkey,
+       |    (bp * 17 + bs * 31) % 9999 + 1 AS ps_availqty,
+       |    (bp * 293 + bs * 577) % 99901 + 100 AS ps_supplycost_cents
+       |  FROM psg)""".stripMargin
+
+  /** The derived relation itself, gated whole: pins Spark↔DuckDB parity
+    * of the generator (every key, qty and cost hash-compared) so the four
+    * TPC-H consumers below inherit a verified base table.
+    */
+  def partsuppBuild(spark: SparkSession, sfDir: String): DataFrame =
+    partsupp(spark, sfDir)
+
+  val partsuppBuildSql: String =
+    s"""WITH $PartSuppCteDuck
+       |SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents
+       |FROM partsupp""".stripMargin
+
+  val partsuppBuildSparkSql: String =
+    s"""WITH $PartSuppCteSpark
+       |SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents
+       |FROM partsupp""".stripMargin
+
+  // ------------------------------------------------------------------
   // TPC-H Q2 shape: min-cost supplier per part — the correlated-scalar-
   // subquery decorrelation story. The DataFrame form IS the decorrelated
   // plan (per-part min + equality join back); the SQL faces state the
-  // textbook correlated form (`WHERE price = (SELECT min ... WHERE same
+  // textbook correlated form (`WHERE cost = (SELECT min ... WHERE same
   // part)`) and Catalyst/DuckDB decorrelate to the same agg+join —
-  // asserted equal by the hash gate, like a_small_qty_revenue. No
-  // partsupp table in the fixtures, so lineitem is the part↔supplier
-  // price bridge and EUROPE suppliers the region cut (dimension chain
-  // broadcast). Prices ride as exact integer CENTS; ties resolve to the
+  // asserted equal by the hash gate, like a_small_qty_revenue. Runs on
+  // the REAL derived partsupp (r15 — the lineitem price-bridge proxy is
+  // deleted): EUROPE suppliers the region cut (dimension chain
+  // broadcast), supply cost as exact integer CENTS; ties resolve to the
   // smallest supplier key (Q2's deterministic tiebreak).
-  // 100 TB: one fact scan, one 8-byte-partkey shuffle for the min, one
-  // equality join back on the same partitioning.
+  // 100 TB: partsupp is generated map-side off the part scan; one
+  // 8-byte-partkey shuffle for the min, one equality join back on the
+  // same partitioning.
   // ------------------------------------------------------------------
   private def euSuppliers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
@@ -1606,61 +1770,62 @@ object Analytics {
         col("s_nationkey") === col("n_nationkey"))
 
   def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("price_cents"))
+    val ps = partsupp(spark, sfDir)
       .join(broadcast(euSuppliers(spark, sfDir).select("s_suppkey")),
-        col("l_suppkey") === col("s_suppkey"))
-    val minp = li.groupBy(col("l_partkey").as("mp_partkey"))
-      .agg(min("price_cents").as("min_price_cents"))
-    li.join(minp,
-        col("l_partkey") === col("mp_partkey") &&
-          col("price_cents") === col("min_price_cents"))
-      .groupBy(col("l_partkey").as("p_partkey"), col("min_price_cents"))
-      .agg(min("l_suppkey").as("best_suppkey"))
-      .select("p_partkey", "min_price_cents", "best_suppkey")
+        col("ps_suppkey") === col("s_suppkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val minp = ps.groupBy(col("ps_partkey").as("mp_partkey"))
+      .agg(min("ps_supplycost_cents").as("min_cost_cents"))
+    ps.join(minp,
+        col("ps_partkey") === col("mp_partkey") &&
+          col("ps_supplycost_cents") === col("min_cost_cents"))
+      .groupBy(col("ps_partkey").as("p_partkey"), col("min_cost_cents"))
+      .agg(min("ps_suppkey").as("best_suppkey"))
+      .select("p_partkey", "min_cost_cents", "best_suppkey")
   }
 
-  val minCostSupplierSql: String =
-    s"""WITH eu AS (
+  private def minCostSupplierText(cte: String): String =
+    s"""WITH $cte,
+       |eu AS (
        |  SELECT s_suppkey FROM supplier
        |  JOIN nation ON s_nationkey = n_nationkey
        |  JOIN region ON n_regionkey = r_regionkey
        |  WHERE r_name = 'EUROPE'),
-       |li AS (
-       |  SELECT l_partkey, l_suppkey,
-       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-       |      AS price_cents
-       |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey)
-       |SELECT l_partkey AS p_partkey, price_cents AS min_price_cents,
-       |  min(l_suppkey) AS best_suppkey
-       |FROM li o
-       |WHERE price_cents = (
-       |  SELECT min(price_cents) FROM li i WHERE i.l_partkey = o.l_partkey)
+       |pse AS (
+       |  SELECT ps_partkey, ps_suppkey, ps_supplycost_cents
+       |  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey)
+       |SELECT ps_partkey AS p_partkey, ps_supplycost_cents AS min_cost_cents,
+       |  min(ps_suppkey) AS best_suppkey
+       |FROM pse o
+       |WHERE ps_supplycost_cents = (
+       |  SELECT min(ps_supplycost_cents) FROM pse i
+       |  WHERE i.ps_partkey = o.ps_partkey)
        |GROUP BY 1, 2""".stripMargin
 
+  val minCostSupplierSql: String = minCostSupplierText(PartSuppCteDuck)
+  val minCostSupplierSparkSql: String = minCostSupplierText(PartSuppCteSpark)
+
   // ------------------------------------------------------------------
-  // TPC-H Q11 shape: "important parts" — per-part value with a HAVING
-  // against the GLOBAL statistics (value·n_parts > Σvalue, the
+  // TPC-H Q11 shape: "important parts" — per-part stock value
+  // Σ(ps_supplycost·ps_availqty) over the REAL derived partsupp (r15;
+  // Q11's actual measure — the lineitem price proxy is deleted) with a
+  // HAVING against the GLOBAL statistics (value·n_parts > Σvalue, the
   // cross-multiplied exact form of value > mean). Q11's textbook
   // fraction is a tuning constant; against this fixture's
-  // Poisson-concentrated per-part values ANY fixed fraction either
+  // concentrated per-part values ANY fixed fraction either
   // empties or passes everything as the scale factor moves, so the
   // gate pins the structural content — a grouped aggregate filtered
   // against a broadcast 1-row global aggregate of itself — with the
   // scale-free above-average line. The global scalar rides a broadcast;
-  // the fact shuffles once on the part key.
+  // partsupp generates map-side and shuffles once on the part key.
   // ------------------------------------------------------------------
   def importantParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val value = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("price_cents"))
+    val value = partsupp(spark, sfDir)
       .join(broadcast(euSuppliers(spark, sfDir).select("s_suppkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("l_partkey").as("p_partkey"))
-      .agg(sum("price_cents").as("value_cents"))
+        col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey").as("p_partkey"))
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
+        .as("value_cents"))
     val total = value.agg(sum("value_cents").as("total_cents"),
       count(lit(1)).as("n_parts"))
     value.crossJoin(broadcast(total))
@@ -1668,23 +1833,26 @@ object Analytics {
       .select("p_partkey", "value_cents")
   }
 
-  val importantPartsSql: String =
-    s"""WITH eu AS (
+  private def importantPartsText(cte: String): String =
+    s"""WITH $cte,
+       |eu AS (
        |  SELECT s_suppkey FROM supplier
        |  JOIN nation ON s_nationkey = n_nationkey
        |  JOIN region ON n_regionkey = r_regionkey
        |  WHERE r_name = 'EUROPE'),
        |v AS (
-       |  SELECT l_partkey AS p_partkey,
-       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-       |      AS BIGINT) AS value_cents
-       |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+       |  SELECT ps_partkey AS p_partkey,
+       |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+       |  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey
        |  GROUP BY 1),
        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
        |  count(*) AS n_parts FROM v)
        |SELECT p_partkey, value_cents
        |FROM v CROSS JOIN t
        |WHERE value_cents * n_parts > total_cents""".stripMargin
+
+  val importantPartsSql: String = importantPartsText(PartSuppCteDuck)
+  val importantPartsSparkSql: String = importantPartsText(PartSuppCteSpark)
 
   // ------------------------------------------------------------------
   // TPC-H Q14 shape: promo revenue share per ship-year — conditional
@@ -1937,23 +2105,33 @@ object Analytics {
        |  AND l_quantity < 24""".stripMargin
 
   // ------------------------------------------------------------------
-  // TPC-H Q9 shape: product-type profit per (nation, order-year). The
-  // fixtures carry no partsupp, so supply cost is proxied by a
-  // deterministic function of an existing column — p_retailprice/10 per
-  // unit — keeping Q9's structure intact: a name-pattern filter on part,
-  // profit = disc_price − cost·qty per line, supplier→nation for the
-  // group key, orders for the year. Exact 1e-4 units throughout
-  // (retailprice has 2 decimals, so retailprice·qty·1000 is the /10 cost
-  // in 1e-4 units, integer-exact). Both dims broadcast; the fact
-  // shuffles once on the orderkey join.
+  // TPC-H Q9 shape: product-type profit per (nation, order-year), on the
+  // REAL derived partsupp (r15; the p_retailprice/10 proxy is deleted).
+  // Q9 proper looks up ps_supplycost of the line's exact (part, supplier)
+  // pair — valid under dbgen, which DERIVES lineitem suppkeys from the
+  // partsupp formula; this fixture's lineitem pairs are independent of
+  // partsupp's, so the per-pair lookup would keep ~4/S0 of lines (near-
+  // empty, and emptier as SF grows — not a gateable restatement). The
+  // deterministic restatement: per-part REFERENCE COST = the part's
+  // cheapest supply cost (min over its partsupp entries — the "best
+  // available sourcing" line), profit = disc_price − ref_cost·qty.
+  // Structure intact: name-pattern filter on part, supplier→nation group
+  // key, orders for the year; partsupp aggregates to one row per part
+  // BEFORE joining (broadcast dim), so the fact still shuffles once on
+  // the orderkey join. Exact 1e-4 units throughout (cost is integer
+  // cents; cents·qty·100 is the 1e-4 form, integer-exact).
   // ------------------------------------------------------------------
   val ProfitNamePattern = "%gear%"
 
   def nationProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val refCost = partsupp(spark, sfDir)
+      .groupBy(col("ps_partkey"))
+      .agg(min("ps_supplycost_cents").as("ref_cost_cents"))
     val p = Tables.part(spark, sfDir)
       .where(col("p_name").like(ProfitNamePattern))
-      .select(col("p_partkey"),
-        col("p_retailprice").cast("decimal(18,2)").as("unit_cost10"))
+      .select(col("p_partkey"))
+      .join(refCost, col("p_partkey") === col("ps_partkey"))
+      .select("p_partkey", "ref_cost_cents")
     val sn = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
       .join(broadcast(Tables.nation(spark, sfDir)
         .select(col("n_nationkey"), col("n_name").as("nation"))),
@@ -1973,28 +2151,36 @@ object Analytics {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("nation"), col("o_year"),
         (col("disc_e4") -
-          expr("CAST(unit_cost10 * qty * 1000 AS BIGINT)")).as("amount_e4"))
+          expr("CAST(ref_cost_cents * qty * 100 AS BIGINT)")).as("amount_e4"))
       .groupBy("nation", "o_year")
       .agg(sum("amount_e4").as("profit_e4"))
   }
 
-  val nationProfitSql: String =
-    s"""SELECT n_name AS nation,
+  private def nationProfitText(cte: String): String =
+    s"""WITH $cte,
+       |rc AS (
+       |  SELECT ps_partkey, min(ps_supplycost_cents) AS ref_cost_cents
+       |  FROM partsupp GROUP BY 1)
+       |SELECT n_name AS nation,
        |  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
        |  CAST(sum(
        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
        |      * 10000 AS BIGINT)
-       |    - CAST(CAST(p_retailprice AS DECIMAL(18,2))
-       |      * CAST(l_quantity AS DECIMAL(18,2)) * 1000 AS BIGINT)
+       |    - CAST(ref_cost_cents * CAST(l_quantity AS DECIMAL(18,2)) * 100
+       |        AS BIGINT)
        |  ) AS BIGINT) AS profit_e4
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
+       |JOIN rc ON l_partkey = rc.ps_partkey
        |JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation ON s_nationkey = n_nationkey
        |JOIN orders ON l_orderkey = o_orderkey
        |WHERE p_name LIKE '$ProfitNamePattern'
        |GROUP BY 1, 2""".stripMargin
+
+  val nationProfitSql: String = nationProfitText(PartSuppCteDuck)
+  val nationProfitSparkSql: String = nationProfitText(PartSuppCteSpark)
 
   // ------------------------------------------------------------------
   // TPC-H Q10 shape: returned-item reporting — revenue lost to 'R'-flag
@@ -2140,13 +2326,15 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
-  // TPC-H Q16 shape, reshaped onto lineitem (no partsupp fixture):
-  // supplier variety per (brand, type, size) for parts outside an
-  // excluded brand/type with an IN-list of sizes — count(DISTINCT
-  // supplier) realized as the explicit two-phase plan: distinct
-  // (brand,type,size,suppkey) quads first (partial dedup map-side),
-  // then a plain count per group. The part dim filters BEFORE the
-  // broadcast, so the fact join only carries qualifying parts.
+  // TPC-H Q16 proper (r15 — previously reshaped onto lineitem; now on
+  // the real derived partsupp): supplier variety per (brand, type, size)
+  // for parts outside an excluded brand/type with an IN-list of sizes —
+  // count(DISTINCT ps_suppkey) realized as the explicit two-phase plan:
+  // distinct (brand,type,size,suppkey) quads first (partial dedup
+  // map-side), then a plain count per group. The part dim filters
+  // BEFORE partsupp is derived from it, so only qualifying parts
+  // generate bridge rows at all — the filter "pushes through" the
+  // generator the way PushedFilters pushes through a scan.
   // ------------------------------------------------------------------
   val VarietySizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)
 
@@ -2155,22 +2343,26 @@ object Analytics {
       .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
         col("p_size").isin(VarietySizes: _*))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    partsupp(spark, sfDir).select("ps_partkey", "ps_suppkey")
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("p_type"),
-        col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+        col("p_size").cast("long").as("p_size"), col("ps_suppkey"))
       .distinct()
       .groupBy("p_brand", "p_type", "p_size")
       .agg(count(lit(1)).as("supplier_cnt"))
   }
 
-  val supplierVarietySql: String =
-    s"""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
-       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
+  private def supplierVarietyText(cte: String): String =
+    s"""WITH $cte
+       |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp JOIN part ON ps_partkey = p_partkey
        |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
        |  AND p_size IN (${VarietySizes.mkString(", ")})
        |GROUP BY 1, 2, 3""".stripMargin
+
+  val supplierVarietySql: String = supplierVarietyText(PartSuppCteDuck)
+  val supplierVarietySparkSql: String = supplierVarietyText(PartSuppCteSpark)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_forecast_revenue" -> (forecastRevenue _),
@@ -2180,6 +2372,7 @@ object Analytics {
     "a_order_count_distribution" -> (orderCountDistribution _),
     "a_supplier_variety" -> (supplierVariety _),
     "a_min_cost_supplier" -> (minCostSupplier _),
+    "a_partsupp" -> (partsuppBuild _),
     "a_disjunctive_revenue" -> (disjunctiveRevenue _),
     "a_dominant_suppliers" -> (dominantSuppliers _),
     "a_important_parts" -> (importantParts _),
@@ -2208,6 +2401,7 @@ object Analytics {
     "a_funnel_windowed" -> (funnelWindowed _),
     "a_retention" -> (retention _),
     "a_profile" -> (profileLineitem _),
+    "a_profile_approx" -> (profileLineitemApprox _),
     "a_json_extract" -> (jsonExtract _),
     "a_shipping_priority" -> (shippingPriority _),
     "a_pricing_summary" -> (pricingSummary _),
@@ -2232,6 +2426,7 @@ object Analytics {
     "a_order_count_distribution" -> orderCountDistributionSql,
     "a_supplier_variety" -> supplierVarietySql,
     "a_min_cost_supplier" -> minCostSupplierSql,
+    "a_partsupp" -> partsuppBuildSql,
     "a_disjunctive_revenue" -> disjunctiveRevenueSql,
     "a_dominant_suppliers" -> dominantSuppliersSql,
     "a_important_parts" -> importantPartsSql,
@@ -2260,6 +2455,7 @@ object Analytics {
     "a_funnel_windowed" -> funnelWindowedSql,
     "a_retention" -> retentionSql,
     "a_profile" -> profileLineitemSql,
+    "a_profile_approx" -> profileLineitemApproxSql,
     "a_json_extract" -> jsonExtractSql,
     "a_shipping_priority" -> shippingPrioritySql,
     "a_pricing_summary" -> pricingSummarySql,

@@ -12,6 +12,53 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 class AnalyticsSpec extends SparkSpec {
 
+  /** Independent Scala recompute of the derived partsupp relation
+    * (Analytics.partsupp): (ps_partkey, ps_suppkey, ps_availqty,
+    * ps_supplycost_cents). Pure integer arithmetic, no Spark plan shared
+    * with the implementation under test.
+    */
+  private def refPartsupp(sfDir: String): Seq[(Long, Long, Long, Long)] = {
+    val stride = Analytics.PartSuppStride
+    val s0 = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long")).collect()
+      .count(_.getLong(0) < stride).toLong
+    val step = math.max(1L, s0 / 4)
+    Tables.part(spark, sfDir).select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.flatMap { pk =>
+        val bp = pk % stride
+        val off = pk - bp
+        (0L to 3L).map { i =>
+          val bs = (bp + i * step) % s0
+          (pk, off + bs,
+            (bp * 17 + bs * 31) % 9999 + 1,
+            (bp * 293 + bs * 577) % 99901 + 100)
+        }
+      }.distinct
+  }
+
+  test("derived partsupp: generator parity, primary key, referential integrity") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = refPartsupp(sfDir).toSet
+    val got = Analytics.partsupp(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("ps_partkey"), r.getAs[Long]("ps_suppkey"),
+        r.getAs[Long]("ps_availqty"), r.getAs[Long]("ps_supplycost_cents")))
+    assert(got.toSet === want)
+    // (partkey, suppkey) is a primary key after the DISTINCT
+    assert(got.map(x => (x._1, x._2)).distinct.length === got.length)
+    // referential integrity: every derived key exists in its dimension
+    val sKeys = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val pKeys = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(got.forall(x => sKeys(x._2) && pKeys(x._1)))
+    // sf0.001 has S0=10 ≥ 4·step/…: all four ring steps are distinct,
+    // so every part carries exactly 4 suppliers
+    assert(got.groupBy(_._1).forall(_._2.length == 4))
+    // domains: availqty in [1, 9999], cost in [100, 100000] cents
+    assert(got.forall(x => x._3 >= 1 && x._3 <= 9999 &&
+      x._4 >= 100 && x._4 <= 100000))
+  }
+
   test("as-of join picks the latest quote at or before each trade, per user") {
     // Even event_id = trade, odd = quote (the operator's convention).
     // user 1: quotes (1, t=100, x=10), (3, t=300, x=30), (5, t=300, x=50)
@@ -591,19 +638,22 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
 
-    // Q2 shape: per-part min cents among EU lineitems, min-suppkey ties
-    val eu = li.filter(x => euSupp(x._2))
-    val wantMin = eu.groupBy(_._1).map { case (pk, xs) =>
+    // Q2 shape (r15: real derived partsupp): per-part min supply cost
+    // among EU partsupp entries, min-suppkey ties
+    val psEu = refPartsupp(sfDir).filter(x => euSupp(x._2))
+    val wantMin = psEu.groupBy(_._1).map { case (pk, xs) =>
       val m = xs.map(_._4).min
       (pk, m, xs.filter(_._4 == m).map(_._2).min)
     }.toSet
     val gotMin = Analytics.minCostSupplier(spark, sfDir).collect()
-      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("min_price_cents"),
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("min_cost_cents"),
         r.getAs[Long]("best_suppkey"))).toSet
     assert(gotMin.nonEmpty && gotMin === wantMin)
 
-    // Q11 shape: per-part EU value vs the above-average global line
-    val values = eu.groupBy(_._1).map { case (pk, xs) => pk -> xs.map(_._4).sum }
+    // Q11 shape: per-part EU stock value (cost·availqty) vs the
+    // above-average global line
+    val values = psEu.groupBy(_._1).map { case (pk, xs) =>
+      pk -> xs.map(x => x._4 * x._3).sum }
     val total = values.values.sum
     val nParts = values.size.toLong
     val wantImp = values.filter(_._2 * nParts > total).toSet
@@ -738,18 +788,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotQ6.getAs[Long]("n_rows") === q6.length.toLong)
     assert(q6.nonEmpty)
 
-    // Q9 shape: (nation, order-year) profit with the retailprice/10 cost
-    val costPat = Tables.part(spark, sfDir)
+    // Q9 shape (r15: real derived partsupp): (nation, order-year) profit
+    // with the part's min supply cost as the reference cost
+    val refCost = refPartsupp(sfDir).groupBy(_._1)
+      .map { case (pk, xs) => pk -> xs.map(_._4).min }
+    val patParts = Tables.part(spark, sfDir)
       .where(col("p_name").like(Analytics.ProfitNamePattern))
-      .select(col("p_partkey").cast("long"),
-        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 1000 AS BIGINT)"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
     val suppNat = Tables.supplier(spark, sfDir)
       .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").cast("long"), col("n_name"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val wantQ9 = li.filter(x => costPat.contains(x._2))
-      .map(x => (suppNat(x._3), ordByKey(x._1)._3, x._5 - costPat(x._2) * x._4))
+    val wantQ9 = li.filter(x => patParts(x._2))
+      .map(x => (suppNat(x._3), ordByKey(x._1)._3,
+        x._5 - refCost(x._2) * x._4 * 100))
       .groupBy(x => (x._1, x._2)).map { case ((n, y), xs) =>
         (n, y, xs.map(_._3).sum) }.toSet
     val gotQ9 = Analytics.nationProfit(spark, sfDir).collect()
@@ -809,7 +862,8 @@ class AnalyticsSpec extends SparkSpec {
     assert(q13AtBench.exists(_._1 == 0L),
       "the zero-order bucket must survive the left join at sf0.1")
 
-    // Q16 shape: supplier variety per (brand, type, size)
+    // Q16 proper (r15: real derived partsupp): supplier variety per
+    // (brand, type, size) from the part↔supplier bridge
     val varietyParts = Tables.part(spark, sfDir)
       .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
         col("p_size").isin(Analytics.VarietySizes: _*))
@@ -817,8 +871,8 @@ class AnalyticsSpec extends SparkSpec {
         col("p_size").cast("long"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
         r.getLong(3))).toMap
-    val wantQ16 = li.filter(x => varietyParts.contains(x._2))
-      .map(x => (varietyParts(x._2), x._3)).distinct
+    val wantQ16 = refPartsupp(sfDir).filter(x => varietyParts.contains(x._1))
+      .map(x => (varietyParts(x._1), x._2)).distinct
       .groupBy(_._1).map { case ((b, t, s), xs) =>
         (b, t, s, xs.size.toLong) }.toSet
     val gotQ16 = Analytics.supplierVariety(spark, sfDir).collect()
