@@ -926,7 +926,9 @@ object SqlQueries {
     * `d_canonical_stats`, `p_curation_cascade`, `p_split_leakage` —
     * a cluster-label consumer) — connected components
     * is a driver-controlled iteration and Spark SQL has no recursive
-    * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`) and the PQ
+    * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`,
+    * `s_incremental_ivf_codes`/`s_incremental_pq_codes` — the day-2
+    * assignment arms reuse the frozen trained structures) and the PQ
     * family (`s_pq_*` — per-subspace codebook training is the same
     * driver-unrolled Lloyd chain) — iterative
     * training, same reason; the multimodal family (`m_*`) — binary

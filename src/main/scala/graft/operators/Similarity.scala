@@ -391,25 +391,30 @@ object Similarity {
     */
   val KmeansIters = 2
 
-  /** (final centroids, per-iteration assignments — `iters` of them). */
-  private def kmeansChain(
-      spark: SparkSession, sfDir: String, iters: Int): (DataFrame, Seq[DataFrame]) = {
+  /** argmin_{cid} ||x − c||² as a grouped struct-min over ANY corpus:
+    * (dist2, cid) pairs order lexicographically, so min = smallest
+    * distance, ties to the smallest centroid id. Object-level (r15) so
+    * the day-2 incremental path can assign a NEW batch to frozen
+    * centroids with the bit-identical kernel the trainer used.
+    */
+  private def kmeansAssignOver(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          (col("norm") - lit(2L) * longDot(col("v"), col("cv")) + col("cnorm"))
+            .as("dist2"),
+          col("cid")).as("sc"))
+      .groupBy("vec_id").agg(min("sc").as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist2").as("dist2"))
+
+  /** (final centroids, per-iteration assignments) of the Lloyd chain over
+    * an arbitrary corpus, seeded by its vec_id < `seedBound` members.
+    */
+  private def kmeansChainOver(
+      q: DataFrame, seedBound: Long, iters: Int): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1, s"kmeans needs at least one assignment pass, got $iters")
-    val q = quantized(spark, sfDir)
-    val seeds = q.where(col("vec_id") < KmeansK)
+    val seeds = q.where(col("vec_id") < seedBound)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    // argmin_{cid} ||x − c||² as a grouped struct-min: (dist2, cid) pairs
-    // order lexicographically, so min = smallest distance, ties to the
-    // smallest centroid id.
-    def assign(cents: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(
-            (col("norm") - lit(2L) * longDot(col("v"), col("cv")) + col("cnorm"))
-              .as("dist2"),
-            col("cid")).as("sc"))
-        .groupBy("vec_id").agg(min("sc").as("sc"))
-        .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist2").as("dist2"))
     // New centroids: one HashAggregate pass over k groups — 64 Long sums
     // as flat columns (same flat-scalar pattern as the minhash signature
     // build), then exact floor-division and reassembly into the array.
@@ -422,15 +427,20 @@ object Similarity {
         .withColumn("cnorm", longDot(col("cv"), col("cv")))
     }
     var cents = seeds
-    var asgs = Vector(assign(cents))
+    var asgs = Vector(kmeansAssignOver(q, cents))
     var i = 1
     while (i < iters) {
       cents = update(asgs.last)
-      asgs = asgs :+ assign(cents)
+      asgs = asgs :+ kmeansAssignOver(q, cents)
       i += 1
     }
     (cents, asgs)
   }
+
+  /** (final centroids, per-iteration assignments — `iters` of them). */
+  private def kmeansChain(
+      spark: SparkSession, sfDir: String, iters: Int): (DataFrame, Seq[DataFrame]) =
+    kmeansChainOver(quantized(spark, sfDir), KmeansK, iters)
 
   /** The centroid-update aggregation in isolation, with the documented
     * overflow escape hatch selectable (class scaladoc above: per-dimension
@@ -497,24 +507,30 @@ object Similarity {
     * the train oracle and the kmeans-IVF search oracle (which probes c1
     * distances). No leading WITH so callers can append CTEs.
     */
-  private val kmeansCtesSql: String = {
+  /** seeds→a1→sums→c1 over a NAMED training-corpus CTE (r15: factored so
+    * the incremental oracle can train on the stored half only).
+    */
+  private def kmeansTrainCtesOver(trainCorpus: String, seedBound: Long): String = {
     val dimSums = (0 until EmbeddingDim)
       .map(i => s"CAST(sum(q.v[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
     val fdivArr = (0 until EmbeddingDim)
       .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
-    s"""corpus AS ($quantizedSql),
-       |seeds AS (
-       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM corpus
-       |  WHERE vec_id < $KmeansK),
-       |a1 AS (${kmeansAssignSql("corpus", "seeds")}),
+    s"""seeds AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM $trainCorpus
+       |  WHERE vec_id < $seedBound),
+       |a1 AS (${kmeansAssignSql(trainCorpus, "seeds")}),
        |sums AS (
        |  SELECT a.cluster AS cid, count(*) AS n, $dimSums
-       |  FROM corpus q JOIN a1 a ON q.vec_id = a.vec_id
+       |  FROM $trainCorpus q JOIN a1 a ON q.vec_id = a.vec_id
        |  GROUP BY a.cluster),
        |c1 AS (
        |  SELECT cid, cv, ${dotDuck("cv", "cv")} AS cnorm
        |  FROM (SELECT cid, $fdivArr AS cv FROM sums))""".stripMargin
   }
+
+  private val kmeansCtesSql: String =
+    s"""corpus AS ($quantizedSql),
+       |${kmeansTrainCtesOver("corpus", KmeansK)}""".stripMargin
 
   val kmeansTrainSql: String =
     s"""WITH $kmeansCtesSql
@@ -640,21 +656,28 @@ object Similarity {
       .groupBy("vec_id", "m").agg(min("sc").as("sc"))
       .select(col("vec_id"), col("m"), col("sc.cid").as("code"))
 
+  /** Codebook training over ANY subvector relation, seeded by its
+    * vec_id < `seedBound` members (r15: factored out so the day-2
+    * incremental path can train on the stored half only).
+    */
+  private def pqCodebooksOver(sub: DataFrame, seedBound: Long): DataFrame = {
+    val seeds = sub.where(col("vec_id") < seedBound)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val a1 = pqAssign(sub, seeds)
+    val aggs = count(lit(1)).as("n") +: (0 until PqSub).map(i =>
+      sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    val sums = sub.join(a1, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("code").as("cid")).agg(aggs.head, aggs.tail: _*)
+    sums.select(col("m"), col("cid"),
+      array((0 until PqSub).map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
+  }
+
   /** Per-subspace codebooks (m, cid, cv): seed assignment + one exact
     * floor-division centroid update — PqM·PqK rows, registry-persisted.
     */
   private def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.cached(spark, s"similarity.pqCodebook:$sfDir") {
-      val sub = pqSubvectors(spark, sfDir)
-      val seeds = sub.where(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-      val a1 = pqAssign(sub, seeds)
-      val aggs = count(lit(1)).as("n") +: (0 until PqSub).map(i =>
-        sum(element_at(col("sv"), i + 1)).as(s"s$i"))
-      val sums = sub.join(a1, Seq("vec_id", "m"))
-        .groupBy(col("m"), col("code").as("cid")).agg(aggs.head, aggs.tail: _*)
-      sums.select(col("m"), col("cid"),
-        array((0 until PqSub).map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cv"))
+      pqCodebooksOver(pqSubvectors(spark, sfDir), PqK)
     }
 
   /** The encoded corpus: (vec_id, m, code) — the 4-byte representation. */
@@ -804,26 +827,38 @@ object Similarity {
   /** CTE chain: corpus → subvectors → seed assignment → codebooks c1 →
     * final codes. No leading WITH so consumers append.
     */
-  private val pqCtesSql: String = {
+  /** seeds→a1→sums→c1 codebook training over a NAMED subvector CTE (r15:
+    * factored so the incremental oracle can train on the stored half).
+    */
+  private def pqTrainCtesOver(trainSub: String, seedBound: Long): String = {
     val dimSums = (0 until PqSub)
       .map(i => s"CAST(sum(s.sv[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
     val fdivArr = (0 until PqSub)
       .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
-    s"""corpus AS ($quantizedSql),
-       |sub AS (
-       |  SELECT vec_id, unnest(range(0, $PqM)) AS m,
-       |    unnest(list_transform(range(0, $PqM),
-       |      m -> v[m * $PqSub + 1:m * $PqSub + $PqSub])) AS sv
-       |  FROM corpus),
-       |seeds AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqK),
-       |a1 AS (${pqAssignSql("sub", "seeds")}),
+    s"""seeds AS (
+       |  SELECT m, vec_id AS cid, sv AS cv FROM $trainSub
+       |  WHERE vec_id < $seedBound),
+       |a1 AS (${pqAssignSql(trainSub, "seeds")}),
        |sums AS (
        |  SELECT s.m, a.code AS cid, count(*) AS n, $dimSums
-       |  FROM sub s JOIN a1 a ON s.vec_id = a.vec_id AND s.m = a.m
+       |  FROM $trainSub s JOIN a1 a ON s.vec_id = a.vec_id AND s.m = a.m
        |  GROUP BY s.m, a.code),
-       |c1 AS (SELECT m, cid, $fdivArr AS cv FROM (SELECT * FROM sums)),
-       |codes AS (${pqAssignSql("sub", "c1")})""".stripMargin
+       |c1 AS (SELECT m, cid, $fdivArr AS cv FROM (SELECT * FROM sums))""".stripMargin
   }
+
+  /** The exploded-subvector CTE body over a named corpus CTE. */
+  private def pqSubCteOver(corpus: String): String =
+    s"""SELECT vec_id, unnest(range(0, $PqM)) AS m,
+       |    unnest(list_transform(range(0, $PqM),
+       |      m -> v[m * $PqSub + 1:m * $PqSub + $PqSub])) AS sv
+       |  FROM $corpus""".stripMargin
+
+  private val pqCtesSql: String =
+    s"""corpus AS ($quantizedSql),
+       |sub AS (
+       |  ${pqSubCteOver("corpus")}),
+       |${pqTrainCtesOver("sub", PqK)},
+       |codes AS (${pqAssignSql("sub", "c1")})""".stripMargin
 
   val pqCodesSql: String =
     s"""WITH $pqCtesSql
@@ -1013,6 +1048,86 @@ object Similarity {
   // agreement, not neighbor recall (two different neighbor sets often
   // vote the same way). Integer counts only.
   // ------------------------------------------------------------------
+  // Day-2 ANN index maintenance (r15) — the incremental discipline
+  // (stored ⊕ Δ ≡ recompute; Curation.incrementalSourceSigs' contract)
+  // applied to the VECTOR tier. A production embedding pipeline never
+  // retrains its coarse quantizer / codebooks per ingest batch: the
+  // index structures are trained once (day 1), frozen, and each new
+  // batch is ASSIGNED to them — per-batch cost |Δ|·k (IVF) / |Δ|·M·K
+  // (PQ) distance kernels, zero stored-corpus rescans, zero retrains.
+  // Split: even vec_ids = the stored day-1 corpus (trains the
+  // structures AND carries its stored code relation), odd = the day-2
+  // batch. The merge is a disjoint union — cell/code relations are
+  // per-vector rows, so unlike distinct counts they merge trivially;
+  // what the gate pins is that assignment against FROZEN structures is
+  // a pure per-row function: the oracle recomputes EVERY vector's
+  // assignment from the stored-trained centroids/codebooks and the
+  // merged relation must hash-match it row for row. At 100 TB the
+  // batch arm is the only recurring cost; the centroids/codebooks ride
+  // a k-row broadcast exactly as in the day-1 trainer.
+  // ------------------------------------------------------------------
+
+  /** Stored-trained k-means centroids: the day-1 Lloyd chain over even
+    * vec_ids only, seeded by the first K even ids (< 2K). Registry-
+    * persisted — day 2 must NOT pay the training pass again.
+    */
+  private def incrIvfCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"similarity.incrIvfCents:$sfDir") {
+      kmeansChainOver(
+        quantized(spark, sfDir).where(col("vec_id") % 2 === 0),
+        2 * KmeansK, KmeansIters)._1
+    }
+
+  /** The day-2 arm in isolation — the odd-id batch assigned to the FROZEN
+    * stored-trained centroids. Public so the spec can pin its
+    * batch-proportional shape (output = |Δ| rows; plan carries the batch
+    * predicate; the centroid side is the registry's k-row relation).
+    */
+  def ivfBatchArm(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignOver(quantized(spark, sfDir).where(col("vec_id") % 2 === 1),
+      incrIvfCentroids(spark, sfDir))
+
+  def incrementalIvfCodes(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignOver(quantized(spark, sfDir).where(col("vec_id") % 2 === 0),
+        incrIvfCentroids(spark, sfDir))
+      .unionAll(ivfBatchArm(spark, sfDir))
+
+  val incrementalIvfCodesSql: String =
+    s"""WITH corpus AS ($quantizedSql),
+       |stored AS (SELECT * FROM corpus WHERE vec_id % 2 = 0),
+       |${kmeansTrainCtesOver("stored", 2 * KmeansK)}
+       |${kmeansAssignSql("corpus", "c1")}""".stripMargin
+
+  /** Stored-trained PQ codebooks (even ids, seeds < 2K), frozen for the
+    * day-2 batch — registry-persisted like [[incrIvfCentroids]].
+    */
+  private def incrPqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"similarity.incrPqCb:$sfDir") {
+      pqCodebooksOver(
+        pqSubvectors(spark, sfDir).where(col("vec_id") % 2 === 0), 2 * PqK)
+    }
+
+  /** PQ twin of [[ivfBatchArm]]: the odd-id batch encoded against the
+    * frozen stored-trained codebooks.
+    */
+  def pqBatchArm(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(pqSubvectors(spark, sfDir).where(col("vec_id") % 2 === 1),
+      incrPqCodebooks(spark, sfDir))
+
+  def incrementalPqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(pqSubvectors(spark, sfDir).where(col("vec_id") % 2 === 0),
+        incrPqCodebooks(spark, sfDir))
+      .unionAll(pqBatchArm(spark, sfDir))
+
+  val incrementalPqCodesSql: String =
+    s"""WITH corpus AS ($quantizedSql),
+       |sub AS (
+       |  ${pqSubCteOver("corpus")}),
+       |storedsub AS (SELECT * FROM sub WHERE vec_id % 2 = 0),
+       |${pqTrainCtesOver("storedsub", 2 * PqK)}
+       |${pqAssignSql("sub", "c1")}""".stripMargin
+
+  // ------------------------------------------------------------------
   private def voteOver(topk: DataFrame, labels: DataFrame): DataFrame =
     topk.join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label"))), "neighbor_id")
@@ -1072,7 +1187,9 @@ object Similarity {
     "s_ivf_topk" -> (ivfTopK _),
     "s_kmeans_train" -> (kmeansTrain _),
     "s_kmeans_inertia" -> (kmeansInertia _),
-    "s_ivf_kmeans_topk" -> (ivfKmeansTopK _))
+    "s_ivf_kmeans_topk" -> (ivfKmeansTopK _),
+    "s_incremental_ivf_codes" -> (incrementalIvfCodes _),
+    "s_incremental_pq_codes" -> (incrementalPqCodes _))
 
   val oracles: Map[String, String] = Map(
     "s_knn_classify" -> knnClassifySql,
@@ -1090,5 +1207,7 @@ object Similarity {
     "s_ivf_topk" -> ivfTopKSql,
     "s_kmeans_train" -> kmeansTrainSql,
     "s_kmeans_inertia" -> kmeansInertiaSql,
-    "s_ivf_kmeans_topk" -> ivfKmeansTopKSql)
+    "s_ivf_kmeans_topk" -> ivfKmeansTopKSql,
+    "s_incremental_ivf_codes" -> incrementalIvfCodesSql,
+    "s_incremental_pq_codes" -> incrementalPqCodesSql)
 }

@@ -290,4 +290,49 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("inertia")).sortBy(_._1)
     assert(gated.toSeq === rows.take(2).toSeq)
   }
+
+  test("day-2 incremental ANN: merged codes cover the corpus, the batch arm is batch-proportional") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ids = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+    val odd = ids.filter(_ % 2 == 1).toSet
+
+    // IVF cells: stored ⊕ batch is a disjoint cover of every vector
+    val ivf = Similarity.incrementalIvfCodes(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("dist2")))
+    assert(ivf.map(_._1).toSet === ids.toSet)
+    assert(ivf.length === ids.length)
+    // frozen-structure purity: the day-2 arm ALONE reproduces exactly the
+    // merged relation's odd half — assignment is a pure per-row function
+    // of the frozen centroids, so merge-then-read ≡ assign-then-merge
+    val arm = Similarity.ivfBatchArm(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("dist2")))
+    assert(arm.map(_._1).toSet === odd)
+    assert(arm.length === odd.size) // output rows = |Δ|, not |corpus|
+    assert(arm.toSet === ivf.filter(x => odd(x._1)).toSet)
+    // the recurring day-2 plan carries the batch predicate — the stored
+    // half is never re-assigned on day 2
+    val plan = Similarity.ivfBatchArm(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("% 2) = 1") || plan.contains("% 2 = 1"), plan)
+
+    // PQ codes: same contract, (vec_id, m) key
+    val pq = Similarity.incrementalPqCodes(spark, sfDir)
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m"),
+        r.getAs[Long]("code")))
+    assert(pq.map(x => (x._1, x._2)).toSet ===
+      ids.flatMap(id => (0 until Similarity.PqM).map(m => (id, m.toLong))).toSet)
+    assert(pq.length === ids.length * Similarity.PqM)
+    val pqArm = Similarity.pqBatchArm(spark, sfDir)
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m"),
+        r.getAs[Long]("code")))
+    assert(pqArm.length === odd.size * Similarity.PqM)
+    assert(pqArm.toSet === pq.filter(x => odd(x._1)).toSet)
+  }
 }
