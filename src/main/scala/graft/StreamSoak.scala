@@ -167,6 +167,20 @@ object StreamSoak {
       StreamingParity.qualityHistogramStream(
         streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Update())
+    // Gap-fill stream (r15): timer-driven ROW SYNTHESIS — rows are
+    // emitted for silent hours with no input at all. State per live key
+    // = two scalars + the open-hour map (bounded by watermark delay /
+    // slot) + one armed timer, so the state-rows plateau measured here
+    // is O(|event types|) however many events replay; output volume
+    // follows the hour spine, not the input rate.
+    val zxDf = raw.select(Shapes.eventTimeMs(raw).as("event_time"),
+      col("event_type").as("z"), expr("CAST(floor(value) AS BIGINT)").as("x"))
+    val zxDir = s"$work/in/zx"
+    writeShards(zxDf, zxDir)
+    runSoak("gap_fill_stream",
+      StreamingParity.gapFillStream(
+        streamDf(zxDir, zxDf).as[StreamingParity.ZxEvent], 3600000L).toDF(),
+      OutputMode.Append())
 
     // SCD-2 CDC replay: the customer change feed (v1 all keys, v2 for
     // key%4==1, v3 for key%8==1) written in version order so the file

@@ -490,6 +490,125 @@ object StreamingParity {
       .select(col("word"), col("session_start"), col("session_end"), col("n_events"))
 
   // ------------------------------------------------------------------
+  // Streaming calendar-spine gap fill (r15) — the continuous form of
+  // Analytics.gapFill, and the one transformWithState capability no
+  // other twin demonstrates: TIMER-DRIVEN ROW SYNTHESIS. Every other
+  // stateful operator here emits only in response to input; a gap-fill
+  // must emit rows for hours in which a key received NOTHING — the
+  // reference's trigger-emission idea (C4: state scanned and emitted at
+  // punctuation time, independent of arrivals) in its modern engine
+  // form. Per key (event type z): a MapState buffers open-hour sums; a
+  // ValueState carries the last closed hour and the LOCF value; ONE
+  // event-time timer per key is kept armed at the next hour boundary,
+  // and each expiry closes every hour the watermark has passed — real
+  // hours drain their buffered sum, silent hours SYNTHESIZE a row
+  // carrying the LOCF value with is_gap=1. State per key is 2 scalars +
+  // the open-hour map (bounded by watermark delay / slot), so total
+  // state is O(|live keys|) — the StreamSoak bound.
+  //
+  // Contract vs the batch form (spec-pinned): batch builds its spine
+  // from the GLOBAL [lo, hi] hour range, so it emits leading gap rows
+  // for a key before that key's first event; a stream cannot know a
+  // key exists before its first arrival, so the streaming spine starts
+  // at each key's own first hour — parity holds on every (z, h) with
+  // h ≥ first-event-hour(z), closed by the final watermark. Slot width
+  // is a parameter (the batch twin's GapFillSlotMs in production;
+  // seconds in the spec fixture).
+  // ------------------------------------------------------------------
+
+  /** A synthesized-or-real spine row (matches Analytics.gapFill columns). */
+  case class GapRow(z: String, h: Long, filled_sum: Long, is_gap: Long)
+
+  class GapFillStatefulProcessor(slotMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (java.sql.Timestamp, String, Long), GapRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var pending: streaming.MapState[Long, Long] = _
+    @transient private var lastClosed: streaming.ValueState[Long] = _
+    @transient private var lastSum: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, Long](
+        "openHourSums", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      lastClosed = getHandle.getValueState[Long](
+        "lastClosedHour", Encoders.scalaLong, TTLConfig.NONE)
+      lastSum = getHandle.getValueState[Long](
+        "locfSum", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Close every hour the watermark has passed (real or synthesized),
+      * then re-arm the chain's single timer at the next hour boundary.
+      */
+    private def closeUpTo(key: String, wmMs: Long): Iterator[GapRow] = {
+      val out = scala.collection.mutable.ArrayBuffer[GapRow]()
+      var h = lastClosed.get() + 1
+      while ((h + 1) * slotMs <= wmMs) {
+        if (pending.containsKey(h)) {
+          val s = pending.getValue(h)
+          pending.removeKey(h)
+          lastSum.update(s)
+          out += GapRow(key, h, s, 0L)
+        } else {
+          out += GapRow(key, h,
+            if (lastSum.exists()) lastSum.get() else 0L, 1L)
+        }
+        lastClosed.update(h)
+        h += 1
+      }
+      getHandle.registerTimer((h + 1) * slotMs)
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(java.sql.Timestamp, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[GapRow] = {
+      val isFirst = !lastClosed.exists()
+      var minH = Long.MaxValue
+      rows.foreach { case (ts, _, x) =>
+        val h = Math.floorDiv(ts.getTime, slotMs)
+        if (isFirst || h > lastClosed.get()) {
+          pending.updateValue(h,
+            (if (pending.containsKey(h)) pending.getValue(h) else 0L) + x)
+          if (h < minH) minH = h
+        } // else: below the already-closed horizon (engine late filter
+          //       races) — drop, exactly as the batch's watermark would
+      }
+      if (isFirst && minH != Long.MaxValue) {
+        // First contact: the spine starts at this key's first hour.
+        // closeUpTo both handles the laggard case (watermark already
+        // past — emit immediately) and arms the timer chain.
+        lastClosed.update(minH - 1)
+        closeUpTo(key, timers.getCurrentWatermarkInMs())
+      } else Iterator.empty // the standing timer chain will close hours
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapRow] =
+      closeUpTo(key, timers.getCurrentWatermarkInMs())
+  }
+
+  /** The continuous gap-fill: ZxEvent (event_time ms, z, x = floored
+    * value) → dense per-key hourly spine, LOCF-filled, append-only.
+    */
+  def gapFillStream(events: Dataset[ZxEvent], slotMs: Long): Dataset[GapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(timestamp_millis(col("event_time")).as("event_ts"),
+        col("z"), col("x"))
+      .withWatermark("event_ts", "0 milliseconds")
+      .as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new GapFillStatefulProcessor(slotMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ------------------------------------------------------------------
   // Streaming conversion funnel — the streaming twin of
   // Analytics.funnel's ordered view → click → purchase semantics, as
   // keyed arbitrary state: per user, the earliest view, the earliest

@@ -58,6 +58,63 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** r15: POSITIVE pins on the warehouse face — the no-cartesian sweep
+    * catches catastrophic shapes, but a stats change could still flip a
+    * dimension chain from broadcast to shuffle without planning a
+    * cartesian. This sweep pins, uniformly for the biggest TPC-H
+    * shapes, (a) a minimum count of BroadcastHashJoin nodes — every
+    * `broadcast()`-hinted dimension chain must survive planning as an
+    * actual broadcast — and (b) that each query's SELECTIVE predicates
+    * reach the parquet scan (`PushedFilters`), not a post-scan Filter.
+    * Asserted on the pre-AQE plan: AQE may upgrade further at runtime
+    * but must inherit at least this static shape.
+    */
+  private val tpchFacePins: Seq[(String, Int, Seq[String])] = Seq(
+    // (query, min BroadcastHashJoin nodes, pushed-filter fragments)
+    ("a_regional_revenue", 2, Seq("EqualTo(r_name,ASIA)",
+      "GreaterThanOrEqual(o_orderdate,1996-01-01")),
+    ("a_market_share", 3, Seq("EqualTo(r_name,ASIA)",
+      "LessThan(o_orderdate,1998-01-01")),
+    ("a_returned_revenue", 2, Seq("EqualTo(l_returnflag,R)",
+      "GreaterThanOrEqual(o_orderdate,1996-10-01")),
+    ("a_nation_profit", 2, Seq("StringContains(p_name,gear)")),
+    ("a_shipping_priority", 2, Seq("EqualTo(c_mktsegment,BUILDING)",
+      "GreaterThan(l_shipdate,1998-01-01")),
+    ("a_promo_revenue", 1, Seq()),
+    ("a_min_cost_supplier", 3, Seq("EqualTo(r_name,EUROPE)",
+      "LessThan(s_suppkey,100000000)")),
+    ("a_important_parts", 3, Seq("EqualTo(r_name,EUROPE)")),
+    ("a_supplier_variety", 1, Seq("In(p_size")),
+    ("a_forecast_revenue", 0, Seq("LessThan(l_quantity,24.0)",
+      "IsNotNull(l_shipdate)")))
+
+  test("TPC-H face positive pins: dimension chains broadcast, selective " +
+      "filters reach the parquet scans") {
+    tpchFacePins.foreach { case (name, minBcast, pushed) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan
+      val b = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.size
+      assert(b >= minBcast,
+        s"$name: expected ≥$minBcast broadcast dimension joins, got $b:\n$plan")
+      // plan.toString elides long scan metadata, so read PushedFilters
+      // off the scan nodes themselves
+      val pushedAll = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }.mkString("\n")
+      pushed.foreach { f =>
+        assert(pushedAll.contains(f),
+          s"$name: filter '$f' not pushed to any scan; pushed:\n$pushedAll")
+      }
+    }
+    // Q6 is the pure-scan shape: no join may appear at all
+    val q6 = SparkEntry.queries("a_forecast_revenue")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!q6.contains("Join"), s"Q6 must stay join-free:\n$q6")
+  }
+
   test("the capped BM25 prune is a broadcast join on the token hash") {
     val plan = SparkEntry.queries("s_bm25_topk_capped")(spark, sfDir)
       .queryExecution.sparkPlan.toString

@@ -1443,4 +1443,99 @@ class StreamingParitySpec extends SparkSpec {
       assert(!words.contains("LATE"), "the late row must not reach results")
     } finally query.stop()
   }
+
+  test("gap-fill stream synthesizes LOCF rows for silent hours via event-time timers") {
+    import graft.streaming.StreamingParity.{GapRow, ZxEvent}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ZxEvent]
+      val query = StreamingParity.gapFillStream(input.toDS(), 1000L)
+        .writeStream.format("memory").queryName("gap_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // key a: slots 1, 2, then three silent slots, then slot 6;
+        // key b: one event in slot 2 then silence — every later row of b
+        //   must be timer-SYNTHESIZED (no input for b ever again).
+        input.addData(Seq(ZxEvent(1500, "a", 5), ZxEvent(2500, "a", 3),
+          ZxEvent(2200, "b", 10)))
+        query.processAllAvailable()
+        input.addData(Seq(ZxEvent(6500, "a", 7)))
+        query.processAllAvailable()
+        // sentinel advances the watermark to 9999 → slots ≤ 8 close
+        input.addData(Seq(ZxEvent(9999, "zz", 1)))
+        query.processAllAvailable()
+        val got = s.table("gap_tws").as[GapRow].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        assert(got.toSet === Set(
+          GapRow("a", 1, 5, 0), GapRow("a", 2, 3, 0),
+          GapRow("a", 3, 3, 1), GapRow("a", 4, 3, 1), GapRow("a", 5, 3, 1),
+          GapRow("a", 6, 7, 0), GapRow("a", 7, 7, 1), GapRow("a", 8, 7, 1),
+          GapRow("b", 2, 10, 0),
+          GapRow("b", 3, 10, 1), GapRow("b", 4, 10, 1), GapRow("b", 5, 10, 1),
+          GapRow("b", 6, 10, 1), GapRow("b", 7, 10, 1), GapRow("b", 8, 10, 1)))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("gap-fill stream equals the batch spine on closed hours from each key's first hour") {
+    import graft.streaming.StreamingParity.{GapRow, ZxEvent}
+    import graft.operators.Analytics
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val slot = Analytics.GapFillSlotMs
+    // Hour-scale fixture: two types with interleaved silence. Values are
+    // integral so floor(value) is exact on both paths.
+    val evs = Seq(
+      event(1, slot * 1 + 5, 1, "click", 4.0),
+      event(2, slot * 1 + 9, 2, "click", 2.0),
+      event(3, slot * 3 + 1, 1, "view", 7.0),
+      event(4, slot * 5 + 2, 2, "click", 1.0),
+      event(5, slot * 8 + 3, 1, "view", 9.0))
+    val dir = writeFixture(events = evs)
+    val batch = Analytics.gapFill(spark, dir).collect()
+      .map(r => GapRow(r.getAs[String]("z"), r.getAs[Long]("h"),
+        r.getAs[Long]("filled_sum"), r.getAs[Long]("is_gap")))
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ZxEvent]
+      val query = StreamingParity.gapFillStream(input.toDS(), slot)
+        .writeStream.format("memory").queryName("gap_parity")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(evs.map(e =>
+          ZxEvent(e.ts.getTime, e.event_type, e.value.toLong)))
+        query.processAllAvailable()
+        // push the watermark past the batch spine's hi so every batch
+        // hour closes on the stream side
+        input.addData(Seq(ZxEvent(slot * 11, "zz", 1)))
+        query.processAllAvailable()
+        val hi = batch.map(_.h).max
+        val firstHour = Map("click" -> 1L, "view" -> 3L)
+        val got = s.table("gap_parity").as[GapRow].collect()
+          .filter(g => g.z != "zz" && g.h <= hi).toSet
+        // batch spine starts every key at the GLOBAL lo; the stream can
+        // only start a key at its first arrival — parity from there on
+        val want = batch.filter(g => g.h >= firstHour(g.z)).toSet
+        assert(got === want)
+        // and the leading rows the stream cannot know about are exactly
+        // the batch's pre-first-arrival zero-fill gap rows
+        assert(batch.filterNot(g => g.h >= firstHour(g.z))
+          .forall(g => g.filled_sum == 0 && g.is_gap == 1))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
