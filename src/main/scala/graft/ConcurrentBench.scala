@@ -1,0 +1,111 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-throughput bench arm (r15) — the TPC-DS "throughput test"
+  * shape: N driver threads each run a DISJOINT quarter of the gated
+  * suite concurrently against ONE shared SparkSession. What this
+  * measures that the serial bench cannot: contention on the
+  * session-global surfaces the 100 TB multi-tenant story leans on —
+  * the CacheRegistry's shared persisted relations, the FAIR scheduler's
+  * pool switching, broadcast-exchange reuse, and the block manager
+  * under simultaneous scans. A plan that is fast alone but serializes
+  * on a shared lock shows up here as per-query degradation.
+  *
+  * Protocol: the same untimed full-sweep warmup as graft.Bench (every
+  * registry relation pre-built — concurrency must not be charged cold
+  * builds either), then queries are dealt round-robin BY SORTED INDEX
+  * into `SPARK_GRAFT_BENCH_THREADS` (default 4) disjoint lists; each
+  * thread times its list serially while the others run. Output: one
+  * JSON line with the per-query concurrent seconds, the wall clock of
+  * the whole fan-out, and the per-thread sums.
+  *
+  * Guard: pass a serial bench snapshot (bench_records/BENCH_FULL-*.json)
+  * as argv(0) and the run compares the concurrent SUM over shared
+  * queries against the serial min-map's sum — the multi-tenant
+  * contract is that 4-way concurrency costs at most ~2× the serial
+  * per-query time in aggregate (wall clock meanwhile ≈ serial/2 or
+  * better, else threading bought nothing). Exit 1 on ratio > 2.0 or on
+  * any thrown query.
+  */
+object ConcurrentBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nThreads = sys.env.get("SPARK_GRAFT_BENCH_THREADS").map(_.toInt).getOrElse(4)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The multi-tenant scheduling mode: concurrent jobs time-slice the
+      // 32 cores instead of queueing whole-job FIFO.
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
+    // Untimed warm sweep — identical contract to graft.Bench.
+    if (!sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+      }
+    }
+    val parts: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] =
+      selected.zipWithIndex.groupBy(_._2 % nThreads).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val errors = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threadSums = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+    val t0 = System.nanoTime()
+    val threads = parts.zipWithIndex.map { case (part, i) =>
+      new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"pool$i")
+        var sum = 0.0
+        part.foreach { case (name, fn) =>
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => errors.add(name); () }
+          val dt = (System.nanoTime() - q0) / 1e9
+          results.put(name, dt); sum += dt
+        }
+        threadSums.put(i, sum)
+      }, s"bench-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val resMap = results.asScala.toMap
+    val qs = resMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = errors.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sums = (0 until nThreads)
+      .map(i => threadSums.getOrDefault(i, 0.0)).mkString("[", ",", "]")
+    val sumAll = resMap.values.sum
+    println(s"""{"metric":"concurrent_total","wall_sec":$wall,"sum_sec":$sumAll,""" +
+      s""""threads":$nThreads,"thread_sums":$sums,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Guard vs a serial snapshot: aggregate degradation ≤ 2×.
+    val guardFail = args.headOption.exists { serialPath =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(serialPath)).get("queries")
+      val serial = node.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      val shared = resMap.keySet.intersect(serial.keySet)
+      val (cSum, sSum) = (shared.toSeq.map(resMap).sum, shared.toSeq.map(serial).sum)
+      val ratio = if (sSum > 0) cSum / sSum else Double.PositiveInfinity
+      println(s"""{"metric":"concurrent_guard","shared":${shared.size},""" +
+        s""""concurrent_sum":$cSum,"serial_sum":$sSum,"ratio":${math.round(ratio * 100) / 100.0},""" +
+        s""""wall_vs_serial":${math.round(wall / sSum * 100) / 100.0},""" +
+        s""""ok":${ratio <= 2.0}}""")
+      ratio > 2.0
+    }
+    spark.stop()
+    if (guardFail || !errors.isEmpty) sys.exit(1)
+  }
+}
