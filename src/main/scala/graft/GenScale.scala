@@ -12,9 +12,26 @@ import org.apache.spark.sql.functions._
   * foreign key shifts by shard·Stride (10⁸ — far above any source key),
   * so referential integrity and per-key row densities survive exactly;
   * region/nation stay fixed (TPC-H keeps dimensions constant across SF).
-  * Document texts get a per-shard suffix (exact dedup must not collapse
-  * shards into 10-way duplicate groups); embeddings replicate unchanged
-  * (query workload is vec_id < 20 — shard 0 only). events.ts is
+  * Document texts in shard k > 0 get a per-shard MARKER TOKEN spliced in
+  * after every 4th word plus a shard suffix (r15; suffix-only before).
+  * Why: a suffix leaves cross-shard copies NEAR-duplicates — every
+  * 5-word shingle except the last survives — so the near-dup pair count
+  * grew as shards² (measured: 256 prefix-Jaccard pairs at sf0.1 →
+  * 250,600 at 10 shards, ~27 M projected at 100), a generator artifact
+  * that would swamp any shingle-similarity measurement one decade up.
+  * Real corpora hold near-dup DENSITY roughly constant as they grow —
+  * the same contract as every other per-key density here — and the
+  * marker delivers exactly that: markers sit ≤ 4 words apart so EVERY
+  * 5-shingle of a shard-k text contains one, shingle sets across shards
+  * are disjoint, and within a shard all texts share the shard's marker
+  * so the seeded dup/near-dup structure of the source is preserved
+  * verbatim (pairs scale ×shards, not ×shards²). Exact dedup stays
+  * broken across shards too (distinct tokens ⇒ distinct strings).
+  * Embeddings replicate unchanged (the ANN query workload is
+  * vec_id < 20 — shard 0 only; the all-pairs embedding-similarity
+  * baselines are gate-scale queries, excluded from stress subsets,
+  * where identical cross-shard vectors would pair quadratically).
+  * events.ts is
   * rewritten from TIMESTAMP(NANOS) to micro-second timestamps — the same
   * epoch-ms values through BOTH read paths (Shapes.eventTimeMs handles
   * either representation; DuckDB's epoch_ms reads both) without needing
@@ -89,9 +106,16 @@ object GenScale {
     write(shards(r.parquet(s"$src/documents.parquet")) { (d, o) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + o)
       if (o == 0L) shifted
-      else shifted
-        .withColumn("text", concat(col("text"), lit(s" shard${o / Stride}")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        val k = o / Stride
+        shifted
+          .withColumn("text", concat(
+            array_join(expr(
+              s"transform(split(text, ' '), (w, i) -> " +
+                s"IF((i + 1) % 4 = 0, concat(w, ' zsh$k'), w))"), " "),
+            lit(s" shard$k")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     }, "documents")
     write(shards(r.parquet(s"$src/embeddings.parquet")) { (d, o) =>
       d.withColumn("vec_id", col("vec_id") + o)
