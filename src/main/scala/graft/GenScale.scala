@@ -44,6 +44,13 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // docMode "marker" (default): density-correct scaling (class
+    // scaladoc). docMode "suffix": the legacy r7–r14 transform that
+    // leaves cross-shard copies near-duplicates — kept as the
+    // ADVERSARIAL generator (near-dup mass ∝ shards², the heavy-dup
+    // corpus the triangle audit and the exact→prefix decision flip
+    // were measured on).
+    val docMode = if (args.length > 3) args(3) else "marker"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -108,12 +115,15 @@ object GenScale {
       if (o == 0L) shifted
       else {
         val k = o / Stride
-        shifted
-          .withColumn("text", concat(
+        val text =
+          if (docMode == "suffix") concat(col("text"), lit(s" shard$k"))
+          else concat(
             array_join(expr(
               s"transform(split(text, ' '), (w, i) -> " +
                 s"IF((i + 1) % 4 = 0, concat(w, ' zsh$k'), w))"), " "),
-            lit(s" shard$k")))
+            lit(s" shard$k"))
+        shifted
+          .withColumn("text", text)
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }, "documents")

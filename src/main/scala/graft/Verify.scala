@@ -26,7 +26,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce is a narrow dependency,
+      // so it would collapse every stage back to the last shuffle into
+      // the single write task — at sf10 that single-threaded the heavy
+      // queries' final aggregates (r15: d_adaptive_jaccard_pairs spent
+      // 48 CPU-min in one task). The round-trip shuffle on the (small,
+      // post-filter) result keeps upstream parallelism and still lands
+      // one part-file per query.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -462,15 +462,24 @@ object Dedup {
       // exploded index the join shuffles.
       .distinct()
     // PPJoin verify: exact |A∩B| per exactly-once candidate PAIR, from
-    // the persisted per-doc sets — one array_intersect per verified pair
-    // (never per colliding index row, never inside a join condition).
+    // the persisted per-doc arrays — one per-pair fold (never per
+    // colliding index row, never inside a join condition). MULTISET
+    // join-count semantics (Σ_sh cnt_a·cnt_b), NOT array_intersect's set
+    // semantics: the exact arm and every Jaccard oracle count the
+    // shingle equi-join with multiplicity, and the two arms must agree
+    // bit-for-bit on docs holding a repeated shingle hash — absent at
+    // the gate scales, first produced by an sf10 shard (r15: one pair
+    // off by one under the old array_intersect form). The fold is
+    // O(|A|·|B|) per pair but runs only on verified candidates, which
+    // the prefix + length filters keep tiny relative to the corpus.
     // The candidate side is small, so both lookups broadcast it and
     // stream `docs`; no corpus re-scan, no shingle-key shuffle.
     cands
       .join(docs.select(col("doc_id").as("id_a"), col("full").as("fa")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("full").as("fb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("fa"), col("fb"))).cast("long").as("inter"),
+        expr("aggregate(fa, 0L, (acc, x) -> acc + size(filter(fb, y -> y = x)))")
+          .as("inter"),
         (col("na") + col("nb")).as("n_sum"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("n_sum") - col("inter")).as("uni"))

@@ -102,6 +102,45 @@ object ScaleOracles {
        |FROM t_sh a JOIN t_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** d_incremental_neardup at sf10 (r15) — the single-statement minhash
+    * WITH-chain times out one decade up (>1800 s; the same monolithic-
+    * plan instability the Jaccard oracles hit at sf1), so the identical
+    * logical oracle is staged: signatures, band keys, the batch×corpus
+    * candidate join and the shingle intersection each materialize with
+    * exact input cardinalities. FULL equality recomputation from fixture
+    * tables only — no trust edges, no sampling.
+    */
+  private val incrementalNearDupSetup: Seq[String] = jaccardSetupBase ++ Seq(
+    s"""CREATE TEMP TABLE t_ind_sigs AS
+       |SELECT doc_id, $minhashSigFromColsDuck AS sig FROM (
+       |  SELECT doc_id, ${minhashAggDuck("sh").mkString(", ")}
+       |  FROM t_sh GROUP BY doc_id)""".stripMargin,
+    s"""CREATE TEMP TABLE t_ind_bands AS
+       |${(0 until NumBands).map(b =>
+           s"SELECT doc_id, $b AS band, ${bandKeyDuck("sig", b)} AS bkey FROM t_ind_sigs")
+         .mkString("\nUNION ALL ")}""".stripMargin,
+    s"""CREATE TEMP TABLE t_ind_cands AS
+       |SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |FROM t_ind_bands a JOIN t_ind_bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey
+       |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
+    s"""CREATE TEMP TABLE t_ind_inter AS
+       |SELECT c.batch_id, c.corpus_id, count(*) AS i
+       |FROM t_ind_cands c
+       |JOIN t_sh x ON x.doc_id = c.batch_id
+       |JOIN t_sh y ON y.doc_id = c.corpus_id AND y.sh = x.sh
+       |GROUP BY 1, 2""".stripMargin)
+
+  private val incrementalNearDupEquality: String =
+    s"""SELECT batch_id, count(*) AS n_nd, min(corpus_id) AS nd_min
+       |FROM (
+       |  SELECT i.batch_id, i.corpus_id
+       |  FROM t_ind_inter i
+       |  JOIN t_sizes sa ON sa.doc_id = i.batch_id
+       |  JOIN t_sizes sb ON sb.doc_id = i.corpus_id
+       |  WHERE i.i * ${Dedup.JaccDen} > (sa.n + sb.n - i.i) * ${Dedup.JaccNum})
+       |GROUP BY batch_id""".stripMargin
+
   private val jaccardPairsEquality: String =
     s"""SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
        |FROM t_inter
@@ -230,6 +269,8 @@ object ScaleOracles {
       Check("equality", jaccardPairsEquality, setup = jaccardPairsSetup),
     "d_jaccard_prefix_pairs" ->
       Check("equality", jaccardPrefixPairsEquality, setup = jaccardPrefixPairsSetup),
+    "d_incremental_neardup" ->
+      Check("equality", incrementalNearDupEquality, setup = incrementalNearDupSetup),
     // The adaptive pair plan's output is arm-invariant and at sf1 the
     // decision (its own gated query, plain-oracle-verified at every SF)
     // picks the prefix arm — so the complete check is frame equality
