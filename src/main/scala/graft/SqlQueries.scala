@@ -300,6 +300,21 @@ object SqlQueries {
        |    size(array_distinct(${tokensSpark("text")})) AS n_distinct
        |  FROM documents)""".stripMargin
 
+  /** Spark-dialect 100-bin quality histogram — ONE constant holding the
+    * bin expression (`least(floor(score*100), 99)`), interpolated by
+    * both its consumers (`t_quality_histogram` verbatim and
+    * `t_quality_cutpoints_binned` as a wrapped CTE) so the texts that
+    * must stay bit-identical share a single source (r15, ADVICE).
+    */
+  private lazy val qualityHistogramSparkSql: String =
+    s"""WITH q AS ($qualityScoreSparkSql)
+       |SELECT d.source,
+       |  CAST(least(floor(q.quality_score * 100.0), ${TextAnalysis.QualityBins - 1}) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, sum(CAST(q.n_tokens AS BIGINT)) AS sum_tokens
+       |FROM q JOIN (SELECT doc_id, source FROM documents) d
+       |  ON q.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   private lazy val shingleRelSparkSql: String =
     s"""SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh
        |FROM documents""".stripMargin
@@ -1186,25 +1201,14 @@ object SqlQueries {
          |  min(quality_score) AS min_score, max(quality_score) AS max_score
          |FROM j JOIN cuts ON j.source = cuts.source
          |GROUP BY 1, 2""".stripMargin,
-    "t_quality_histogram" ->
-      s"""WITH q AS ($qualityScoreSparkSql)
-         |SELECT d.source,
-         |  CAST(least(floor(q.quality_score * 100.0), ${TextAnalysis.QualityBins - 1}) AS BIGINT) AS bin,
-         |  count(*) AS n_docs, sum(CAST(q.n_tokens AS BIGINT)) AS sum_tokens
-         |FROM q JOIN (SELECT doc_id, source FROM documents) d
-         |  ON q.doc_id = d.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+    "t_quality_histogram" -> qualityHistogramSparkSql,
     // cutpoints read off the bounded grid: integer-exact ceil rank via
-    // (p10*n + 9) div 10, first bin whose cumsum reaches it
+    // (p10*n + 9) div 10, first bin whose cumsum reaches it. The grid is
+    // the SHARED histogram text (one constant, one bin expression) — the
+    // sum_tokens column prunes away under the h projection.
     "t_quality_cutpoints_binned" ->
-      s"""WITH q AS ($qualityScoreSparkSql),
-         |h AS (
-         |  SELECT d.source,
-         |    CAST(least(floor(q.quality_score * 100.0), ${TextAnalysis.QualityBins - 1}) AS BIGINT) AS bin,
-         |    count(*) AS n_docs
-         |  FROM q JOIN (SELECT doc_id, source FROM documents) d
-         |    ON q.doc_id = d.doc_id
-         |  GROUP BY 1, 2),
+      s"""WITH h AS (
+         |  SELECT source, bin, n_docs FROM ($qualityHistogramSparkSql)),
          |cum AS (
          |  SELECT source, bin, sum(n_docs) OVER (PARTITION BY source
          |    ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_docs

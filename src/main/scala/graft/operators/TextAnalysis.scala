@@ -584,8 +584,16 @@ object TextAnalysis {
   // The oracle is deliberately the PLAIN string recipe — the hashed plan
   // must reproduce the straightforward relation bit-for-bit. A 62-bit fp
   // collision between distinct grams of one source would merge their
-  // counts (birthday bound ~2^31 distinct grams per source); at that
-  // corpus size the winners' counts dwarf the collision term.
+  // counts (birthday bound ~2^31 distinct grams per source) — and
+  // because the oracle only runs at fixture scale, a production-size
+  // collision would otherwise be a SILENTLY wrong ranking. So the
+  // recovery pass carries a collision tripwire (r15): after display
+  // grams are re-derived, a per-(source, fp) window count asserts each
+  // candidate fp recovered EXACTLY ONE distinct gram; a collision among
+  // the top-K raises at run time instead of reordering the answer. The
+  // check rides the already-tiny candidate relation (≤ K·ties rows per
+  // source), so it costs one window over rows that were already
+  // collected for re-ranking.
   // ------------------------------------------------------------------
   def topNgramsHashed(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextHashOps
@@ -609,7 +617,17 @@ object TextAnalysis {
     gramRows(withText = true)
       .join(broadcast(cand),
         col("source") === col("c_source") && col("gram_fp") === col("c_fp"))
-      .select("source", "gram", "cnt").distinct()
+      .select("source", "gram", "cnt", "c_fp").distinct()
+      // collision tripwire: one distinct gram per recovered candidate fp
+      // (assert_true returns NULL when the predicate holds, so the
+      // filter passes every row; a collision raises instead of silently
+      // merging two grams' counts under one fp)
+      .withColumn("_fp_grams", count(lit(1)).over(org.apache.spark.sql
+        .expressions.Window.partitionBy("source", "c_fp")))
+      .where(expr("assert_true(_fp_grams = 1, " +
+        "'topNgramsHashed: gram_fp collision among top-K candidates — " +
+        "two distinct grams share one 62-bit fingerprint')").isNull)
+      .select("source", "gram", "cnt")
       .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy("source").orderBy(col("cnt").desc, col("gram"))))
       .where(col("rnk") <= TopNgramK)
@@ -724,9 +742,21 @@ object TextAnalysis {
   def qualityDecilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = scoredDocs(spark, sfDir)
     val psLit = DecilePs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    // Exact-mode guard (r15): the rank-recipe oracle defines this output
+    // ONLY while every per-source n stays below the sketch accuracy (the
+    // KLL/GK sketch is exact under `accuracy` observations; above it the
+    // sketch approximates and the gate identity no longer holds). The
+    // count rides the same aggregate; a larger future fixture fails with
+    // this message instead of a confusing hash mismatch.
     val cuts = scored.groupBy("source")
       .agg(expr(s"approx_percentile(quality_score, $psLit, " +
-        s"${Analytics.ApproxQuantileAccuracy})").as("cuts"))
+        s"${Analytics.ApproxQuantileAccuracy})").as("cuts"),
+        count(lit(1)).as("_n"))
+      .where(expr(s"assert_true(_n < ${Analytics.ApproxQuantileAccuracy}, " +
+        "'qualityDecilesApprox: per-source n exceeds ApproxQuantileAccuracy" +
+        " — sketch leaves exact mode, the rank-recipe gate no longer " +
+        "defines the output')").isNull)
+      .select("source", "cuts")
     scored.join(broadcast(cuts), "source")
       .withColumn("bucket",
         (lit(1) + expr("size(filter(cuts, c -> quality_score > c))")).cast("long"))

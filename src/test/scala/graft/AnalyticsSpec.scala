@@ -857,10 +857,15 @@ class AnalyticsSpec extends SparkSpec {
     // qualifying order, so the structural point only materializes from
     // sf0.1 up (7 zero-order customers measured there) — assert it at
     // that scale, where the query touches only orders+customer (cheap).
-    val q13AtBench = Analytics.orderCountDistribution(spark, "/root/testdata/sf0.1")
-      .collect().map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
-    assert(q13AtBench.exists(_._1 == 0L),
-      "the zero-order bucket must survive the left join at sf0.1")
+    // Guarded (r15, ADVICE): the unit suite must stay runnable with only
+    // the sf0.001 fixture present; the sf0.1 sweep covers the gate.
+    val benchDir = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$benchDir/orders.parquet").exists()) {
+      val q13AtBench = Analytics.orderCountDistribution(spark, benchDir)
+        .collect().map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
+      assert(q13AtBench.exists(_._1 == 0L),
+        "the zero-order bucket must survive the left join at sf0.1")
+    }
 
     // Q16 proper (r15: real derived partsupp): supplier variety per
     // (brand, type, size) from the part↔supplier bridge

@@ -436,94 +436,6 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 5)
   }
 
-  test("quality deciles: balanced NTILE buckets with non-increasing score ranges") {
-    val sfDir = "/root/testdata/sf0.001"
-    val rows = operators.TextAnalysis.qualityDeciles(spark, sfDir).collect()
-      .map(r => (r.getAs[String]("source"), r.getAs[Long]("decile"),
-        r.getAs[Long]("n_docs"), r.getAs[Double]("min_score"),
-        r.getAs[Double]("max_score")))
-    val bySource = rows.groupBy(_._1)
-    assert(bySource.nonEmpty)
-    val srcCounts = graft.Tables.documents(spark, sfDir)
-      .groupBy("source").count().collect()
-      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
-    bySource.foreach { case (src, ds) =>
-      val sorted = ds.sortBy(_._2)
-      assert(sorted.map(_._2).toSeq === (1L to 10L), src)
-      // NTILE balance: bucket sizes differ by at most one, masses sum up.
-      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1, src)
-      assert(sorted.map(_._3).sum === srcCounts(src), src)
-      // Score ranges are ordered: a better decile never dips below the
-      // next one's top.
-      sorted.sliding(2).filter(_.length == 2).foreach { w =>
-        assert(w(0)._4 >= w(1)._5, src)
-      }
-    }
-  }
-
-  test("quality deciles approx: sketch cutpoints bucket every doc, strict bucket ordering, mass conserved") {
-    val sfDir = "/root/testdata/sf0.001"
-    val rows = operators.TextAnalysis.qualityDecilesApprox(spark, sfDir).collect()
-      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket"),
-        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
-        r.getAs[Double]("min_score"), r.getAs[Double]("max_score")))
-    val bySource = rows.groupBy(_._1)
-    assert(bySource.nonEmpty)
-    val srcCounts = graft.Tables.documents(spark, sfDir)
-      .groupBy("source").count().collect()
-      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
-    // Token mass must agree with the exact NTILE form — same rows, only
-    // the bucket boundaries differ.
-    val exactTokens = operators.TextAnalysis.qualityDeciles(spark, sfDir)
-      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("sum_tokens"))
-      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
-    bySource.foreach { case (src, ds) =>
-      val sorted = ds.sortBy(_._2)
-      // buckets live in 1..10 (duplicate cutpoints may skip some)
-      assert(sorted.forall(d => d._2 >= 1L && d._2 <= 10L), src)
-      assert(sorted.map(_._3).sum === srcCounts(src), src)
-      assert(sorted.map(_._4).sum === exactTokens(src), src)
-      // ascending orientation: a higher bucket sits strictly above the
-      // previous bucket's top score (scores equal to a cutpoint fall low)
-      sorted.sliding(2).filter(_.length == 2).foreach { w =>
-        assert(w(1)._5 > w(0)._6, src)
-      }
-    }
-    // The bounded histogram conserves the same masses: per-source doc
-    // and token totals agree with the decile relations, bins stay in
-    // the fixed [0, 99] grid (the state-bound argument of the twin).
-    val hist = operators.TextAnalysis.qualityHistogram(spark, sfDir).collect()
-      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin"),
-        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))
-    assert(hist.forall(h => h._2 >= 0L && h._2 <= 99L))
-    hist.groupBy(_._1).foreach { case (src, bs) =>
-      assert(bs.map(_._3).sum === srcCounts(src), src)
-      assert(bs.map(_._4).sum === exactTokens(src), src)
-    }
-    // Binned cutpoints land in EXACTLY the bin of the sketch cutpoint:
-    // scores map monotonically to bins, so the first bin whose cumsum
-    // reaches ceil(p·n) is the rank-ceil element's bin. The sketch
-    // cutpoint array is ascending p = 0.1 … 0.9, index k ↔ p10 = k+1.
-    val binned = operators.TextAnalysis.qualityCutpointsBinned(spark, sfDir)
-      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("p10")) ->
-        r.getAs[Long]("cut_bin")).toMap
-    val sketchBins = {
-      import org.apache.spark.sql.functions._
-      // recompute the cutpoints the same way the operator does, bin them
-      val q = operators.TextAnalysis.qualityScore(spark, sfDir)
-        .select(col("doc_id"), col("quality_score"))
-        .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
-      q.groupBy("source").agg(expr(
-          s"approx_percentile(quality_score, array(${operators.TextAnalysis.DecilePs.map(p => s"${p}D").mkString(", ")}), " +
-            s"${operators.Analytics.ApproxQuantileAccuracy})").as("cuts"))
-        .select(col("source"), posexplode(col("cuts")).as(Seq("k", "c")))
-        .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("k") + 1L) ->
-          math.min(math.floor(r.getAs[Double]("c") * 100.0).toLong, 99L)).toMap
-    }
-    assert(binned.keySet === sketchBins.keySet)
-    binned.foreach { case (k, b) => assert(b === sketchBins(k), k) }
-  }
-
   test("token rarity: corpus frequency sums, rarest token, hapax count") {
     val dir = writeFixture(documents = Seq(doc(0, "a a b"), doc(1, "b c")))
     val got = operators.TextAnalysis.tokenRarity(spark, dir).collect()
