@@ -19,6 +19,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // See Verify: split sizing for the scaled single-file trees (the
+      // sf10 stress bench sets 4-8m so text scans parallelize; unset,
+      // the 128m default leaves gate/bench-scale behavior unchanged).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

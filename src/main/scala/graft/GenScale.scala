@@ -12,21 +12,33 @@ import org.apache.spark.sql.functions._
   * foreign key shifts by shard·Stride (10⁸ — far above any source key),
   * so referential integrity and per-key row densities survive exactly;
   * region/nation stay fixed (TPC-H keeps dimensions constant across SF).
-  * Document texts in shard k > 0 get a per-shard MARKER TOKEN spliced in
-  * after every 4th word plus a shard suffix (r15; suffix-only before).
-  * Why: a suffix leaves cross-shard copies NEAR-duplicates — every
-  * 5-word shingle except the last survives — so the near-dup pair count
-  * grew as shards² (measured: 256 prefix-Jaccard pairs at sf0.1 →
+  * Document texts in shard k > 0 go through a per-shard VOCABULARY
+  * ISOMORPHISM: every word gets the shard tag appended in place
+  * (w → wzk, still one token — r15; suffix-only before, then two
+  * rejected spliced-marker designs).
+  * Why: a trailing suffix leaves cross-shard copies NEAR-duplicates —
+  * every word shingle except the last survives — so the near-dup pair
+  * count grew as shards² (measured: 256 prefix-Jaccard pairs at sf0.1 →
   * 250,600 at 10 shards, ~27 M projected at 100), a generator artifact
   * that would swamp any shingle-similarity measurement one decade up.
   * Real corpora hold near-dup DENSITY roughly constant as they grow —
-  * the same contract as every other per-key density here — and the
-  * marker delivers exactly that: markers sit ≤ 4 words apart so EVERY
-  * 5-shingle of a shard-k text contains one, shingle sets across shards
-  * are disjoint, and within a shard all texts share the shard's marker
-  * so the seeded dup/near-dup structure of the source is preserved
-  * verbatim (pairs scale ×shards, not ×shards²). Exact dedup stays
-  * broken across shards too (distinct tokens ⇒ distinct strings).
+  * the same contract as every other per-key density here. Two rejected
+  * designs first tried to get there by SPLICING a constant marker token
+  * between words; both degrade the shingle family (Dedup.ShingleW = 3):
+  * a marker every 4th word leaves half the trigrams marker-free and
+  * shared across shards (sf1 trigram df ×7, prefix candidates 24.6 M
+  * where linear density predicts ~400 k), and a marker every 2nd word
+  * covers every trigram but turns it into an effective BIGRAM — two of
+  * its three positions are the constant's neighbors — collapsing
+  * within-shard shingle entropy (sf1 candidates 36.9 M, worse). The
+  * isomorphism has neither problem: it is a BIJECTIVE token renaming,
+  * so every shard's shingle-df distribution equals the source's exactly
+  * (per-shard candidates = sf0.1's, total linear in shards), shingle
+  * sets across shards are disjoint (distinct vocabularies), and the
+  * seeded dup/near-dup structure of the source is preserved verbatim.
+  * Exact dedup stays broken across shards too (distinct tokens ⇒
+  * distinct strings), and token COUNTS are unchanged — text-analytics
+  * costs scale exactly with rows.
   * Embeddings replicate unchanged (the ANN query workload is
   * vec_id < 20 — shard 0 only; the all-pairs embedding-similarity
   * baselines are gate-scale queries, excluded from stress subsets,
@@ -44,13 +56,13 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // docMode "marker" (default): density-correct scaling (class
-    // scaladoc). docMode "suffix": the legacy r7–r14 transform that
-    // leaves cross-shard copies near-duplicates — kept as the
-    // ADVERSARIAL generator (near-dup mass ∝ shards², the heavy-dup
-    // corpus the triangle audit and the exact→prefix decision flip
-    // were measured on).
-    val docMode = if (args.length > 3) args(3) else "marker"
+    // docMode "vocab" (default): density-correct scaling via the
+    // per-shard vocabulary isomorphism (class scaladoc). docMode
+    // "suffix": the legacy r7–r14 transform that leaves cross-shard
+    // copies near-duplicates — kept as the ADVERSARIAL generator
+    // (near-dup mass ∝ shards², the heavy-dup corpus the triangle audit
+    // and the exact→prefix decision flip were measured on).
+    val docMode = if (args.length > 3) args(3) else "vocab"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -63,9 +75,19 @@ object GenScale {
       (0 until factor).map(i => f(df, i.toLong * Stride)).reduce(_ union _)
     // One parquet FILE per table (like the driver fixtures — the DuckDB
     // gate registers '<dir>/<t>.parquet' as a single file, not a glob).
+    // Small row groups (8 MB buffered vs the 128 MB default) keep the
+    // single file SPLITTABLE: Spark assigns scan tasks per row group, and
+    // the default left sf10's 500 k-doc documents.parquet as ONE group —
+    // every text-explode stage (trigrams, shingles, BM25 tokens) ran as
+    // one task regardless of local[32] (r15 measured: 774 CPU-seconds in
+    // a single top-ngrams task). A 100 TB corpus is thousands of files —
+    // a fixture must not be artificially UNsplittable when the point of
+    // the decade is measuring scan/shuffle parallelism.
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(s"$out/$name.parquet")
@@ -117,11 +139,8 @@ object GenScale {
         val k = o / Stride
         val text =
           if (docMode == "suffix") concat(col("text"), lit(s" shard$k"))
-          else concat(
-            array_join(expr(
-              s"transform(split(text, ' '), (w, i) -> " +
-                s"IF((i + 1) % 4 = 0, concat(w, ' zsh$k'), w))"), " "),
-            lit(s" shard$k"))
+          else array_join(expr(
+            s"transform(split(text, ' '), w -> concat(w, 'z$k'))"), " ")
         shifted
           .withColumn("text", text)
           .withColumn("n_chars", length(col("text")).cast("long"))

@@ -14,6 +14,17 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Input-split sizing for the scaled single-file fixtures (r15): the
+      // sf10 tree is one 8 MB-row-group parquet file per table, and the
+      // 128 MB default packs a whole 60 MB text table into ONE scan task
+      // — every explode stage (trigrams, shingles, BM25) then runs
+      // single-threaded however many cores the session has. 100 TB
+      // corpora arrive as thousands of files; the sandbox equivalent is
+      // sizing splits to the compressed bytes whose EXPLODED work fills
+      // a task (set 4-8m for testdata-sf10 runs; the driver's gate-scale
+      // fixtures are unaffected by the 128m default).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores ts as TIMESTAMP(NANOS); read as epoch-nanos

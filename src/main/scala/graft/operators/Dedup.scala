@@ -434,11 +434,13 @@ object Dedup {
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
         // ⌈n/2⌉ = (n+1) div 2; prefix length = n − ⌈t·n⌉ + 1 at t = 1/2.
-        // `full` stays HERE, one array per doc in the persisted per-doc
-        // relation — never on exploded join rows (round 5's mistake).
+        // Only |X| and the prefix persist — r15 dropped the `full`
+        // shingle array this relation used to carry for the verify fold
+        // (see below): the deserialized array column doubled the cache
+        // and fed an array-carrying sort-merge join that spilled the
+        // sandbox's disk at sf10.
         .select(col("doc_id"),
           expr("cast(size(ranked) as bigint)").as("n"),
-          expr("transform(ranked, x -> x.sh)").as("full"),
           expr("transform(slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1), x -> x.sh)")
             .as("pref"))
     }
@@ -461,28 +463,50 @@ object Dedup {
       // first-shared-shingle join predicate, it adds nothing to the
       // exploded index the join shuffles.
       .distinct()
-    // PPJoin verify: exact |A∩B| per exactly-once candidate PAIR, from
-    // the persisted per-doc arrays — one per-pair fold (never per
-    // colliding index row, never inside a join condition). MULTISET
-    // join-count semantics (Σ_sh cnt_a·cnt_b), NOT array_intersect's set
-    // semantics: the exact arm and every Jaccard oracle count the
-    // shingle equi-join with multiplicity, and the two arms must agree
-    // bit-for-bit on docs holding a repeated shingle hash — absent at
-    // the gate scales, first produced by an sf10 shard (r15: one pair
-    // off by one under the old array_intersect form). The fold is
-    // O(|A|·|B|) per pair but runs only on verified candidates, which
-    // the prefix + length filters keep tiny relative to the corpus.
-    // The candidate side is small, so both lookups broadcast it and
-    // stream `docs`; no corpus re-scan, no shingle-key shuffle.
-    cands
-      .join(docs.select(col("doc_id").as("id_a"), col("full").as("fa")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("full").as("fb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("aggregate(fa, 0L, (acc, x) -> acc + size(filter(fb, y -> y = x)))")
-          .as("inter"),
-        (col("na") + col("nb")).as("n_sum"))
+    // PPJoin verify: exact |A∩B| per exactly-once candidate PAIR as the
+    // SLIM shingle equi-join the DuckDB oracle states — candidates join
+    // the shingle relation on id_a, then on (id_b, sh), and count(*) per
+    // pair IS the MULTISET join-count Σ_sh cnt_a·cnt_b (each of A's
+    // occurrences of value v matches B's cnt_b(v) rows; NOT
+    // array_intersect's set semantics — the exact arm and every Jaccard
+    // oracle count with multiplicity, divergent on repeated shingle
+    // hashes, absent at gate scales, first produced by an sf10 shard).
+    // Join rows carry 4 scalars, never an array: the r5–r14 form kept
+    // each doc's FULL shingle array on the candidate rows and folded
+    // O(|A|·|B|) per pair inside the join — Catalyst pushed the Jaccard
+    // filter into the sort-merge-join condition, evaluating the
+    // interpreted fold twice per pair over a deserialized array cache,
+    // and the array-carrying sorts filled the sandbox disk at sf10
+    // (r15). Here everything is codegen'd scalar work; the candidate
+    // relation broadcasts (it is the relation the prefix+length filters
+    // exist to keep small — linear in corpus size while near-dup density
+    // holds, and a density betrayal fails LOUDLY at the broadcast
+    // collect instead of silently spilling), so NOTHING
+    // corpus-sized ever shuffles. ECONOMICS (r15, measured on the
+    // vocab-isomorph scale trees): this verify costs Σ_cands |A| rows;
+    // the exact arm costs Σ_sh df². On heavy-tailed df — real text,
+    // where a handful of boilerplate shingles give Σdf² ≫ corpus —
+    // prefixes prune and this arm wins; on the FLAT-df synthetic corpus
+    // (max df 25 at every SF) candidates are dense (61/doc) and the
+    // inequality inverts: at sf10, Σ_cands|A| ≈ 1.9 B vs Σdf² = 279 M,
+    // so [[adaptiveJaccardPairs]]'s grid decision correctly keeps the
+    // EXACT arm through sf10 (est 279 M ≤ 32·Σdf = 833 M) and this arm
+    // is the gate-scale oracle of the prefix lemma, not the plan a
+    // flat-df corpus should run at scale.
+    // corpus-sized ever shuffles: A's shingles attach map-side off the
+    // scan, and B's side is pre-filtered to candidate docs by the same
+    // broadcast (the 100 TB form of this semi-join is a bloom on the
+    // candidate doc ids) before the slim (id_b, sh) equi-join.
+    val expanded = broadcast(cands)
+      .join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+    val shB = sh.withColumnRenamed("doc_id", "id_b")
+      .join(broadcast(cands.select("id_b").distinct()), "id_b")
+    expanded
+      .join(shB, Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"), col("inter"),
-        (col("n_sum") - col("inter")).as("uni"))
+        (col("na") + col("nb") - col("inter")).as("uni"))
       .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
   }
 
