@@ -1184,12 +1184,25 @@ object Dedup {
           .join(hinted(nbrMin.withColumnRenamed("id_a", "doc_id")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
-        labels = propagated
+        // localCheckpoint truncates the LINEAGE but (Spark 4) REWRITES
+        // the replaced plan's estimated stats onto the checkpointed
+        // relation (LogicalRDD.rewriteStatsAndConstraints) — and the
+        // size-only join estimate is the PRODUCT of child sizes, so the
+        // estimate's exponent compounds ACROSS ROUNDS through the
+        // checkpoint. At sf10 leaf sizes the BigInt size product
+        // overflowed inside the round-~25 checkpoint call itself
+        // (d_incremental_clusters, r15). Rebuilding the frame from the
+        // checkpointed RDD drops the carried stats: every round's labels
+        // are a fresh RDD scan with engine-default stats, so per-round
+        // plan estimates are bounded by a constant. The row-conversion
+        // cost is |labels| per round — noise next to the joins.
+        val ck = propagated
           .join(hinted(labels.select(col("doc_id").as("comp_doc"), col("comp").as("cc"))),
             col("comp") === col("comp_doc"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
           .localCheckpoint(false)
+        labels = spark.createDataFrame(ck.toJavaRDD, ck.schema)
         val s = labelSum(labels)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -1369,6 +1382,15 @@ object Dedup {
     // Day-2 pairs: batch bands ⋈ all bands (batch-batch ordered to emit
     // once; batch-corpus disjoint by the split, no order guard needed).
     val batchBands = banded.where(col("doc_id") % mod === 1)
+    // localCheckpoint (lazy): truncate the band join's lineage BEFORE it
+    // fans out into the label update, which references it from both the
+    // reduced graph and the new-vertex side. Catalyst's size-only stats
+    // visitor estimates every join as the PRODUCT of its children's
+    // sizeInBytes, so the estimate's exponent doubles per nested join
+    // level — with this subtree repeated under further joins/unions, the
+    // BigInt size product overflowed at sf10 leaf sizes during join
+    // planning (gate scales survived only by starting from a smaller
+    // exponent). Same discipline as the CC loop's per-round truncation.
     val newPairs = batchBands.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           (col("b.doc_id") % mod =!= 1 || col("a.doc_id") < col("b.doc_id")))
@@ -1376,6 +1398,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
       .where(col("hamming") <= MaxHamming)
+      .localCheckpoint(false)
     // The updated label relation persists like the other converged label
     // relations (the memoized reduced CC checkpoints `merged`, but
     // corpusSide/newSide still reference the NEW-pair band join — without
