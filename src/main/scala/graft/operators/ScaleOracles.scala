@@ -271,15 +271,22 @@ object ScaleOracles {
       Check("equality", jaccardPrefixPairsEquality, setup = jaccardPrefixPairsSetup),
     "d_incremental_neardup" ->
       Check("equality", incrementalNearDupEquality, setup = incrementalNearDupSetup),
-    // The adaptive pair plan's output is arm-invariant and at sf1 the
-    // decision (its own gated query, plain-oracle-verified at every SF)
-    // picks the prefix arm — so the complete check is frame equality
-    // against the staged-recompute-verified prefix relation from the
-    // same run. The single-statement Σdf² self-join text this replaces
-    // is exactly the plan the r8 regression showed DuckDB mis-plans at
-    // sf1.
+    // The adaptive pair plan's output is arm-invariant, so the complete
+    // check is the staged FULL recomputation of the J > 1/2 relation
+    // from fixture tables alone (same t_sh/t_sizes/t_inter staging as
+    // the d_jaccard_pairs oracle, different threshold literal). r15:
+    // this replaces the composed-equality over the prefix output — no
+    // trust edge, so the check runs on scale subsets that exclude the
+    // standalone prefix arm (the sf10 stress suite, where the decision
+    // itself picks exact), and it is strictly stronger everywhere else.
     "d_adaptive_jaccard_pairs" -> Check("equality",
-      "SELECT id_a, id_b, inter, uni FROM out_d_jaccard_prefix_pairs"),
+      s"""SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+         |FROM t_inter
+         |JOIN t_sizes sa ON sa.doc_id = id_a
+         |JOIN t_sizes sb ON sb.doc_id = id_b
+         |WHERE inter * ${Dedup.PrefixJaccDen}
+         |      > (sa.n + sb.n - inter) * ${Dedup.PrefixJaccNum}""".stripMargin,
+      setup = jaccardPairsSetup),
     "d_embedding_neardup" ->
       Check("equality", embeddingNearDupEquality, setup = embeddingNearDupSetup),
     // Triangle audit over the sf1 SIMHASH graph (5.15 M edges, 86%
