@@ -110,10 +110,95 @@ case class FloatVectorQuantize(child: Expression, scale: Long)
     copy(child = newChild)
 }
 
+/** Equi-join row count of two ASCENDING-sorted ARRAY<BIGINT> columns:
+  * Σ over shared values v of cnt_left(v) · cnt_right(v) — exactly the
+  * row count of `a JOIN b ON a.v = b.v`, i.e. MULTISET join-count
+  * semantics (NOT set-intersection, NOT Σ min(cnt) multiset-intersection:
+  * the Jaccard oracles all count the shingle equi-join with multiplicity,
+  * divergent from both on repeated hashes — first produced by an sf10
+  * shard, see Dedup.jaccardPrefixPairs).
+  *
+  * One O(|A|+|B|) merge per pair replaces the interpreted O(|A|·|B|)
+  * higher-order fold AND the Σ_cands·|A| row-expansion equi-join — the
+  * PPJoin verify runs this once per surviving candidate pair, so the
+  * verify cost is Σ_cands(|A|+|B|) codegen'd comparisons with no
+  * per-occurrence shuffle rows at all. Inputs MUST be sorted ascending
+  * (sort_array upstream); elements assumed non-null.
+  */
+case class SortedLongJoinCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sorted_join_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val va = x.getLong(i)
+      val vb = y.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        var ca = 1; while (i + ca < na && x.getLong(i + ca) == va) ca += 1
+        var cb = 1; while (j + cb < nb && y.getLong(j + cb) == va) cb += 1
+        acc += ca.toLong * cb.toLong
+        i += ca; j += cb
+      }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $na = $x.numElements();
+         |int $nb = $y.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $va = $x.getLong($i);
+         |  long $vb = $y.getLong($j);
+         |  if ($va < $vb) { $i++; }
+         |  else if ($va > $vb) { $j++; }
+         |  else {
+         |    int $ca = 1; while ($i + $ca < $na && $x.getLong($i + $ca) == $va) $ca++;
+         |    int $cb = 1; while ($j + $cb < $nb && $y.getLong($j + $cb) == $va) $cb++;
+         |    $acc += (long) $ca * (long) $cb;
+         |    $i += $ca; $j += $cb;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongJoinCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column API for [[LongVectorDot]]. */
   def longDot(a: Column, b: Column): Column =
     CatalystBridge.column(LongVectorDot(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Column API for [[SortedLongJoinCount]] (inputs sorted ascending). */
+  def sortedJoinCount(a: Column, b: Column): Column =
+    CatalystBridge.column(SortedLongJoinCount(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
   /** Column API for [[FloatVectorQuantize]] (Parity.QScale default). */

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{CacheRegistry, Tables}
 import graft.functions.Parity._
-import graft.functions.TextHashOps
+import graft.functions.{TextHashOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -463,50 +463,57 @@ object Dedup {
       // first-shared-shingle join predicate, it adds nothing to the
       // exploded index the join shuffles.
       .distinct()
-    // PPJoin verify: exact |A∩B| per exactly-once candidate PAIR as the
-    // SLIM shingle equi-join the DuckDB oracle states — candidates join
-    // the shingle relation on id_a, then on (id_b, sh), and count(*) per
-    // pair IS the MULTISET join-count Σ_sh cnt_a·cnt_b (each of A's
-    // occurrences of value v matches B's cnt_b(v) rows; NOT
+    // PPJoin verify: exact |A ⋈ B| per exactly-once candidate PAIR — the
+    // MULTISET join-count Σ_sh cnt_a·cnt_b the DuckDB oracle states (each
+    // of A's occurrences of value v matches B's cnt_b(v) rows; NOT
     // array_intersect's set semantics — the exact arm and every Jaccard
     // oracle count with multiplicity, divergent on repeated shingle
-    // hashes, absent at gate scales, first produced by an sf10 shard).
-    // Join rows carry 4 scalars, never an array: the r5–r14 form kept
-    // each doc's FULL shingle array on the candidate rows and folded
-    // O(|A|·|B|) per pair inside the join — Catalyst pushed the Jaccard
-    // filter into the sort-merge-join condition, evaluating the
-    // interpreted fold twice per pair over a deserialized array cache,
-    // and the array-carrying sorts filled the sandbox disk at sf10
-    // (r15). Here everything is codegen'd scalar work; the candidate
-    // relation broadcasts (it is the relation the prefix+length filters
-    // exist to keep small — linear in corpus size while near-dup density
-    // holds, and a density betrayal fails LOUDLY at the broadcast
-    // collect instead of silently spilling), so NOTHING
-    // corpus-sized ever shuffles. ECONOMICS (r15, measured on the
-    // vocab-isomorph scale trees): this verify costs Σ_cands |A| rows;
-    // the exact arm costs Σ_sh df². On heavy-tailed df — real text,
-    // where a handful of boilerplate shingles give Σdf² ≫ corpus —
-    // prefixes prune and this arm wins; on the FLAT-df synthetic corpus
-    // (max df 25 at every SF) candidates are dense (61/doc) and the
-    // inequality inverts: at sf10, Σ_cands|A| ≈ 1.9 B vs Σdf² = 279 M,
-    // so [[adaptiveJaccardPairs]]'s grid decision correctly keeps the
-    // EXACT arm through sf10 (est 279 M ≤ 32·Σdf = 833 M) and this arm
-    // is the gate-scale oracle of the prefix lemma, not the plan a
-    // flat-df corpus should run at scale.
-    // corpus-sized ever shuffles: A's shingles attach map-side off the
-    // scan, and B's side is pre-filtered to candidate docs by the same
-    // broadcast (the 100 TB form of this semi-join is a bloom on the
-    // candidate doc ids) before the slim (id_b, sh) equi-join.
-    val expanded = broadcast(cands)
-      .join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
-    val shB = sh.withColumnRenamed("doc_id", "id_b")
-      .join(broadcast(cands.select("id_b").distinct()), "id_b")
-    expanded
-      .join(shB, Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+    // hashes, absent at gate scales, first produced by an sf10 shard) —
+    // computed as ONE codegen'd O(|A|+|B|) sorted-merge per pair
+    // ([[graft.functions.SortedLongJoinCount]]) over the two docs'
+    // ascending shingle arrays. Three generations of this verify:
+    //   r5–r14: per-pair HOF fold O(|A|·|B|), interpreted, arrays on the
+    //     candidate rows — Catalyst pushed the Jaccard filter into an SMJ
+    //     condition over a deserialized array cache once cands outgrew
+    //     broadcast, and the array-carrying SORTS spilled the sandbox
+    //     disk at sf10.
+    //   r15: slim per-occurrence equi-join — sf10-safe (4 scalar columns,
+    //     no arrays) but pays Σ_cands·|A| SHUFFLED ROWS at every SF:
+    //     9.4× slower at the gate scale (0.94 s → 8.87 s), a red guard.
+    //   r16 (this form): arrays ride ONLY as shuffle payload through two
+    //     SHUFFLE-HASH joins (hinted — no SMJ ever sorts an array
+    //     column, killing the sf10 spill vector), and the merge kernel
+    //     does Σ_cands(|A|+|B|) codegen'd comparisons with zero
+    //     per-occurrence rows. Bytes moved equal r15's payload; row
+    //     machinery (join probes + 4-key aggregate) is ~|A|× less.
+    // At 100 TB both joins hash-partition on a doc-id key and the build
+    // side is the per-doc array relation, whose per-partition share is
+    // corpus/nPartitions — tunable, never sorted, never collected.
+    // ECONOMICS (r15, measured on the vocab-isomorph scale trees): this
+    // verify costs Σ_cands(|A|+|B|) merged elements; the exact arm costs
+    // Σ_sh df² shuffled rows. On heavy-tailed df — real text, where a
+    // handful of boilerplate shingles give Σdf² ≫ corpus — prefixes prune
+    // and this arm wins; on the FLAT-df synthetic corpus (max df 25 at
+    // every SF) candidates are dense (61/doc) and the inequality inverts:
+    // at sf10 Σ_cands|A| ≈ 1.9 B vs Σdf² = 279 M, so
+    // [[adaptiveJaccardPairs]]'s grid decision correctly keeps the EXACT
+    // arm through sf10 (est 279 M ≤ 32·Σdf = 833 M) and this arm is the
+    // gate-scale oracle of the prefix lemma, not the plan a flat-df
+    // corpus should run at scale.
+    val full = CacheRegistry.cached(spark, s"dedup.sortedShingles:$sfDir") {
+      sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("toks"))
+    }
+    cands
+      .join(full.select(col("doc_id").as("id_a"), col("toks").as("fa"))
+        .hint("shuffle_hash"), "id_a")
+      .join(full.select(col("doc_id").as("id_b"), col("toks").as("fb"))
+        .hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorOps.sortedJoinCount(col("fa"), col("fb")).as("inter"),
+        (col("na") + col("nb")).as("n_sum"))
       .select(col("id_a"), col("id_b"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("uni"))
+        (col("n_sum") - col("inter")).as("uni"))
       .where(col("inter") * PrefixJaccDen > col("uni") * PrefixJaccNum)
   }
 

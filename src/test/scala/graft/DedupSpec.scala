@@ -46,6 +46,60 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("multiset join-count semantics: colliding shingle hashes count " +
+      "with multiplicity in both jaccard arms (the sf10 shard event, " +
+      "pinned at fixture scale)") {
+    // Find two distinct tokens whose 31-bit polynomial hashes collide —
+    // reproducing, deterministically and at gate scale, the duplicate
+    // shingle hash an sf10 shard first produced (r15: one pair off by
+    // one under array_intersect set semantics). Birthday over P ≈ 2^31
+    // needs ~6·10^4 draws; the token sequence is fixed, so the found
+    // pair is stable across runs.
+    // NOT "w" + i: over an alphabet smaller than the base the base-31
+    // polynomial is carry-free, hence injective on same-length numeric
+    // suffixes — digit-indexed tokens NEVER collide. Random lowercase
+    // tokens of length 6–16 wrap the modulus chaotically and collide at
+    // birthday density (seeded → the found pair is stable across runs).
+    val rnd = new scala.util.Random(7)
+    val seen = new java.util.HashMap[Long, String]()
+    var coll: (String, String) = null
+    var i = 0
+    while (coll == null && i < 600000) {
+      val t = new String(Array.fill(6 + rnd.nextInt(11))(
+        ('a' + rnd.nextInt(26)).toChar))
+      val h = graft.functions.TextKernels.shingleHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 1,
+        distinct = false, wide = false).getLong(0)
+      val prev = seen.putIfAbsent(h, t)
+      if (prev != null && prev != t) coll = (prev, t)
+      i += 1
+    }
+    assert(coll != null, "no 31-bit collision within 600k tokens")
+    val (u, v) = coll
+    // Doc 0 holds BOTH colliding trigrams "u x y" and "v x y": distinct
+    // shingle STRINGS (per-doc distinctness keeps both) with EQUAL
+    // hashes — a genuine duplicate value inside one shingle array.
+    // Doc 1 is doc 0 plus one trailing token. Shared hash counts:
+    // h×2 in both docs (4 join rows), plus "x y v" and "y v x" once
+    // each → inter = 2·2 + 1 + 1 = 6 with na = 4, nb = 5, uni = 3.
+    // Set semantics would give inter = 3, uni = 6, and 3·2 > 6 is
+    // FALSE — the pair vanishes entirely under the array_intersect bug.
+    val dir = writeFixture(documents = Seq(
+      doc(0, s"$u x y $v x y"),
+      doc(1, s"$u x y $v x y z")))
+    val expected = Set((0L, 1L, 6L, 3L))
+    val prefix = Dedup.jaccardPrefixPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    val exact = Dedup.jaccardPairs(spark, dir).collect()
+      .filter(r => r.getAs[Long]("inter") * Dedup.PrefixJaccDen >
+        r.getAs[Long]("uni") * Dedup.PrefixJaccNum)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(prefix === expected)
+    assert(exact === expected)
+  }
+
   test("adaptive jaccard: decision parity with the driver-recomputed grid " +
       "and output invariance across both arms") {
     val dir = fixture()

@@ -147,6 +147,30 @@ class KernelParitySpec extends SparkSpec {
     assert(r.getAs[Long]("d") === 32L)
   }
 
+  test("SortedLongJoinCount == HOF equi-join fold on random multisets") {
+    // The PPJoin verify kernel: Σ_v cnt_a(v)·cnt_b(v) over two ascending
+    // arrays — must equal the interpreted O(|A|·|B|) fold (the r5–r14
+    // verify form and the readable spec) on arrays WITH duplicate values,
+    // including empty arrays and disjoint arrays.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val pairs = (0 until 80).map { _ =>
+      def arr() = Array.fill(rnd.nextInt(20))(rnd.nextLong(12L)).sorted
+      (arr(), arr())
+    } :+ ((Array.empty[Long], Array(1L, 1L, 2L))) :+
+      ((Array(5L, 5L, 5L), Array(5L, 5L))) :+
+      ((Array(1L, 3L), Array(2L, 4L)))
+    val df = pairs.toDF("fa", "fb")
+    val diff = df.select(
+        graft.functions.VectorOps.sortedJoinCount(col("fa"), col("fb"))
+          .as("kernel"),
+        expr("aggregate(fa, 0L, (acc, x) -> acc + size(filter(fb, y -> y = x)))")
+          .as("hof"))
+      .where(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("SQL registration: word_shingle_hashes 4th arg (wide) == tokenHashes kernel") {
     GraftExtensions.register(spark)
     val s = spark
