@@ -63,6 +63,11 @@ object GenScale {
     // (near-dup mass ∝ shards², the heavy-dup corpus the triangle audit
     // and the exact→prefix decision flip were measured on).
     val docMode = if (args.length > 3) args(3) else "vocab"
+    // Fail fast on unknown modes (r15 renamed the default from "marker";
+    // an old `GenScale ... marker` invocation must error, not silently
+    // generate vocab-mode fixtures under the retired name).
+    require(docMode == "vocab" || docMode == "suffix",
+      s"unknown docMode '$docMode' (expected 'vocab' or 'suffix')")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

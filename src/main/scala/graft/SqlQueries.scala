@@ -942,7 +942,8 @@ object SqlQueries {
     * a cluster-label consumer) — connected components
     * is a driver-controlled iteration and Spark SQL has no recursive
     * CTE; k-means (`s_kmeans_*`, `s_ivf_kmeans_topk`,
-    * `s_incremental_ivf_codes`/`s_incremental_pq_codes` — the day-2
+    * `s_incremental_ivf_codes`/`s_incremental_pq_codes`/
+    * `s_incremental_recall_drift` — the day-2
     * assignment arms reuse the frozen trained structures) and the PQ
     * family (`s_pq_*` — per-subspace codebook training is the same
     * driver-unrolled Lloyd chain) — iterative

@@ -686,21 +686,30 @@ object Similarity {
       pqAssign(pqSubvectors(spark, sfDir), pqCodebooks(spark, sfDir))
     }
 
-  /** Per-query (m, codeword) → exact ||q_m − c_mk||² table: PqM·PqK rows
-    * per query — the whole search-time vector arithmetic of ADC.
+  /** Per-query (m, codeword) → exact ||q_m − c_mk||² table over ANY
+    * codebook relation: PqM·PqK rows per query — the whole search-time
+    * vector arithmetic of ADC (r16: codebook-parameterized so the
+    * frozen day-2 structures can be searched with the same plan).
     */
-  private def pqDistanceTable(spark: SparkSession, sfDir: String): DataFrame =
+  private def pqDistanceTableOver(spark: SparkSession, sfDir: String,
+      cb: DataFrame): DataFrame =
     pqSubvectors(spark, sfDir).where(col("vec_id") < NumQueries)
       .toDF("query_id", "m", "qsv")
-      .join(broadcast(pqCodebooks(spark, sfDir)), "m")
+      .join(broadcast(cb), "m")
       .select(col("query_id"), col("m"), col("cid"),
         (longDot(col("qsv"), col("qsv")) - lit(2L) * longDot(col("qsv"), col("cv")) +
           longDot(col("cv"), col("cv"))).as("d"))
 
-  /** ADC-scored (query, neighbor, adist) with an ADC rank column. */
-  private def pqAdcRanked(spark: SparkSession, sfDir: String): DataFrame = {
-    val dtab = pqDistanceTable(spark, sfDir)
-    pqCodes(spark, sfDir).as("c")
+  private def pqDistanceTable(spark: SparkSession, sfDir: String): DataFrame =
+    pqDistanceTableOver(spark, sfDir, pqCodebooks(spark, sfDir))
+
+  /** ADC-scored (query, neighbor, adist) with an ADC rank column, over
+    * ANY (codebook, codes) index pair.
+    */
+  private def pqAdcRankedOver(spark: SparkSession, sfDir: String,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
+    val dtab = pqDistanceTableOver(spark, sfDir, cb)
+    codes.as("c")
       .join(broadcast(dtab).as("t"),
         col("c.m") === col("t.m") && col("c.code") === col("t.cid") &&
           col("t.query_id") =!= col("c.vec_id"))
@@ -709,6 +718,9 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))))
   }
+
+  private def pqAdcRanked(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcRankedOver(spark, sfDir, pqCodebooks(spark, sfDir), pqCodes(spark, sfDir))
 
   def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
     pqAdcRanked(spark, sfDir).where(col("rnk") <= TopK)
@@ -792,9 +804,12 @@ object Similarity {
     * exact-closer vectors, of which there are < k) — SimilaritySpec
     * asserts it on live data.
     */
-  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact integer-L2 top-k neighbors of the NumQueries query vectors —
+    * the ground truth every PQ recall metric anchors to.
+    */
+  private def exactTopKNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = quantized(spark, sfDir)
-    val exact = broadcast(corpus.where(col("vec_id") < NumQueries).as("q"))
+    broadcast(corpus.where(col("vec_id") < NumQueries).as("q"))
       .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         (col("q.norm") - lit(2L) * longDot(col("q.v"), col("c.v")) + col("c.norm"))
@@ -802,6 +817,10 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
       .where(col("rnk") <= TopK)
+  }
+
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = exactTopKNeighbors(spark, sfDir)
     exact.as("e")
       .join(pqAdcTopK(spark, sfDir).as("a"),
         col("e.query_id") === col("a.query_id") &&
@@ -830,20 +849,24 @@ object Similarity {
   /** seeds→a1→sums→c1 codebook training over a NAMED subvector CTE (r15:
     * factored so the incremental oracle can train on the stored half).
     */
-  private def pqTrainCtesOver(trainSub: String, seedBound: Long): String = {
+  private def pqTrainCtesOver(trainSub: String, seedBound: Long,
+      p: String = ""): String = {
+    // `p` prefixes every CTE name so two independently-trained codebook
+    // chains (day-1 fresh + day-2 frozen) can coexist in one oracle text
+    // without CTE-name collisions (incrementalRecallDriftSql).
     val dimSums = (0 until PqSub)
       .map(i => s"CAST(sum(s.sv[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
     val fdivArr = (0 until PqSub)
       .map(i => s"(s$i - ((s$i % n) + n) % n) // n").mkString("[", ", ", "]")
-    s"""seeds AS (
+    s"""${p}seeds AS (
        |  SELECT m, vec_id AS cid, sv AS cv FROM $trainSub
        |  WHERE vec_id < $seedBound),
-       |a1 AS (${pqAssignSql(trainSub, "seeds")}),
-       |sums AS (
+       |${p}a1 AS (${pqAssignSql(trainSub, s"${p}seeds")}),
+       |${p}sums AS (
        |  SELECT s.m, a.code AS cid, count(*) AS n, $dimSums
-       |  FROM $trainSub s JOIN a1 a ON s.vec_id = a.vec_id AND s.m = a.m
+       |  FROM $trainSub s JOIN ${p}a1 a ON s.vec_id = a.vec_id AND s.m = a.m
        |  GROUP BY s.m, a.code),
-       |c1 AS (SELECT m, cid, $fdivArr AS cv FROM (SELECT * FROM sums))""".stripMargin
+       |${p}c1 AS (SELECT m, cid, $fdivArr AS cv FROM (SELECT * FROM ${p}sums))""".stripMargin
   }
 
   /** The exploded-subvector CTE body over a named corpus CTE. */
@@ -1127,6 +1150,104 @@ object Similarity {
        |${pqTrainCtesOver("storedsub", 2 * PqK)}
        |${pqAssignSql("sub", "c1")}""".stripMargin
 
+  /** Retrain decision threshold for [[incrementalRecallDrift]]: retrain
+    * when the frozen-structure index loses more than this many
+    * percentage points of aggregate recall@k vs a fresh retrain on
+    * stored ⊕ Δ. 10 points is the classic serving-SLA knee: below it
+    * the day-2 assignment cost (|Δ|-proportional) keeps winning; above
+    * it the index has drifted out from under its quantizer and the
+    * one-off retrain pays for itself in recall.
+    */
+  val DriftTolerancePct = 10L
+
+  /** The day-2 question the incremental paths leave open: HOW GOOD is
+    * the frozen-structure index, and WHEN should an operator retrain?
+    * Per query: recall hits@k of (a) the FROZEN index — day-1 codebooks
+    * trained on the stored half, whole stored ⊕ Δ corpus encoded against
+    * them ([[incrementalPqCodes]], already gated) — and (b) a FRESH
+    * retrain over stored ⊕ Δ (the day-1 trainer on the full corpus =
+    * [[pqAdcTopK]]'s index), both against the exact integer-L2 top-k.
+    * `retrain` closes the loop into a decision: 1 iff the aggregate
+    * fresh-minus-frozen hit gap exceeds [[DriftTolerancePct]] points of
+    * the total k. Deterministic integer arithmetic end to end, so the
+    * whole row — estimates AND decision — hash-gates.
+    */
+  def incrementalRecallDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val frozen = pqAdcRankedOver(spark, sfDir,
+        incrPqCodebooks(spark, sfDir), incrementalPqCodes(spark, sfDir))
+      .where(col("rnk") <= TopK).select("query_id", "neighbor_id")
+    val per = exactTopKNeighbors(spark, sfDir).as("e")
+      .join(frozen.as("f"),
+        col("e.query_id") === col("f.query_id") &&
+          col("e.neighbor_id") === col("f.neighbor_id"), "left")
+      .join(pqAdcTopK(spark, sfDir).as("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("f.neighbor_id").isNotNull, 1L).otherwise(0L))
+          .as("hits_frozen"),
+        sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L))
+          .as("hits_fresh"))
+    // The decision reads the AGGREGATE gap (one retrain serves all
+    // queries); the window is global over a NumQueries-row relation.
+    val all = Window.partitionBy(lit(1))
+    per.withColumn("retrain",
+      when((sum("hits_fresh").over(all) - sum("hits_frozen").over(all)) *
+          lit(100L) > lit(DriftTolerancePct) * sum("k").over(all), 1L)
+        .otherwise(0L))
+  }
+
+  val incrementalRecallDriftSql: String =
+    s"""WITH $pqCtesSql,
+       |$pqAdcScoredSql,
+       |storedsub AS (SELECT * FROM sub WHERE vec_id % 2 = 0),
+       |${pqTrainCtesOver("storedsub", 2 * PqK, "f_")},
+       |fcodes AS (${pqAssignSql("sub", "f_c1")}),
+       |fdtab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid,
+       |    ${dotDuck("q.sv", "q.sv")} - 2 * ${dotDuck("q.sv", "c.cv")}
+       |      + ${dotDuck("c.cv", "c.cv")} AS d
+       |  FROM (SELECT * FROM sub WHERE vec_id < $NumQueries) q
+       |  JOIN f_c1 c ON q.m = c.m),
+       |fscored AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(t.d) AS BIGINT) AS adist
+       |  FROM fcodes c
+       |  JOIN fdtab t ON c.m = t.m AND c.code = t.cid AND t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |f_topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |    FROM fscored)
+       |  WHERE rnk <= $TopK),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.norm - 2 * ${dotDuck("q.v", "c.v")} + c.norm, c.vec_id) AS rnk
+       |    FROM (SELECT * FROM corpus WHERE vec_id < $NumQueries) q
+       |    JOIN corpus c ON q.vec_id <> c.vec_id)
+       |  WHERE rnk <= $TopK),
+       |per AS (
+       |  SELECT e.query_id, count(*) AS k,
+       |    CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_frozen,
+       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_fresh
+       |  FROM exact e
+       |  LEFT JOIN f_topk f
+       |    ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+       |  LEFT JOIN pq_topk a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT query_id, k, hits_frozen, hits_fresh,
+       |  CASE WHEN (sum(hits_fresh) OVER () - sum(hits_frozen) OVER ()) * 100 >
+       |      $DriftTolerancePct * sum(k) OVER ()
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS retrain
+       |FROM per""".stripMargin
+
   // ------------------------------------------------------------------
   private def voteOver(topk: DataFrame, labels: DataFrame): DataFrame =
     topk.join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
@@ -1189,7 +1310,8 @@ object Similarity {
     "s_kmeans_inertia" -> (kmeansInertia _),
     "s_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "s_incremental_ivf_codes" -> (incrementalIvfCodes _),
-    "s_incremental_pq_codes" -> (incrementalPqCodes _))
+    "s_incremental_pq_codes" -> (incrementalPqCodes _),
+    "s_incremental_recall_drift" -> (incrementalRecallDrift _))
 
   val oracles: Map[String, String] = Map(
     "s_knn_classify" -> knnClassifySql,
@@ -1209,5 +1331,6 @@ object Similarity {
     "s_kmeans_inertia" -> kmeansInertiaSql,
     "s_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "s_incremental_ivf_codes" -> incrementalIvfCodesSql,
-    "s_incremental_pq_codes" -> incrementalPqCodesSql)
+    "s_incremental_pq_codes" -> incrementalPqCodesSql,
+    "s_incremental_recall_drift" -> incrementalRecallDriftSql)
 }

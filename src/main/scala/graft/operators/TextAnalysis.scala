@@ -751,7 +751,12 @@ object TextAnalysis {
     val cuts = scored.groupBy("source")
       .agg(expr(s"approx_percentile(quality_score, $psLit, " +
         s"${Analytics.ApproxQuantileAccuracy})").as("cuts"),
-        count(lit(1)).as("_n"))
+        // count the NON-NULL scores: approx_percentile ignores NULLs, so
+        // this matches the sketch's observation count exactly (r15
+        // ADVICE — count(*) could fire the guard early on NULL-bearing
+        // inputs; quality_score is computed non-null today, so the two
+        // agree on the live fixtures).
+        count(col("quality_score")).as("_n"))
       .where(expr(s"assert_true(_n < ${Analytics.ApproxQuantileAccuracy}, " +
         "'qualityDecilesApprox: per-source n exceeds ApproxQuantileAccuracy" +
         " — sketch leaves exact mode, the rank-recipe gate no longer " +

@@ -853,19 +853,6 @@ class AnalyticsSpec extends SparkSpec {
     val gotQ13 = Analytics.orderCountDistribution(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
     assert(gotQ13.nonEmpty && gotQ13 === wantQ13)
-    // The left-join zero bucket: every sf0.001/sf0.01 customer has a
-    // qualifying order, so the structural point only materializes from
-    // sf0.1 up (7 zero-order customers measured there) — assert it at
-    // that scale, where the query touches only orders+customer (cheap).
-    // Guarded (r15, ADVICE): the unit suite must stay runnable with only
-    // the sf0.001 fixture present; the sf0.1 sweep covers the gate.
-    val benchDir = "/root/testdata/sf0.1"
-    if (new java.io.File(s"$benchDir/orders.parquet").exists()) {
-      val q13AtBench = Analytics.orderCountDistribution(spark, benchDir)
-        .collect().map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
-      assert(q13AtBench.exists(_._1 == 0L),
-        "the zero-order bucket must survive the left join at sf0.1")
-    }
 
     // Q16 proper (r15: real derived partsupp): supplier variety per
     // (brand, type, size) from the part↔supplier bridge
@@ -884,6 +871,22 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
         r.getAs[Long]("p_size"), r.getAs[Long]("supplier_cnt"))).toSet
     assert(gotQ16.nonEmpty && gotQ16 === wantQ16)
+  }
+
+  test("Q13 zero-order bucket survives the left join at sf0.1") {
+    // Every sf0.001/sf0.01 customer has a qualifying order, so the
+    // left-join structural point only materializes from sf0.1 up
+    // (7 zero-order customers measured there). assume(), not a silent
+    // if: a missing bench fixture reports this as CANCELED — visible
+    // dropped coverage — while the unit suite stays runnable with only
+    // the sf0.001 fixture present (r15 ADVICE).
+    val benchDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$benchDir/orders.parquet").exists(),
+      s"bench fixture $benchDir absent")
+    val q13AtBench = Analytics.orderCountDistribution(spark, benchDir)
+      .collect().map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
+    assert(q13AtBench.exists(_._1 == 0L),
+      "the zero-order bucket must survive the left join at sf0.1")
   }
 
   test("pivot revenue: wide table equals the conditional-agg recompute, flag for flag") {

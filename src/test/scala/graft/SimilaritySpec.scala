@@ -335,4 +335,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pqArm.length === odd.size * Similarity.PqM)
     assert(pqArm.toSet === pq.filter(x => odd(x._1)).toSet)
   }
+
+  test("recall drift gate: fresh column equals pqRecall's ADC hits, " +
+      "retrain flag equals the aggregate-gap recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val drift = Similarity.incrementalRecallDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), (r.getAs[Long]("k"),
+        r.getAs[Long]("hits_frozen"), r.getAs[Long]("hits_fresh"),
+        r.getAs[Long]("retrain")))).toMap
+    assert(drift.size === Similarity.NumQueries)
+    // hits_fresh is definitionally pqRecall's hits_adc (same fresh-trained
+    // index, same exact anchor) — the two gated queries must agree.
+    val adc = Similarity.pqRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits_adc")).toMap
+    assert(drift.view.mapValues(_._3).toMap === adc)
+    drift.values.foreach { case (k, hf, ha, _) =>
+      assert(hf >= 0L && hf <= k && ha >= 0L && ha <= k)
+    }
+    // The decision is one aggregate gap shared by every row.
+    val sumK = drift.values.map(_._1).sum
+    val gap = drift.values.map(_._3).sum - drift.values.map(_._2).sum
+    val want = if (gap * 100L > Similarity.DriftTolerancePct * sumK) 1L else 0L
+    assert(drift.values.map(_._4).toSet === Set(want))
+  }
 }

@@ -68,6 +68,7 @@ class SqlParitySpec extends SparkSpec {
       "p_curation_cascade",
       "s_kmeans_train", "s_kmeans_inertia", "s_ivf_kmeans_topk",
       "s_incremental_ivf_codes", "s_incremental_pq_codes",
+      "s_incremental_recall_drift",
       "s_pq_codes", "s_pq_adc_topk", "s_pq_rerank_topk", "s_pq_recall",
       "s_ivfpq_topk",
       "m_decode_media", "m_extract_features", "m_frame_sample", "m_resize_plan",
