@@ -110,12 +110,18 @@ object StreamSoak {
         extra + "}")
     }
 
-    def runSoak(name: String, out: DataFrame, mode: OutputMode): Unit =
-      measure(name, out.writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", s"$work/ckpt/$name")
-        .format("noop")
-        .start())
+    // SPARK_GRAFT_SOAK_ONLY=a,b restricts the protocol to named ops —
+    // the sf10 soak replays only the boundedness stories that matter at
+    // that decade instead of paying the full 12-op protocol twice.
+    val soakOnly = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def runSoak(name: String, out: => DataFrame, mode: OutputMode): Unit =
+      if (soakOnly.forall(_.contains(name)))
+        measure(name, out.writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", s"$work/ckpt/$name")
+          .format("noop")
+          .start())
 
     runSoak("interval_join",
       StreamingParity.intervalJoinStream(
