@@ -567,6 +567,21 @@ object SqlQueries {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, fp, pmod(fp, 100) AS bucket
         |      FROM (SELECT doc_id, poly_hash(text) AS fp FROM documents))""".stripMargin,
+    "p_epoch_shuffle" ->
+      s"""SELECT doc_id, epoch, pos, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY pos, doc_id) AS BIGINT) AS seq
+         |FROM (
+         |  SELECT doc_id, epoch,
+         |    pmod(pmod(doc_id, ${graft.functions.Parity.P}) * ${graft.operators.Curation.ShuffleC1}
+         |      + epoch * ${graft.operators.Curation.ShuffleC2}
+         |      + ${graft.operators.Curation.ShuffleC3}, ${graft.functions.Parity.P}) AS pos,
+         |    pmod(pmod(pmod(doc_id, ${graft.functions.Parity.P}) * ${graft.operators.Curation.ShuffleC1}
+         |      + epoch * ${graft.operators.Curation.ShuffleC2}
+         |      + ${graft.operators.Curation.ShuffleC3}, ${graft.functions.Parity.P}),
+         |      ${graft.operators.Curation.ShuffleShards}) AS shard
+         |  FROM documents
+         |  LATERAL VIEW explode(sequence(0L, ${graft.operators.Curation.ShuffleEpochs - 1}L)) e AS epoch)""".stripMargin,
     "p_contamination" ->
       s"""WITH sh AS (
          |  SELECT doc_id, explode(word_shingle_hashes(text, ${Dedup.ShingleW}, true)) AS sh

@@ -236,6 +236,58 @@ object Curation {
        |      FROM (SELECT doc_id, ${charPolyHashDuck("text")} AS fp FROM ($docsSql)))""".stripMargin
 
   // ------------------------------------------------------------------
+  // Deterministic EPOCH SHUFFLE — the training-data global shuffle
+  // expressed scale-first. A trainer wants every epoch to visit the
+  // corpus in a different pseudorandom order, reproducibly, without a
+  // corpus-wide sort: position = affine hash of (doc_id, epoch) mod a
+  // prime (C1 coprime to P ⇒ a bijection of doc_id per epoch — no
+  // position collisions, so the order is total), shard = pos mod
+  // ShuffleShards (the file/bucket a 100 TB writer sends the row to),
+  // seq = rank WITHIN (epoch, shard). The only exchange is the hash
+  // partition by (epoch, shard); each sort is shard-local (the window
+  // partitions by the shuffle key — Spark plans exactly one Exchange +
+  // per-partition sort, no global range sort, no driver ordering).
+  // Epochs differ by the C2 offset: same corpus, provably different
+  // permutation, zero stored state. 100 TB form: write bucketed by
+  // shard with sortWithinPartitions(pos) — this query IS that plan's
+  // logical content, gated.
+  // ------------------------------------------------------------------
+  val ShuffleEpochs = 2
+  val ShuffleShards = 8L
+  val ShuffleC1 = 48271L   // MINSTD multiplier, coprime to P
+  val ShuffleC2 = 69621L
+  val ShuffleC3 = 12345L
+
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.functions.Parity.P
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("epoch", explode(expr(s"sequence(0L, ${ShuffleEpochs - 1}L)")))
+      .withColumn("pos",
+        pmod(pmod(col("doc_id"), lit(P)) * lit(ShuffleC1) +
+          col("epoch") * lit(ShuffleC2) + lit(ShuffleC3), lit(P)))
+      .withColumn("shard", pmod(col("pos"), lit(ShuffleShards)))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("pos", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "epoch", "pos", "shard", "seq")
+  }
+
+  val epochShuffleSql: String =
+    s"""SELECT doc_id, epoch, pos, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY pos, doc_id) AS BIGINT) AS seq
+       |FROM (
+       |  SELECT doc_id, epoch,
+       |    ((doc_id % ${graft.functions.Parity.P}) * $ShuffleC1
+       |      + epoch * $ShuffleC2 + $ShuffleC3) % ${graft.functions.Parity.P} AS pos,
+       |    (((doc_id % ${graft.functions.Parity.P}) * $ShuffleC1
+       |      + epoch * $ShuffleC2 + $ShuffleC3) % ${graft.functions.Parity.P})
+       |      % $ShuffleShards AS shard
+       |  FROM ($docsSql)
+       |  CROSS JOIN (SELECT unnest(range(0, $ShuffleEpochs)) AS epoch))""".stripMargin
+
+  // ------------------------------------------------------------------
   // Cross-split NEAR-dup leakage — the failure mode the fingerprint
   // split CAN'T prevent: [[splitAssign]] routes exact duplicates to one
   // split by construction (same text ⇒ same fp ⇒ same bucket), but a
@@ -1461,6 +1513,7 @@ object Curation {
     "p_stratified_sample" -> (stratifiedSample _),
     "p_vocab_freq" -> (vocabFreq _),
     "p_split_assign" -> (splitAssign _),
+    "p_epoch_shuffle" -> (epochShuffle _),
     "p_contamination" -> (contamination _),
     "p_pack_sequences" -> (packSequences _),
     "p_chunk_docs" -> (chunkDocs _),
@@ -1491,6 +1544,7 @@ object Curation {
     "p_stratified_sample" -> stratifiedSampleSql,
     "p_vocab_freq" -> vocabFreqSql,
     "p_split_assign" -> splitAssignSql,
+    "p_epoch_shuffle" -> epochShuffleSql,
     "p_contamination" -> contaminationSql,
     "p_pack_sequences" -> packSequencesSql,
     "p_chunk_docs" -> chunkDocsSql,

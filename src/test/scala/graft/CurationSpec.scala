@@ -17,6 +17,50 @@ class CurationSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(got(3L)._2))
   }
 
+  test("epoch shuffle: bijective per epoch, shard-local dense ranks, " +
+      "epochs are different permutations, driver recompute exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Curation.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("pos"), r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length === nDocs * Curation.ShuffleEpochs)
+    // Affine-mod-prime with a coprime multiplier is a bijection: no two
+    // docs share a position within an epoch (the order is total).
+    rows.groupBy(_._2).foreach { case (_, es) =>
+      assert(es.map(_._3).distinct.length === es.length)
+    }
+    // seq is a dense 1..n rank within every (epoch, shard).
+    rows.groupBy(x => (x._2, x._4)).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // The two epochs order the same docs differently (C2 offset).
+    val byEpoch = rows.groupBy(_._2).view
+      .mapValues(_.sortBy(x => (x._4, x._5)).map(_._1).toSeq).toMap
+    assert(byEpoch(0L) !== byEpoch(1L))
+    // Exact driver recompute of the whole relation.
+    val P = graft.functions.Parity.P
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    val recomputed = (0 until Curation.ShuffleEpochs).flatMap { e =>
+      val posed = ids.map { id =>
+        val pos = ((id % P) * Curation.ShuffleC1 + e * Curation.ShuffleC2 +
+          Curation.ShuffleC3) % P
+        (id, e.toLong, pos, pos % Curation.ShuffleShards)
+      }
+      posed.groupBy(_._4).toSeq.flatMap { case (_, g) =>
+        g.sortBy(x => (x._3, x._1)).zipWithIndex
+          .map { case ((id, ep, pos, sh), i) => (id, ep, pos, sh, i + 1L) }
+      }
+    }.toSet
+    assert(rows.toSet === recomputed)
+    // Scale shape: the only exchange is the (epoch, shard) hash
+    // partition; the sort is shard-local, never a global range sort.
+    val plan = Curation.epochShuffle(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"epoch shuffle must not globally sort:\n$plan")
+  }
+
   test("BPE merges: frequency-ranked rules, canonical greedy apply, shrinking corpus") {
     // vocab: aaaa wf=3 (the adjacency case a naive replace gets wrong),
     // ab wf=1, xy wf=1.
