@@ -668,17 +668,19 @@ object Analytics {
        |$branches""".stripMargin
   }
 
-  /** Single-pass approx twin of [[profileLineitem]] — the executed form of
-    * that scaladoc's "swap in approx_count_distinct" note. The production
-    * plan: ONE scan of the five profiled columns, ONE driver-bound 1-row
-    * reduce; each column contributes null-count / HLL++ register set /
-    * min / max to the same partial aggregate, so NOTHING per-row ever
-    * shuffles — vs the exact profile's five per-branch shuffles of every
-    * distinct value. That is the shape that survives a 100 TB drop with
-    * 10⁹-distinct key columns, where shipping the distinct values
-    * themselves (exact plan) costs more than the scan. The wide 1-row
-    * result is re-shaped to the per-column long form with `stack` (all
-    * five profiled columns are LONG, so the stack branches type-align).
+  /** Approx twin of [[profileLineitem]] — the executed form of that
+    * scaladoc's "swap in approx_count_distinct" note. The production
+    * plan: TWO map-side 1-row reduces over the same five-column
+    * projection (codegen'd null/min/max/count + HLL-only; see the r16
+    * note at the split site for why fusing them demotes everything to
+    * the interpreted aggregate path), cross-joined — still NOTHING
+    * per-row ever shuffles, vs the exact profile's five per-branch
+    * shuffles of every distinct value. That is the shape that survives
+    * a 100 TB drop with 10⁹-distinct key columns, where shipping the
+    * distinct values themselves (exact plan) costs more than the scan.
+    * The wide 1-row result is re-shaped to the per-column long form
+    * with `stack` (all five profiled columns are LONG, so the stack
+    * branches type-align).
     *
     * Gate (the [[dailyActiveApprox]] discipline — HLL++ has no exact
     * regime, so hash-gating the estimate would gate noise): the row joins
