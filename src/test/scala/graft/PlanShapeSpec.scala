@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin v3 verify: the array-attach joins are shuffle-hash (never " +
+      "a sort over array-carrying rows) and score through the merge kernel") {
+    // The r16 fix pinned: the per-doc sorted shingle arrays ride ONLY
+    // through ShuffledHashJoin (no SMJ sort ever touches an
+    // array-payload row — the r5–r14 sf10 disk-spill vector), and the
+    // multiset join-count comes from the codegen'd sorted-merge kernel,
+    // not a row expansion. Dropping either hint or the kernel turns
+    // this red before a bench run has to.
+    val plan = SparkEntry.queries("d_jaccard_prefix_pairs")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("sorted_join_count"),
+      s"verify must score through the merge kernel:\n$plan")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      s"both array-attach joins must be shuffle-hash:\n$plan")
+  }
+
   /** r15: POSITIVE pins on the warehouse face — the no-cartesian sweep
     * catches catastrophic shapes, but a stats change could still flip a
     * dimension chain from broadcast to shuffle without planning a
