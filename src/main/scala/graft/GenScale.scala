@@ -61,13 +61,16 @@ object GenScale {
     // "suffix": the legacy r7–r14 transform that leaves cross-shard
     // copies near-duplicates — kept as the ADVERSARIAL generator
     // (near-dup mass ∝ shards², the heavy-dup corpus the triangle audit
-    // and the exact→prefix decision flip were measured on).
+    // and the exact→prefix decision flip were measured on). docMode
+    // "longtok" (r17): long tokens + heavy-df boilerplate head — the
+    // adversarial corpus for the gram-string-vs-fp shuffle measurement
+    // (see the documents transform below).
     val docMode = if (args.length > 3) args(3) else "vocab"
     // Fail fast on unknown modes (r15 renamed the default from "marker";
     // an old `GenScale ... marker` invocation must error, not silently
     // generate vocab-mode fixtures under the retired name).
-    require(docMode == "vocab" || docMode == "suffix",
-      s"unknown docMode '$docMode' (expected 'vocab' or 'suffix')")
+    require(docMode == "vocab" || docMode == "suffix" || docMode == "longtok",
+      s"unknown docMode '$docMode' (expected 'vocab', 'suffix' or 'longtok')")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -139,13 +142,38 @@ object GenScale {
     }, "events")
     write(shards(r.parquet(s"$src/documents.parquet")) { (d, o) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + o)
-      if (o == 0L) shifted
+      val k = o / Stride
+      // docMode "longtok" (r17): the ADVERSARIAL corpus for the gram-
+      // string-vs-8-byte-fp shuffle question (t_top_ngrams_hashed's
+      // claimed home regime — long tokens, heavy-tailed gram df). Two
+      // moves on top of the vocab isomorphism, applied to EVERY shard
+      // (shard 0 included — the whole tree is in-regime):
+      //   1. every body word gets the shard tag AND a constant 32-char
+      //      low-entropy payload (w → wzk + 'q'*32): still a BIJECTIVE
+      //      per-shard renaming — per-shard token/shingle-df
+      //      distributions equal the source's exactly, shard vocabularies
+      //      stay disjoint, token COUNTS unchanged — but every token is
+      //      now ~40 chars, so a word-3-gram STRING is ~120 bytes where
+      //      the fixture's was ~25 and its 62-bit fp stays 8;
+      //   2. a constant 8-word boilerplate head (same padded shape, NO
+      //      shard tag) prepends every document: its 6 trigrams carry
+      //      df = |corpus| — the heavy head a boilerplate-ridden web
+      //      crawl shows — while the body tail stays rare. The head is
+      //      absorbed map-side by partial aggregation in BOTH plans (6
+      //      distinct grams); the contested shuffle mass is the rare
+      //      long tail, which is exactly where the two plans differ.
+      if (o == 0L && docMode != "longtok") shifted
       else {
-        val k = o / Stride
-        val text =
-          if (docMode == "suffix") concat(col("text"), lit(s" shard$k"))
-          else array_join(expr(
+        val text = docMode match {
+          case "suffix" => concat(col("text"), lit(s" shard$k"))
+          case "vocab" => array_join(expr(
             s"transform(split(text, ' '), w -> concat(w, 'z$k'))"), " ")
+          case _ =>
+            val pad = "q" * 32
+            val head = (1 to 8).map(i => s"boiler$i$pad").mkString("", " ", " ")
+            concat(lit(head), array_join(expr(
+              s"transform(split(text, ' '), w -> concat(w, 'z$k', '$pad'))"), " "))
+        }
         shifted
           .withColumn("text", text)
           .withColumn("n_chars", length(col("text")).cast("long"))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Regime measurement arm (r17 — the r16 verdict's "measure
+  * `t_top_ngrams_hashed` where it claims to win"): times the
+  * string-vs-8-byte-fingerprint shuffle arms of the top-ngrams family,
+  * plus the documented token-hash-swap levers of vocabDrift (the
+  * token-keyed drift aggregate) and repetitionStats (the per-doc sorted
+  * gram fold), on whatever fixture argv(0) points at — intended: the
+  * GenScale `longtok` tree, whose ~40-char tokens make a word-3-gram
+  * string ~120 bytes while its fingerprint stays 8.
+  *
+  * Protocol (the graft.Bench discipline): one untimed warm pass per arm
+  * (scan + page cache + registry relations), then SPARK_GRAFT_BENCH_RUNS
+  * (default 3) timed passes, record the min; one JSON line out. The
+  * string/hashed arm pairs produce EQUIVALENT information (top-ngrams:
+  * bit-identical relations, gated; drift/repetition: the hashed arm
+  * keys on the 62-bit fingerprint instead of the display string — the
+  * wall-clock question is the shuffle/sort payload width, not output
+  * identity).
+  */
+object RegimeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "testdata-sf1longtok"
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+    import graft.operators.TextAnalysis
+
+    val toks = graft.functions.Parity.tokensSpark("text")
+    def docs = Tables.documents(spark, sfDir)
+
+    // vocabDrift's heavy stage, both key widths: the conditional
+    // two-phase count aggregate keyed by the token STRING (shipped form,
+    // TextAnalysis.vocabDrift) vs by its 62-bit poly_hash (the scaladoc's
+    // "at 100 TB the shuffled token string swaps for its 8-byte hash").
+    // Measured on the raw aggregate, not the gated query, so the
+    // registry cache cannot hide the shuffle under warm runs.
+    def driftCnts(key: org.apache.spark.sql.Column): DataFrame =
+      docs.select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(expr(toks)).as("token"))
+        .groupBy(key.as("k"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+
+    // repetitionStats' per-doc bigram argmax, both element widths: the
+    // shipped form sorts + run-length-folds the gram STRING array; the
+    // hashed arm sorts + folds the 62-bit shingle-hash array from the
+    // one-pass kernel (word_shingle_hashes distinct=false keeps every
+    // occurrence). Same O(n log n) per doc — the lever is the compare/
+    // move width inside the sort and fold.
+    val hashFold =
+      "aggregate(array_sort(word_shingle_hashes(text, 2, false)), " +
+        "named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT), " +
+        "'best', CAST(0 AS BIGINT), 'bh', CAST(-1 AS BIGINT)), " +
+        "(a, h) -> named_struct(" +
+        "'prev', h, " +
+        "'run', IF(h = a.prev, a.run + 1, CAST(1 AS BIGINT)), " +
+        "'best', IF(IF(h = a.prev, a.run + 1, CAST(1 AS BIGINT)) >= a.best, " +
+        "IF(h = a.prev, a.run + 1, CAST(1 AS BIGINT)), a.best), " +
+        "'bh', IF(IF(h = a.prev, a.run + 1, CAST(1 AS BIGINT)) >= a.best, h, a.bh)), " +
+        "a -> named_struct('cnt', a.best, 'h', a.bh))"
+    def repetitionHashed: DataFrame =
+      docs.select(col("doc_id"),
+        expr(s"size($toks)").cast("long").as("n_tokens"),
+        expr(s"size(array_distinct($toks))").cast("long").as("n_distinct"),
+        expr(hashFold).as("top"))
+        .select(col("doc_id"),
+          ((col("n_tokens") - col("n_distinct")) * lit(1000000L) / col("n_tokens"))
+            .cast("long").as("dup_token_frac_e6"),
+          col("top.h").as("top_bigram_fp"), col("top.cnt").as("top_bigram_cnt"))
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "top_ngrams_string" -> (() => TextAnalysis.topNgrams(spark, sfDir)),
+      "top_ngrams_hashed" -> (() => TextAnalysis.topNgramsHashed(spark, sfDir)),
+      "drift_cnts_string" -> (() => driftCnts(col("token"))),
+      "drift_cnts_hashed" -> (() => driftCnts(expr("poly_hash(token)"))),
+      "repetition_string" -> (() => TextAnalysis.repetitionStats(spark, sfDir)),
+      "repetition_hashed" -> (() => repetitionHashed))
+
+    val results = arms.map { case (name, fn) =>
+      fn().queryExecution.toRdd.count() // untimed warm
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn().queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.round(times.min * 1000) / 1000.0
+    }
+    val qjson = results.map { case (n, t) => s""""$n":$t""" }.mkString(",")
+    println(s"""{"metric":"regime_bench","sf":"$sfDir","runs":$runs,"arms":{$qjson}}""")
+    spark.stop()
+  }
+}

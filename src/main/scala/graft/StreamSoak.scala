@@ -77,10 +77,16 @@ object StreamSoak {
       .select(col("doc_id").as("event_time"), col("doc_id"), col("text"))
     val corpus = docsAll.where(col("doc_id") % 2 === 0).select("doc_id", "text")
 
+    // Pack feed: ALL docs in doc_id replay order (event_time = doc_id —
+    // packStream's nondecreasing-per-shard contract rides the file
+    // source's mtime order).
+    val packDf = docsAll.select(col("doc_id").as("event_time"),
+      col("doc_id"), col("source"), col("text"))
+
     val userDir = s"$work/in/user"; val idDir = s"$work/in/id"
-    val docDir = s"$work/in/doc"
+    val docDir = s"$work/in/doc"; val packDir = s"$work/in/pack"
     writeShards(userDf, userDir); writeShards(idDf, idDir)
-    writeShards(docStreamDf, docDir)
+    writeShards(docStreamDf, docDir); writeShards(packDf, packDir)
 
     def streamDf(dir: String, like: DataFrame): DataFrame =
       spark.readStream.schema(like.schema)
@@ -115,13 +121,19 @@ object StreamSoak {
     // that decade instead of paying the full 12-op protocol twice.
     val soakOnly = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def runSoak(name: String, out: => DataFrame, mode: OutputMode): Unit =
+    // Every op name the protocol registers, whether or not it runs — a
+    // SOAK_ONLY typo (or a renamed op) must fail fast, not produce an
+    // empty-but-green soak record (r16 advisory).
+    val registered = scala.collection.mutable.Set[String]()
+    def runSoak(name: String, out: => DataFrame, mode: OutputMode): Unit = {
+      registered += name
       if (soakOnly.forall(_.contains(name)))
         measure(name, out.writeStream
           .outputMode(mode)
           .option("checkpointLocation", s"$work/ckpt/$name")
           .format("noop")
           .start())
+    }
 
     runSoak("interval_join",
       StreamingParity.intervalJoinStream(
@@ -143,6 +155,14 @@ object StreamSoak {
     runSoak("chunk_stream",
       StreamingParity.chunkStream(streamDf(docDir, docStreamDf).as[StreamDoc]),
       OutputMode.Append())
+    // Sequence packer: state = TWO longs per (source, shard) — the
+    // smallest plateau in the protocol (⌈|docs|/ShardSize⌉·|sources per
+    // shard range| entries however many docs replay); the state-rows
+    // column is the packer's bounded-memory claim, measured.
+    runSoak("pack_stream",
+      StreamingParity.packStream(
+        streamDf(packDir, packDf).as[StreamingParity.PackDoc]).toDF(),
+      OutputMode.Update())
     // Count-Min stream: state = the counter grid, ≤ depth·width rows
     // however many documents replay — the state-rows column IS the
     // sketch's bounded-memory claim, measured.
@@ -227,6 +247,7 @@ object StreamSoak {
     writeShards(pwDf, pwDir)
     val adaptiveState = new graft.streaming.AdaptiveAgg.ControlState
     var adaptiveOutRows = 0L
+    registered += "adaptive_agg" // runs unconditionally below, still a legal SOAK_ONLY name
     measure("adaptive_agg",
       graft.streaming.AdaptiveAgg.adaptiveWindowedCount(
           streamDf(pwDir, pwDf).as[StreamingParity.PwEvent],
@@ -243,6 +264,14 @@ object StreamSoak {
         s""","out_rows":$adaptiveOutRows"""
       })
 
+    // Fail fast on unmatched SOAK_ONLY names — after the whole protocol
+    // has registered, so the error can list the legal set.
+    soakOnly.foreach { only =>
+      val unknown = only -- registered
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SOAK_ONLY names ${unknown.mkString(", ")} match no " +
+          s"registered soak op (known: ${registered.toSeq.sorted.mkString(", ")})")
+    }
     spark.stop()
   }
 }

@@ -196,8 +196,12 @@ object VectorOps {
     CatalystBridge.column(LongVectorDot(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
-  /** Column API for [[SortedLongJoinCount]] (inputs sorted ascending). */
-  def sortedJoinCount(a: Column, b: Column): Column =
+  /** Column API for [[SortedLongJoinCount]]. UNCHECKED precondition in
+    * the name (r16 advisory): both arrays MUST already be sorted
+    * ascending (`sort_array` upstream) — an unsorted input silently
+    * returns a wrong count, the kernel never validates.
+    */
+  def sortedJoinCountUnchecked(a: Column, b: Column): Column =
     CatalystBridge.column(SortedLongJoinCount(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 

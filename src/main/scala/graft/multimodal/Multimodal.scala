@@ -798,9 +798,18 @@ object Multimodal {
   /** Gated query: real features exploded to one row per (file, feature
     * index) so the gate hash-compares every scalar.
     */
+  /** Decoded feature vectors, registry-persisted: ONE decode pass per
+    * session feeds both the exploded gate (m_extract_features) and the
+    * feature-ANN consumer (s_feature_topk). ~100 B/row — the same
+    * corpus-sized-but-narrow persist policy as similarity.quantized.
+    */
+  private[graft] def cachedFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"multimodal.features:$sfDir") {
+      extractFeatures(mediaFromDocuments(spark, sfDir)).toDF()
+    }
+
   def extractFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(mediaFromDocuments(spark, sfDir))
-      .toDF()
+    cachedFeatures(spark, sfDir)
       .select(col("media_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
       .withColumn("feat_idx", col("feat_idx").cast("long"))
       .select("media_id", "feat_idx", "feat")
@@ -813,7 +822,7 @@ object Multimodal {
     * order-invariant, so the BMP bottom-up/BGR and GIF frame-order
     * re-layouts don't matter.
     */
-  val extractFeaturesSql: String = {
+  val featureVecSql: String = {
     val branches = Seq(
       // planted PPM
       s"""SELECT doc_id AS media_id, list_transform(
@@ -860,20 +869,24 @@ object Multimodal {
     val bins = (0 until FeatureBins)
       .map(bn => s"CAST(len(list_filter(sl, s -> s // 32 = $bn)) AS BIGINT)")
       .mkString(",\n    ")
-    s"""WITH samp AS (
-       |  ${branches.mkString("\n  UNION ALL\n  ")}),
-       |f AS (
-       |  SELECT media_id, [
+    s"""SELECT media_id, [
        |    $bins,
        |    CAST(len(sl) AS BIGINT),
        |    CAST(list_sum(sl) AS BIGINT) // CAST(len(sl) AS BIGINT),
        |    CAST(list_min(sl) AS BIGINT),
        |    CAST(list_max(sl) AS BIGINT)] AS fv
-       |  FROM samp)
+       |  FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
+  /** The exploded gate form over [[featureVecSql]] (the vector-form CTE
+    * is shared with the feature-ANN oracle below).
+    */
+  val extractFeaturesSql: String =
+    s"""WITH f AS ($featureVecSql)
        |SELECT media_id, CAST(i AS BIGINT) AS feat_idx,
        |  CAST(fv[CAST(i + 1 AS INTEGER)] AS REAL) AS feat
        |FROM f, range($FeatureDim) t(i)""".stripMargin
-  }
 
   /** Gated query: frame-sampling fan-out (video rows, every 8th frame). */
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -947,17 +960,138 @@ object Multimodal {
        |    i -> abs((doc_id * 19 + i * 37) % 256 - 128))) AS BIGINT) AS peak
        |FROM documents WHERE doc_id % $PlantedEvery = 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Feature-space ANN over the media tier (r17 — closes the r16
+  // verdict's "produced-but-never-consumed" note on m_extract_features):
+  // top-k nearest media per query by CENTERED cosine over the 12-dim
+  // decode features, riding the EXISTING sign-LSH machinery — the
+  // s_text_lsh_topk trick. The 12-dim integer vectors zero-pad into the
+  // 64-dim plane space, so Similarity.lshBucketCol / Parity.lshBucket-
+  // DuckDynamic index them with ZERO new index code, under the same
+  // planesForCount density policy.
+  //
+  // Why CENTERED (v·n−μ̂ direction, not raw): every media feature vector
+  // is a byte/sample histogram plus moments — raw directions cluster
+  // around the corpus profile (text payloads all look alike), which
+  // would collapse sign-LSH into one mega-bucket (the degenerate
+  // scan-everything grid). Subtracting the per-dimension floor mean
+  // μ̂_i = ⌊Σf_i/n⌋ (exact integers — one 1-row stats aggregate, the C1
+  // driver-side-decision pattern over a stats-sized relation) spreads
+  // residual directions across the grid; ranking uses the same centered
+  // vectors (Pearson-style), so bucket and rank agree. Multiprobe
+  // (Hamming ≤ 1 — exactly-once per candidate, the embeddingNearDupLsh
+  // argument) keeps recall where a near-identical pair straddles one
+  // plane. At 100 TB: decode features are |corpus|-sized 100 B rows,
+  // the stats row is 1 row, probes are |queries|·(p+1) — the only big
+  // join is bucket-equi, never all-pairs.
+  // ------------------------------------------------------------------
+
+  /** Top-k by centered cosine over an arbitrary (media_id, features)
+    * relation — factored so the spec can plant a near-identical image
+    * pair through the REAL decode path. Exact-integer arithmetic up to
+    * one final IEEE cosine per candidate (the Parity discipline).
+    */
+  def featureTopKOf(features: DataFrame, numQueries: Long, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity
+    import graft.functions.VectorOps.longDot
+    val fv = features.select(col("media_id"),
+      expr("transform(features, x -> CAST(x AS BIGINT))").as("f"))
+    val srow = fv.agg(count(lit(1)).as("n"),
+      array((0 until FeatureDim).map(i => sum(element_at(col("f"), i + 1))): _*)
+        .as("s")).head()
+    val n = srow.getLong(0)
+    val mu = srow.getSeq[Long](1).map(_ / n)
+    val nPlanes = Parity.planesForCount(n)
+    val muLit = array(mu.map(lit): _*)
+    val cent = fv.select(col("media_id"),
+        zip_with(col("f"), muLit, (x, m) => x - m).as("c"))
+      .withColumn("norm", longDot(col("c"), col("c")))
+      .withColumn("bucket", graft.operators.Similarity.lshBucketCol(
+        concat(col("c"), array_repeat(lit(0L), Parity.EmbeddingDim - FeatureDim)),
+        nPlanes))
+      .where(col("norm") > 0)
+    val probeOffsets = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
+    val queries = cent.where(col("media_id") < numQueries)
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    broadcast(queries.as("q")).join(cent.as("c"),
+        col("q.pbucket") === col("c.bucket") &&
+          col("q.media_id") =!= col("c.media_id"))
+      .select(col("q.media_id").as("query_id"), col("c.media_id").as("neighbor_id"),
+        longDot(col("q.c"), col("c.c")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(graft.functions.Parity.cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  def featureTopKQuery(spark: SparkSession, sfDir: String): DataFrame =
+    featureTopKOf(cachedFeatures(spark, sfDir),
+      graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+
+  /** Oracle: the same centering/bucket/probe/rank pipeline over
+    * [[featureVecSql]] — per-dim floor means via a range() cross join,
+    * the plane-count policy through planesForCountDuck, the grid through
+    * lshBucketDuckDynamic (every potential bit gated on j < np), probes
+    * as the first np+1 offsets — so both engines resolve the identical
+    * grid at any corpus size (the embeddingNearDupLshSql pattern).
+    */
+  val featureTopKSql: String = {
+    import graft.functions.Parity._
+    val allOffsets = (Seq(0) ++ (0 until MaxPlanes).map(j => 1 << j))
+      .mkString("[", ", ", "]")
+    val zeros = Seq.fill(EmbeddingDim - FeatureDim)("0").mkString("[", ", ", "]")
+    s"""WITH fvec AS ($featureVecSql),
+       |sums AS (
+       |  SELECT i, CAST(sum(fv[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM fvec, range($FeatureDim) t(i) GROUP BY i),
+       |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM sums),
+       |np AS (SELECT ${planesForCountDuck("count(*)")} AS np FROM fvec),
+       |cent AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, $FeatureDim),
+       |      i -> fv[CAST(i + 1 AS INTEGER)] - mu[CAST(i + 1 AS INTEGER)]) AS c
+       |  FROM fvec, mu),
+       |b AS (
+       |  SELECT media_id, c, ${dotDuck("c", "c")} AS norm,
+       |    ${lshBucketDuckDynamic(s"list_concat(c, $zeros)", "(SELECT np FROM np)")} AS bucket
+       |  FROM cent),
+       |bb AS (SELECT * FROM b WHERE norm > 0),
+       |probes AS (
+       |  SELECT media_id, c, norm,
+       |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket
+       |  FROM (SELECT *, unnest(list_slice($allOffsets, 1, (SELECT np FROM np) + 1)) AS probe
+       |        FROM bb WHERE media_id < ${graft.operators.Similarity.NumQueries})),
+       |scored AS (
+       |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+       |    ${dotDuck("q.c", "c.c")} AS dot,
+       |    ${cosineDuck(dotDuck("q.c", "c.c"), "q.norm", "c.norm")} AS cos
+       |  FROM probes q JOIN bb c
+       |    ON q.pbucket = c.bucket AND q.media_id <> c.media_id)
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${graft.operators.Similarity.TopK}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_media" -> (decodeQuery _),
     "m_frame_sample" -> (frameSampleQuery _),
     "m_resize_plan" -> (resizeQuery _),
     "m_extract_features" -> (extractFeaturesQuery _),
-    "m_audio_features" -> (audioFeaturesQuery _))
+    "m_audio_features" -> (audioFeaturesQuery _),
+    "s_feature_topk" -> (featureTopKQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_decode_media" -> decodeQuerySql,
     "m_frame_sample" -> frameSampleQuerySql,
     "m_resize_plan" -> resizeQuerySql,
     "m_extract_features" -> extractFeaturesSql,
-    "m_audio_features" -> audioFeaturesSql)
+    "m_audio_features" -> audioFeaturesSql,
+    "s_feature_topk" -> featureTopKSql)
 }

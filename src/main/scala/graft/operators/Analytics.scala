@@ -691,6 +691,13 @@ object Analytics {
     * on fixed data, so the flag is stable). The oracle demands approx_ok=1
     * for every column; n_rows/n_null/n_distinct/min/max stay exact-hashed.
     */
+  /** The approx-profile gate's ONE tolerance constant (r16 advisory —
+    * the band and the sketch precision must move together or the gate
+    * silently becomes noise-gating / a guaranteed pass): 3σ in percent.
+    * rsd = ProfileRsdPctX3/300 (= 0.05); approx_ok band = ±(ProfileRsdPctX3/100)·exact.
+    */
+  private val ProfileRsdPctX3 = 15L
+
   def profileLineitemApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -710,13 +717,14 @@ object Analytics {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
         min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
     }
-    // rsd 0.05 (p = 9, 512 registers ≈ 52 buffer words/column), not 0.01
-    // (p = 14, 16384 registers ≈ 1.6 k words/column): the imperative-agg
-    // buffer row is written per input row, so register width IS the
-    // per-row cost — r15's rsd 0.01 made this the second-slowest query
-    // in the suite for precision the ±3σ gate never needed.
+    // rsd = ProfileRsdPctX3/300 = 0.05 (p = 9, 512 registers ≈ 52 buffer
+    // words/column), not 0.01 (p = 14, 16384 registers ≈ 1.6 k
+    // words/column): the imperative-agg buffer row is written per input
+    // row, so register width IS the per-row cost — r15's rsd 0.01 made
+    // this the second-slowest query in the suite for precision the ±3σ
+    // gate never needed.
     val hllAggs = ProfileCols.map { c =>
-      approx_count_distinct(col(c), 0.05).as(s"${c}__ad")
+      approx_count_distinct(col(c), ProfileRsdPctX3 / 300.0).as(s"${c}__ad")
     }
     val wide = li.agg(count(lit(1)).as("__rows"), scalarAggs: _*)
       .crossJoin(li.agg(hllAggs.head, hllAggs.tail: _*))
@@ -737,7 +745,7 @@ object Analytics {
       .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
         col("min_v"), col("max_v"),
         when(abs(col("n_distinct_approx") - col("n_distinct")) * lit(100L) <=
-            greatest(lit(100L), lit(15L) * col("n_distinct")), 1L)
+            greatest(lit(100L), lit(ProfileRsdPctX3) * col("n_distinct")), 1L)
           .otherwise(0L).as("approx_ok"))
   }
 

@@ -240,8 +240,13 @@ object Curation {
   // expressed scale-first. A trainer wants every epoch to visit the
   // corpus in a different pseudorandom order, reproducibly, without a
   // corpus-wide sort: position = affine hash of (doc_id, epoch) mod a
-  // prime (C1 coprime to P ⇒ a bijection of doc_id per epoch — no
-  // position collisions, so the order is total), shard = pos mod
+  // prime (for doc_id < P, C1 coprime to P ⇒ a bijection of doc_id per
+  // epoch — no position collisions, so pos alone is a total order; a
+  // corpus with doc_id ≥ P = 2^31−1 wraps mod P and two docs CAN share
+  // a pos, where determinism — though not collision-freedom — survives
+  // via the (pos, doc_id) tiebreak in seq; a 100 TB deployment wanting
+  // the collision-free guarantee swaps P for a 63-bit prime, same
+  // algebra), shard = pos mod
   // ShuffleShards (the file/bucket a 100 TB writer sends the row to),
   // seq = rank WITHIN (epoch, shard). The only exchange is the hash
   // partition by (epoch, shard); each sort is shard-local (the window

@@ -83,7 +83,15 @@ object Dedup {
     * costs more than its recompute — a narrow codegen'd scan+hash — and
     * breaks codegen fusion into the consumers). What IS persisted are the
     * small expensive AGGREGATES derived from it (minhash signatures,
-    * simhash fingerprints, the per-doc prefix arrays).
+    * simhash fingerprints, the per-doc prefix arrays) — with ONE
+    * deliberate corpus-sized exception, `dedup.sortedShingles` (the
+    * per-doc sorted shingle arrays the PPJoin verify joins twice per
+    * call): its recompute is a full shuffle+sort aggregate, not a narrow
+    * scan, and both attach joins of every jaccardPrefixPairs call read
+    * it, so MEMORY_AND_DISK (evictable, never OOM) beats 2× recompute at
+    * every measured scale (sf10: 24 s, no spill). A pipeline embedder
+    * that is done with the prefix family should release it via
+    * `CacheRegistry.release(spark, "dedup.sortedShingles:<sfDir>")`.
     */
   private[operators] def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -510,7 +518,7 @@ object Dedup {
       .join(full.select(col("doc_id").as("id_b"), col("toks").as("fb"))
         .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
-        VectorOps.sortedJoinCount(col("fa"), col("fb")).as("inter"),
+        VectorOps.sortedJoinCountUnchecked(col("fa"), col("fb")).as("inter"),
         (col("na") + col("nb")).as("n_sum"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("n_sum") - col("inter")).as("uni"))

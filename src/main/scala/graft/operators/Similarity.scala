@@ -38,7 +38,7 @@ object Similarity {
     * vectors (same arithmetic as Parity.lshBucketSpark/Duck, no
     * interpreted lambdas in the per-row path).
     */
-  private[operators] def lshBucketCol(
+  private[graft] def lshBucketCol(
       v: org.apache.spark.sql.Column,
       nPlanes: Int = NumPlanes): org.apache.spark.sql.Column =
     (0 until nPlanes).map { j =>

@@ -1263,6 +1263,86 @@ object StreamingParity {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** A document entering the packer: event_time = doc_id (the file
+    * source's replay order IS the pack order). */
+  case class PackDoc(event_time: Long, doc_id: Long, source: String, text: String)
+  /** One packed doc — identical shape to Curation.packSequences rows. */
+  case class PackedDoc(doc_id: Long, source: String, shard: Long,
+      n_tokens: Long, tok_start: Long, seq_id: Long, seq_off: Long)
+  private[streaming] case class PackRow(
+      doc_id: Long, source: String, shard: Long, n_tokens: Long)
+  /** Per-(source, shard) packer state: the running token total and the
+    * highest doc_id consumed (the ordering-contract witness). */
+  case class PackState(last_doc: Long, total: Long)
+
+  /** Streaming sequence packing — the continuous twin of
+    * [[graft.operators.Curation.packSequences]] (r16 verdict #4: the one
+    * major curation operator without a continuous form). The batch
+    * form's per-(source, shard) running token sum is EXACTLY one
+    * ValueState scalar pair per shard: each arriving doc reads the
+    * shard's running total as its tok_start, derives (seq_id, seq_off)
+    * by the same CtxLen arithmetic, and advances the total — no window,
+    * no sort, no buffered rows. Ordering contract (the upsertStream /
+    * scd2Stream discipline): docs arrive in nondecreasing doc_id order
+    * per (source, shard) across micro-batches — the file-source replay
+    * order when event_time = doc_id — and an intra-batch burst is
+    * sorted by doc_id inside one invocation; a violation raises (the
+    * state carries last_doc as the witness) instead of silently packing
+    * a different permutation than the batch form. State = TWO longs per
+    * (source, shard) — |corpus|/ShardSize·|sources| entries, the
+    * smallest plateau in the soak protocol; at 100 TB the shard count
+    * is the file count of the bucketed write, never row-proportional.
+    */
+  class PackStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), PackRow, PackedDoc] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var st: streaming.ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PackState](
+        "packState", Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[PackRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[PackedDoc] = {
+      val held = Option(st.get()).getOrElse(PackState(Long.MinValue, 0L))
+      var last = held.last_doc
+      var total = held.total
+      val out = rows.toArray.sortBy(_.doc_id).iterator.map { r =>
+        require(r.doc_id > last,
+          s"packStream: doc ${r.doc_id} arrived after ${last} in shard $key — " +
+            "the nondecreasing-doc_id replay contract is violated")
+        last = r.doc_id
+        val start = total
+        total += r.n_tokens
+        PackedDoc(r.doc_id, r.source, r.shard, r.n_tokens, start,
+          start / graft.operators.Curation.CtxLen,
+          start % graft.operators.Curation.CtxLen)
+      }.toArray
+      st.update(PackState(last, total))
+      out.iterator
+    }
+  }
+
+  def packStream(docs: Dataset[PackDoc]): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") / lit(graft.operators.Curation.ShardSize)).cast("long")
+          .as("shard"),
+        expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
+          .as("n_tokens"))
+      .as[PackRow]
+      .groupByKey(r => (r.source, r.shard))
+      .transformWithState(new PackStatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming NEAR-dup guard: drop an arriving doc whose 60-bit SimHash
     * equals one already seen inside the watermark. The per-row SimHash64
     * kernel makes the fingerprint available before any grouping exists —

@@ -163,7 +163,7 @@ class KernelParitySpec extends SparkSpec {
       ((Array(1L, 3L), Array(2L, 4L)))
     val df = pairs.toDF("fa", "fb")
     val diff = df.select(
-        graft.functions.VectorOps.sortedJoinCount(col("fa"), col("fb"))
+        graft.functions.VectorOps.sortedJoinCountUnchecked(col("fa"), col("fb"))
           .as("kernel"),
         expr("aggregate(fa, 0L, (acc, x) -> acc + size(filter(fb, y -> y = x)))")
           .as("hof"))

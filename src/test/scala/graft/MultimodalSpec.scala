@@ -285,4 +285,30 @@ class MultimodalSpec extends SparkSpec {
     val junk = MediaFile(2, "video", "GIF89a is a file format".getBytes)
     assert(GifCodec.tryDecode(junk).isEmpty)
   }
+
+  test("feature ANN: a planted near-identical image pair are each other's top neighbor") {
+    val s = spark
+    import s.implicits._
+    // Two REAL P6 images through the genuine decode path (ids ≡ 0 mod
+    // 21): identical 4×3 rasters except ONE sample moved a bin over —
+    // near-identical in feature space, not byte-identical.
+    val base = "P6\n4 3\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array.tabulate(36)(i => ((i * 31) % 256).toByte)
+    val twin = base.clone()
+    twin(twin.length - 1) =
+      (((twin(twin.length - 1) & 0xff) + 40) % 256).toByte
+    // Contrasting corpus: opaque text payloads (byte histograms live in
+    // the ASCII bins, nothing like the near-uniform image ramps).
+    val fillers = Seq(3L, 4L, 5L, 6L, 7L, 8L).map { id =>
+      MediaFile(id, "image",
+        (s"doc $id " + "lorem ipsum dolor sit amet " * (id.toInt % 3 + 1)).getBytes)
+    }
+    val media = Seq(MediaFile(0, "image", base), MediaFile(21, "image", twin)) ++ fillers
+    val features = Multimodal.extractFeatures(media.toDS()).toDF()
+    val top1 = Multimodal.featureTopKOf(features, numQueries = 22L, k = 3L)
+      .where(org.apache.spark.sql.functions.col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(0L) === 21L, s"image 0's nearest feature neighbor must be its twin: $top1")
+    assert(top1(21L) === 0L, s"image 21's nearest feature neighbor must be its twin: $top1")
+  }
 }

@@ -1538,4 +1538,117 @@ class StreamingParitySpec extends SparkSpec {
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("pack stream equals batch packSequences over the fixture corpus") {
+    import graft.streaming.StreamingParity.{PackDoc, PackedDoc}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(s, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => PackDoc(r.getLong(0), r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[PackDoc]
+    val query = StreamingParity.packStream(input.toDS())
+      .writeStream.format("memory").queryName("pack_parity")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // Replay in doc_id order across THREE micro-batches — the running
+      // totals must thread through the state store across triggers.
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq); query.processAllAvailable()
+      }
+      val got = s.table("pack_parity").as[PackedDoc].collect().toSet
+      val want = graft.operators.Curation.packSequences(s, sfDir)
+        .as[PackedDoc].collect().toSet
+      assert(got === want)
+      assert(got.size === docs.length, "exactly one packed row per doc")
+    } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("pack stream state survives a checkpointed restart (tok_start resumes)") {
+    import graft.streaming.StreamingParity.{PackDoc, PackedDoc}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pack-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-pack-out").toString
+    val input = MemoryStream[PackDoc]
+    def start() = StreamingParity.packStream(input.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PackedDoc], _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    // Incarnation 1: doc 1 (3 tokens) lands; the shard total becomes 3.
+    val q1 = start()
+    try { input.addData(Seq(PackDoc(1, 1, "web", "a b c"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // Incarnation 2 (same checkpoint): doc 2 must start at the RESTORED
+    // total 3 — a fresh processor without recovery would pack it at 0.
+    val q2 = start()
+    val rows = try {
+      input.addData(Seq(PackDoc(2, 2, "web", "d e")))
+      q2.processAllAvailable()
+      s.read.parquet(out).as[PackedDoc].collect().toSeq
+    } finally q2.stop()
+    assert(rows.toSet === Set(
+      PackedDoc(1, "web", 0, 3, 0, 0, 0),
+      PackedDoc(2, "web", 0, 2, 3, 0, 3)))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("pack stream raises on an out-of-order doc instead of mispacking") {
+    import graft.streaming.StreamingParity.PackDoc
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val input = MemoryStream[PackDoc]
+    val query = StreamingParity.packStream(input.toDS())
+      .writeStream.format("memory").queryName("pack_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(PackDoc(5, 5, "web", "a b c")))
+      query.processAllAvailable()
+      // doc 4 arrives AFTER doc 5 in the same (source, shard): the
+      // replay contract is violated — the packer must raise, not pack a
+      // permutation the batch form would never produce.
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData(Seq(PackDoc(4, 4, "web", "d e")))
+        query.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => c.getMessage != null &&
+          c.getMessage.contains("replay contract is violated")))
+    } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
