@@ -89,7 +89,17 @@ object RegimeBench {
       "repetition_string" -> (() => TextAnalysis.repetitionStats(spark, sfDir)),
       "repetition_hashed" -> (() => repetitionHashed))
 
-    val results = arms.map { case (name, fn) =>
+    // SPARK_GRAFT_REGIME_ARMS=a,b restricts to named arms (the sf10-sized
+    // tree re-measures just the shuffle pair; the fold pair's verdict is
+    // already decisive one decade down).
+    val only = sys.env.get("SPARK_GRAFT_REGIME_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- arms.map(_._1).toSet
+      require(unknown.isEmpty, s"unknown regime arms: ${unknown.mkString(", ")}")
+    }
+    val results = arms.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       fn().queryExecution.toRdd.count() // untimed warm
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

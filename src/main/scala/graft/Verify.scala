@@ -62,8 +62,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The oracle dumps are NEVER filtered by the subset arg (r17): a
+    // fast-iteration subset re-run into a dir holding a full sweep must
+    // refresh that one query's parquet without truncating the oracle
+    // map — otherwise the dir silently stops being a full-sweep record
+    // (measured: the r17 sf1 pin was voided exactly this way before the
+    // fix). Dumping all texts is free; the checkers iterate over the
+    // parquet dirs present, so a subset dir still checks only its subset.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Bounded scale-oracle overrides (tools/check_scale.py): for the
@@ -72,7 +78,6 @@ object Verify {
     // query inside budget. check.py ignores this file; the gate-scale
     // contract is unchanged.
     val scaleJson = graft.operators.ScaleOracles.checks
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, c) =>
         val setup = c.setup.map(q).mkString("[", ",", "]")
         s"${q(k)}: {${q("mode")}: ${q(c.mode)}, ${q("sql")}: ${q(c.sql)}," +

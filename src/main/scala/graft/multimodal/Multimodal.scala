@@ -1043,24 +1043,50 @@ object Multimodal {
     import graft.functions.Parity._
     val allOffsets = (Seq(0) ++ (0 until MaxPlanes).map(j => 1 << j))
       .mkString("[", ", ", "]")
-    val zeros = Seq.fill(EmbeddingDim - FeatureDim)("0").mkString("[", ", ", "]")
-    s"""WITH fvec AS ($featureVecSql),
+    // The plane grid as a 24-row VALUES relation, truncated to the 12
+    // live dimensions (the Spark side zero-pads into the 64-dim plane
+    // space; padding contributes nothing to a plane dot, so the oracle
+    // dots the 12-dim prefix directly). Staged as ROWS rather than the
+    // usual lshBucketDuckDynamic inline literals because DuckDB
+    // re-materializes a literal list inside a lambda PER ELEMENT — the
+    // inline form measured 470 s at sf1 (50 k media) where this join
+    // form runs in seconds; a list referenced from a COLUMN is cheap.
+    val planeRows = (0 until MaxPlanes).map { j =>
+      s"($j, ${planes(j).take(FeatureDim).map(v => s"CAST($v AS BIGINT)")
+        .mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    // fvec MATERIALIZED: the feature-vector CTE costs a per-char explode
+    // of every text payload plus 8 histogram lambda scans; force one
+    // evaluation across its references.
+    s"""WITH fvec AS MATERIALIZED ($featureVecSql),
        |sums AS (
        |  SELECT i, CAST(sum(fv[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS s,
        |    count(*) AS n
        |  FROM fvec, range($FeatureDim) t(i) GROUP BY i),
        |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM sums),
        |np AS (SELECT ${planesForCountDuck("count(*)")} AS np FROM fvec),
-       |cent AS (
+       |cent AS MATERIALIZED (
+       |  SELECT media_id, c,
+       |    CAST(list_sum(list_transform(range(1, ${FeatureDim + 1}),
+       |      i -> c[i] * c[i])) AS BIGINT) AS norm
+       |  FROM (
+       |    SELECT media_id,
+       |      list_transform(range(0, $FeatureDim),
+       |        i -> fv[CAST(i + 1 AS INTEGER)] - mu[CAST(i + 1 AS INTEGER)]) AS c
+       |    FROM fvec, mu)),
+       |planes(j, pl) AS (VALUES
+       |    $planeRows),
+       |bux AS (
        |  SELECT media_id,
-       |    list_transform(range(0, $FeatureDim),
-       |      i -> fv[CAST(i + 1 AS INTEGER)] - mu[CAST(i + 1 AS INTEGER)]) AS c
-       |  FROM fvec, mu),
-       |b AS (
-       |  SELECT media_id, c, ${dotDuck("c", "c")} AS norm,
-       |    ${lshBucketDuckDynamic(s"list_concat(c, $zeros)", "(SELECT np FROM np)")} AS bucket
-       |  FROM cent),
-       |bb AS (SELECT * FROM b WHERE norm > 0),
+       |    CAST(sum(CASE WHEN j < np AND
+       |        CAST(list_sum(list_transform(range(1, ${FeatureDim + 1}),
+       |          i -> c[i] * pl[i])) AS BIGINT) > 0
+       |      THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM cent, planes, np GROUP BY media_id),
+       |bb AS MATERIALIZED (
+       |  SELECT cent.media_id, cent.c, cent.norm, bux.bucket
+       |  FROM cent JOIN bux ON cent.media_id = bux.media_id
+       |  WHERE cent.norm > 0),
        |probes AS (
        |  SELECT media_id, c, norm,
        |    CAST(xor(CAST(bucket AS BIGINT), CAST(probe AS BIGINT)) AS INTEGER) AS pbucket

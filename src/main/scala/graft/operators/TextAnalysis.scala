@@ -463,6 +463,20 @@ object TextAnalysis {
   // aggregates plus a join back — three exchanges of gram strings; this
   // form is one projection inside whole-stage codegen, O(n log n) per
   // doc, and at 100 TB it scales with the scan alone.
+  //
+  // Element-width note (r17, measured): on a long-token corpus the
+  // in-doc sort/fold over gram STRINGS is the cost — a hashed fold
+  // (array_sort over the one-pass word_shingle_hashes longs) runs the
+  // same documents 6.9× faster (19.6 s → 2.9 s, RegimeBench on the
+  // 50 k-doc longtok tree). The shipped form keeps strings because the
+  // output CONTRACT needs them: top_bigram is a display string and the
+  // tiebreak is lexicographic on the gram, which a hash fold can only
+  // approximate (hash order ≠ gram order) and only collision-free up to
+  // the 62-bit birthday bound — the exactness gate wins over the 6.9×
+  // on short-token fixtures where the gap is immaterial. A deployment
+  // hitting this wall swaps the fold element for (hash, gram) structs:
+  // long compares in the sort's fast path, gram compares only on the
+  // rare equal-hash fallback.
   // ------------------------------------------------------------------
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokensSpark("text")
@@ -527,10 +541,9 @@ object TextAnalysis {
   // chrome, generated-text tics) so a curator can eyeball them. Shape:
   // one corpus scan + trigram explode, two-phase (source, gram) count,
   // per-source WindowGroupLimit top-K (count desc, gram asc — total
-  // order). At 100 TB the gram count relation is heavy-tailed; swap the
-  // shuffled gram STRING for its 8-byte poly hash and recover display
-  // grams from a final top-K-only join, same recipe the repetition
-  // stats scaladoc documents.
+  // order). The 8-byte-hash swap (shuffle poly hashes, recover display
+  // grams from a top-K-only join) exists as topNgramsHashed — see its
+  // scaladoc for the measured verdict on when that trade pays.
   // ------------------------------------------------------------------
   val TopNgramK = 5L
   val NgramW = 3
@@ -567,8 +580,28 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
-  // The EXECUTED 8-byte-gram-hash swap the topNgrams scaladoc documents
-  // as the 100 TB lever — same output relation, different physical plan:
+  // The EXECUTED 8-byte-gram-hash swap — same output relation as
+  // topNgrams, different physical plan. STATUS AFTER MEASUREMENT (r17,
+  // graft.RegimeBench on the GenScale longtok trees built to be this
+  // plan's best case — ~40-char tokens, ~120-byte trigram strings,
+  // heavy-df boilerplate head): the hashed plan LOSES at every sandbox
+  // scale and corpus shape measured — 1.7× slower at 50 k docs
+  // (6.9 s → 11.9 s) and 1.4× at 500 k docs (16.8 s → 23.5 s) on the
+  // long-token trees, 1.5–1.7× on the short-token vocab trees (r16) —
+  // because its display-recovery step is a SECOND full tokenize+gram
+  // scan, and on one node that scan costs more than the string-shuffle
+  // bytes it saves (a local "shuffle" is memcpy-priced). The plan
+  // remains a HYPOTHESIS for network-priced shuffle only: on a real
+  // cluster the string form ships ~15× the bytes across the wire
+  // (measured ratio of shuffled key widths), and no sandbox measurement
+  // can price that. Kept because output identity is gated, the
+  // fp-collision tripwire bounds its one correctness risk, and the
+  // plan-shape spec pins the two-scan structure — but the scaladoc
+  // claim is now the measured sentence above, not "the 100 TB shape".
+  // Where the hash swap DOES pay locally, with no recovery pass to buy
+  // back: the per-doc sorted-fold width lever (see repetitionStats —
+  // 6.9× measured).
+  // Plan:
   //   1. hash each trigram to its 62-bit fingerprint AT EXPLODE TIME, so
   //      the heavy (source, gram) count shuffle carries an 8-byte long
   //      instead of the ~25-byte gram string;
@@ -947,9 +980,13 @@ object TextAnalysis {
   // log-ratio PSI would sum doubles, forbidden by the parity rules).
   // Scale shape: one conditional two-phase aggregate on the token key
   // (no join between snapshots — the parity flag rides the explode) +
-  // a broadcast 1-row totals relation; |vocab| output rows. At 100 TB
-  // the shuffled token string swaps for its 8-byte hash exactly like
-  // repetition stats.
+  // a broadcast 1-row totals relation; |vocab| output rows. The
+  // token→8-byte-hash key swap for the drift aggregate was MEASURED
+  // r17 (RegimeBench, longtok trees): the hashed key is 1.4–1.5×
+  // SLOWER at both 50 k and 500 k docs — the per-token hash kernel
+  // costs more than the locally-memcpy-priced string shuffle saves, the
+  // same single-node verdict as topNgramsHashed; a network-priced
+  // shuffle is the only regime where the swap can pay.
   // ------------------------------------------------------------------
   def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
     // Registered: consumed twice (totals side + cross-join side) — the
