@@ -74,6 +74,21 @@ class PlanShapeSpec extends SparkSpec {
       s"both array-attach joins must be shuffle-hash:\n$plan")
   }
 
+  test("feature ANN: the probe side broadcasts and candidates ride a bucket equi-join") {
+    // s_feature_topk's scale shape (r17): |queries|·(p+1) probe rows
+    // broadcast against the corpus's bucket column — a BroadcastHashJoin
+    // on the bucket key, never a shuffle of the corpus for a 20-query
+    // probe and never a cartesian (the =!= is a residual condition on
+    // the equi-join, not the join itself).
+    val plan = SparkEntry.queries("s_feature_topk")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast onto the bucket equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"feature ANN must never degrade to all-pairs:\n$plan")
+  }
+
   /** r15: POSITIVE pins on the warehouse face — the no-cartesian sweep
     * catches catastrophic shapes, but a stats change could still flip a
     * dimension chain from broadcast to shuffle without planning a
