@@ -974,9 +974,10 @@ object SqlQueries {
     * `d_jaccard_prefix_pairs`, `d_embedding_neardup_lsh`, `s_ivf_topk`,
     * `s_ivf_recall` — it composes `s_ivf_topk`; the SQL-face recall
     * eval is `s_lsh_recall`, `s_text_lsh_topk`,
-    * `s_feature_topk` — it consumes the typed partition-iterator decode
-    * (the m_* boundary reason) and its index shape is the
-    * `s_text_lsh_topk` plan, `p_pack_sequences`,
+    * `s_feature_topk` and `s_feature_recall` — they consume the typed
+    * partition-iterator decode (the m_* boundary reason) and their
+    * index/eval shapes are the `s_text_lsh_topk`/`s_lsh_recall` plans,
+    * `p_pack_sequences`,
     * `p_stratified_sample`, `a_profile`, `a_profile_approx` (the
     * single-pass wide-agg + stack reshape IS the demonstrated plan),
     * `a_timeseries_similarity`,

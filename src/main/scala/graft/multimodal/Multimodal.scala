@@ -991,8 +991,11 @@ object Multimodal {
     * pair through the REAL decode path. Exact-integer arithmetic up to
     * one final IEEE cosine per candidate (the Parity discipline).
     */
-  def featureTopKOf(features: DataFrame, numQueries: Long, k: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared centering stage: (media_id, c, norm) with norm > 0, plus
+    * the resolved plane count — one 1-row stats collect (the C1 pattern),
+    * consumed by both the bucketed LSH arm and the exact brute-force arm.
+    */
+  private def centeredFeatures(features: DataFrame): (DataFrame, Int) = {
     import graft.functions.Parity
     import graft.functions.VectorOps.longDot
     val fv = features.select(col("media_id"),
@@ -1002,15 +1005,22 @@ object Multimodal {
         .as("s")).head()
     val n = srow.getLong(0)
     val mu = srow.getSeq[Long](1).map(_ / n)
-    val nPlanes = Parity.planesForCount(n)
     val muLit = array(mu.map(lit): _*)
     val cent = fv.select(col("media_id"),
         zip_with(col("f"), muLit, (x, m) => x - m).as("c"))
       .withColumn("norm", longDot(col("c"), col("c")))
-      .withColumn("bucket", graft.operators.Similarity.lshBucketCol(
-        concat(col("c"), array_repeat(lit(0L), Parity.EmbeddingDim - FeatureDim)),
-        nPlanes))
       .where(col("norm") > 0)
+    (cent, Parity.planesForCount(n))
+  }
+
+  def featureTopKOf(features: DataFrame, numQueries: Long, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity
+    import graft.functions.VectorOps.longDot
+    val (cent0, nPlanes) = centeredFeatures(features)
+    val cent = cent0.withColumn("bucket", graft.operators.Similarity.lshBucketCol(
+      concat(col("c"), array_repeat(lit(0L), Parity.EmbeddingDim - FeatureDim)),
+      nPlanes))
     val probeOffsets = lit(0) +: (0 until nPlanes).map(j => lit(1 << j))
     val queries = cent.where(col("media_id") < numQueries)
       .withColumn("probe", explode(array(probeOffsets: _*)))
@@ -1039,6 +1049,29 @@ object Multimodal {
     * as the first np+1 offsets — so both engines resolve the identical
     * grid at any corpus size (the embeddingNearDupLshSql pattern).
     */
+  /** The shared centering CTE chain (fvec → per-dim floor means → cent
+    * with exact norms), used by the LSH arm, the exact arm and the
+    * recall composition. fvec MATERIALIZED: the feature-vector CTE
+    * costs a per-char explode of every text payload plus 8 histogram
+    * lambda scans; force one evaluation across its references.
+    */
+  private val featureCentCtes: String =
+    s"""fvec AS MATERIALIZED ($featureVecSql),
+       |sums AS (
+       |  SELECT i, CAST(sum(fv[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM fvec, range($FeatureDim) t(i) GROUP BY i),
+       |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM sums),
+       |cent AS MATERIALIZED (
+       |  SELECT media_id, c,
+       |    CAST(list_sum(list_transform(range(1, ${FeatureDim + 1}),
+       |      i -> c[i] * c[i])) AS BIGINT) AS norm
+       |  FROM (
+       |    SELECT media_id,
+       |      list_transform(range(0, $FeatureDim),
+       |        i -> fv[CAST(i + 1 AS INTEGER)] - mu[CAST(i + 1 AS INTEGER)]) AS c
+       |    FROM fvec, mu))""".stripMargin
+
   val featureTopKSql: String = {
     import graft.functions.Parity._
     val allOffsets = (Seq(0) ++ (0 until MaxPlanes).map(j => 1 << j))
@@ -1055,25 +1088,8 @@ object Multimodal {
       s"($j, ${planes(j).take(FeatureDim).map(v => s"CAST($v AS BIGINT)")
         .mkString("[", ", ", "]")})"
     }.mkString(",\n    ")
-    // fvec MATERIALIZED: the feature-vector CTE costs a per-char explode
-    // of every text payload plus 8 histogram lambda scans; force one
-    // evaluation across its references.
-    s"""WITH fvec AS MATERIALIZED ($featureVecSql),
-       |sums AS (
-       |  SELECT i, CAST(sum(fv[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS s,
-       |    count(*) AS n
-       |  FROM fvec, range($FeatureDim) t(i) GROUP BY i),
-       |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM sums),
+    s"""WITH $featureCentCtes,
        |np AS (SELECT ${planesForCountDuck("count(*)")} AS np FROM fvec),
-       |cent AS MATERIALIZED (
-       |  SELECT media_id, c,
-       |    CAST(list_sum(list_transform(range(1, ${FeatureDim + 1}),
-       |      i -> c[i] * c[i])) AS BIGINT) AS norm
-       |  FROM (
-       |    SELECT media_id,
-       |      list_transform(range(0, $FeatureDim),
-       |        i -> fv[CAST(i + 1 AS INTEGER)] - mu[CAST(i + 1 AS INTEGER)]) AS c
-       |    FROM fvec, mu)),
        |planes(j, pl) AS (VALUES
        |    $planeRows),
        |bux AS (
@@ -1105,13 +1121,85 @@ object Multimodal {
        |WHERE rnk <= ${graft.operators.Similarity.TopK}""".stripMargin
   }
 
+  /** Exact brute-force centered-cosine top-k — the ground truth the LSH
+    * arm is measured against (every approximate index in the repo
+    * carries this pre-trust baseline; the feature tier now does too).
+    * All-pairs by design over the broadcast 20-query side: the same
+    * legitimate BroadcastNestedLoop shape as Similarity.cosineTopK.
+    */
+  def featureExactTopKOf(features: DataFrame, numQueries: Long, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.longDot
+    val (cent, _) = centeredFeatures(features)
+    broadcast(cent.where(col("media_id") < numQueries).as("q"))
+      .join(cent.as("c"), col("q.media_id") =!= col("c.media_id"))
+      .select(col("q.media_id").as("query_id"), col("c.media_id").as("neighbor_id"),
+        longDot(col("q.c"), col("c.c")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(graft.functions.Parity.cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "dot")
+  }
+
+  /** Per-query recall of the bucketed LSH arm against the brute-force
+    * truth — integer hit counts, the Analytics.recallVsBrute shape on
+    * the feature tier.
+    */
+  def featureRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val fv = cachedFeatures(spark, sfDir)
+    val exact = featureExactTopKOf(fv,
+        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = featureTopKOf(fv,
+        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+      .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
+    exact.join(approx,
+        col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a_neighbor").isNotNull, 1L).otherwise(0L)).as("hits"))
+  }
+
+  val featureExactTopKSql: String = {
+    import graft.functions.Parity._
+    s"""WITH $featureCentCtes,
+       |cc AS (SELECT * FROM cent WHERE norm > 0),
+       |scored AS (
+       |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+       |    ${dotDuck("q.c", "c.c")} AS dot,
+       |    ${cosineDuck(dotDuck("q.c", "c.c"), "q.norm", "c.norm")} AS cos
+       |  FROM cc q JOIN cc c ON q.media_id <> c.media_id
+       |  WHERE q.media_id < ${graft.operators.Similarity.NumQueries})
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${graft.operators.Similarity.TopK}""".stripMargin
+  }
+
+  /** Both arms replayed as CTE bodies (each carries its own WITH — the
+    * Analytics.recallVsBruteSql composition).
+    */
+  val featureRecallSql: String =
+    s"""WITH exact AS ($featureExactTopKSql),
+       |approx AS ($featureTopKSql)
+       |SELECT e.query_id, count(*) AS k,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_media" -> (decodeQuery _),
     "m_frame_sample" -> (frameSampleQuery _),
     "m_resize_plan" -> (resizeQuery _),
     "m_extract_features" -> (extractFeaturesQuery _),
     "m_audio_features" -> (audioFeaturesQuery _),
-    "s_feature_topk" -> (featureTopKQuery _))
+    "s_feature_topk" -> (featureTopKQuery _),
+    "s_feature_recall" -> (featureRecallQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_decode_media" -> decodeQuerySql,
@@ -1119,5 +1207,6 @@ object Multimodal {
     "m_resize_plan" -> resizeQuerySql,
     "m_extract_features" -> extractFeaturesSql,
     "m_audio_features" -> audioFeaturesSql,
-    "s_feature_topk" -> featureTopKSql)
+    "s_feature_topk" -> featureTopKSql,
+    "s_feature_recall" -> featureRecallSql)
 }

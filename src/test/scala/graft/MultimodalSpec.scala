@@ -310,5 +310,12 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1(0L) === 21L, s"image 0's nearest feature neighbor must be its twin: $top1")
     assert(top1(21L) === 0L, s"image 21's nearest feature neighbor must be its twin: $top1")
+    // The exact brute-force arm agrees on the planted pair — the ground
+    // truth the recall gate anchors to.
+    val exact1 = Multimodal.featureExactTopKOf(features, numQueries = 22L, k = 3L)
+      .where(org.apache.spark.sql.functions.col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact1(0L) === 21L && exact1(21L) === 0L,
+      s"exact arm must rank the twins mutually first: $exact1")
   }
 }
