@@ -53,14 +53,30 @@ object StreamSoak {
 
     // ---- Inputs: equal-width time-range shards, written SEQUENTIALLY so
     // file mtimes ascend with event time and the source replays in order.
-    def writeShards(df: DataFrame, dir: String): Unit = {
+    // `strictOrder` (the pack feed): ONE file per shard with an explicitly
+    // stamped, strictly-ascending mtime — the default two-files-per-shard
+    // write leaves near-identical mtimes, and an mtime TIE that splits or
+    // reorders a shard's files across triggers would spuriously trip
+    // packStream's ordering raise (r17 advisory); the watermark-absorbing
+    // ops don't care, so they keep the cheaper parallel write.
+    def writeShards(df: DataFrame, dir: String, strictOrder: Boolean = false): Unit = {
       val mm = df.agg(min("event_time"), max("event_time")).head
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val step = (hi - lo) / shards + 1
+      val seen = scala.collection.mutable.Set[String]()
       (0 until shards).foreach { i =>
         df.where(col("event_time") >= lo + i * step &&
             col("event_time") < lo + (i + 1) * step)
-          .coalesce(2).write.mode("append").parquet(dir)
+          .coalesce(if (strictOrder) 1 else 2).write.mode("append").parquet(dir)
+        if (strictOrder) {
+          val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+            .filter(_.getName.endsWith(".parquet"))
+          files.filterNot(f => seen.contains(f.getName)).foreach { f =>
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"cannot stamp mtime on ${f.getName}")
+            seen += f.getName
+          }
+        }
       }
     }
 
@@ -86,7 +102,8 @@ object StreamSoak {
     val userDir = s"$work/in/user"; val idDir = s"$work/in/id"
     val docDir = s"$work/in/doc"; val packDir = s"$work/in/pack"
     writeShards(userDf, userDir); writeShards(idDf, idDir)
-    writeShards(docStreamDf, docDir); writeShards(packDf, packDir)
+    writeShards(docStreamDf, docDir)
+    writeShards(packDf, packDir, strictOrder = true)
 
     def streamDf(dir: String, like: DataFrame): DataFrame =
       spark.readStream.schema(like.schema)

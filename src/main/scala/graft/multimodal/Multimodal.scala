@@ -1004,7 +1004,11 @@ object Multimodal {
       array((0 until FeatureDim).map(i => sum(element_at(col("f"), i + 1))): _*)
         .as("s")).head()
     val n = srow.getLong(0)
-    val mu = srow.getSeq[Long](1).map(_ / n)
+    // floorDiv, not Long '/': the DuckDB oracle centers with '//' (floor
+    // division), and the two only agree while every dimension sum is
+    // non-negative — true of today's histogram/moment features, but a
+    // signed future dimension would silently break parity (r17 advisory).
+    val mu = srow.getSeq[Long](1).map(s => Math.floorDiv(s, n))
     val muLit = array(mu.map(lit): _*)
     val cent = fv.select(col("media_id"),
         zip_with(col("f"), muLit, (x, m) => x - m).as("c"))

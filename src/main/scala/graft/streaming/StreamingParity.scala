@@ -1286,9 +1286,11 @@ object StreamingParity {
     * scd2Stream discipline): docs arrive in nondecreasing doc_id order
     * per (source, shard) across micro-batches — the file-source replay
     * order when event_time = doc_id — and an intra-batch burst is
-    * sorted by doc_id inside one invocation; a violation raises (the
-    * state carries last_doc as the witness) instead of silently packing
-    * a different permutation than the batch form. State = TWO longs per
+    * sorted by doc_id inside one invocation; an at-least-once replay of
+    * the MOST RECENT doc is absorbed idempotently (equal doc_id = same
+    * doc, already packed), while any older arrival raises (the state
+    * carries last_doc as the witness) instead of silently packing a
+    * different permutation than the batch form. State = TWO longs per
     * (source, shard) — |corpus|/ShardSize·|sources| entries, the
     * smallest plateau in the soak protocol; at 100 TB the shard count
     * is the file count of the bucketed write, never row-proportional.
@@ -1312,16 +1314,26 @@ object StreamingParity {
       val held = Option(st.get()).getOrElse(PackState(Long.MinValue, 0L))
       var last = held.last_doc
       var total = held.total
-      val out = rows.toArray.sortBy(_.doc_id).iterator.map { r =>
-        require(r.doc_id > last,
-          s"packStream: doc ${r.doc_id} arrived after ${last} in shard $key — " +
-            "the nondecreasing-doc_id replay contract is violated")
-        last = r.doc_id
-        val start = total
-        total += r.n_tokens
-        PackedDoc(r.doc_id, r.source, r.shard, r.n_tokens, start,
-          start / graft.operators.Curation.CtxLen,
-          start % graft.operators.Curation.CtxLen)
+      val out = rows.toArray.sortBy(_.doc_id).iterator.flatMap { r =>
+        // At-least-once delivery may replay the most recent doc (doc_ids
+        // are unique keys, so an equal id IS the same doc): absorb it
+        // idempotently — its PackedDoc was already emitted and the state
+        // already advanced past it. A replay OLDER than last still
+        // raises: re-emitting its offsets consistently would need
+        // per-doc state, and silently repacking would permute the
+        // sequence vs the batch form (r17 advisory).
+        if (r.doc_id == last) None
+        else {
+          require(r.doc_id > last,
+            s"packStream: doc ${r.doc_id} arrived after ${last} in shard $key — " +
+              "the nondecreasing-doc_id replay contract is violated")
+          last = r.doc_id
+          val start = total
+          total += r.n_tokens
+          Some(PackedDoc(r.doc_id, r.source, r.shard, r.n_tokens, start,
+            start / graft.operators.Curation.CtxLen,
+            start % graft.operators.Curation.CtxLen))
+        }
       }.toArray
       st.update(PackState(last, total))
       out.iterator

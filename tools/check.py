@@ -29,8 +29,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # graft.Verify always dumps the FULL oracle map (so a subset re-run
+        # never truncates a full-sweep record); a query with no output DIR
+        # simply wasn't part of this run — skip it, with a visible count.
+        # A dir that exists but holds no parquet is still a FAIL (the
+        # query ran and produced nothing / crashed mid-write).
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1; continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
@@ -61,8 +68,10 @@ def main():
             print(f"OK   {name} ({len(got)} rows)"); n_ok += 1
         else:
             n_bad += 1
-    print(f"== {n_ok} ok, {n_bad} bad ==")
-    sys.exit(1 if n_bad else 0)
+    print(f"== {n_ok} ok, {n_bad} bad, {n_skip} skipped (no output dir) ==")
+    if n_ok == 0:
+        print("ZERO queries checked OK — wrong outDir or empty run; failing.")
+    sys.exit(1 if n_bad or n_ok == 0 else 0)
 
 if __name__ == "__main__":
     main()

@@ -232,8 +232,12 @@ def main():
         for e in dag_errors:
             print(f"TRUST-DAG {e}")
         sys.exit(1)
-    counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0}
+    counts = {"OK": 0, "FAIL": 0, "TIMEOUT": 0, "SKIP": 0}
     for name in sorted(oracle):
+        # The oracle map is always the full surface (graft.Verify never
+        # truncates it); a query with no output dir wasn't in this run.
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            counts["SKIP"] += 1; continue
         if name in scale:
             check = {"kind": scale[name]["mode"], "sql": scale[name]["sql"],
                      "aux": scale[name].get("aux", ""),
@@ -251,7 +255,8 @@ def main():
         else:
             status, msg = q.get() if not q.empty() else ("FAIL", "worker died")
             print(f"{status}   {name} {tag} ({msg})"); counts[status] += 1
-    print(f"== {counts['OK']} ok, {counts['FAIL']} bad, {counts['TIMEOUT']} timeout ==")
+    print(f"== {counts['OK']} ok, {counts['FAIL']} bad, {counts['TIMEOUT']} timeout, "
+          f"{counts['SKIP']} skipped (no output dir) ==")
     if counts["OK"] == 0:
         print("ZERO queries verified OK — the pass proves nothing; failing.")
     sys.exit(1 if counts["FAIL"] or counts["TIMEOUT"] or counts["OK"] == 0 else 0)
