@@ -87,7 +87,13 @@ object RegimeBench {
       "drift_cnts_string" -> (() => driftCnts(col("token"))),
       "drift_cnts_hashed" -> (() => driftCnts(expr("poly_hash(token)"))),
       "repetition_string" -> (() => TextAnalysis.repetitionStats(spark, sfDir)),
-      "repetition_hashed" -> (() => repetitionHashed))
+      "repetition_hashed" -> (() => repetitionHashed),
+      // The SHIPPED r18 twin (t_repetition_stats_hashed): the hashed
+      // fold PLUS the in-row winner recovery (array_position + 2-token
+      // slice + concat) — the line that proves the 6.9× survives paying
+      // for display-gram recovery, unlike the top-ngrams recovery scan.
+      "repetition_hashed_recovered" ->
+        (() => TextAnalysis.repetitionStatsHashed(spark, sfDir)))
 
     // SPARK_GRAFT_REGIME_ARMS=a,b restricts to named arms (the sf10-sized
     // tree re-measures just the shuffle pair; the fold pair's verdict is

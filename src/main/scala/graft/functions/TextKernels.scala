@@ -265,4 +265,12 @@ object TextHashOps {
   def tokenHashes(c: Column): Column =
     CatalystBridge.column(
       WordShingleHashes(CatalystBridge.expression(c), 1, distinct = false, wide = true))
+
+  /** 62-bit w-gram hashes, every occurrence kept (the repetition-fold
+    * domain: run-length counting needs the multiset, and the in-doc
+    * argmax merge risk wants the two-hash collision bound).
+    */
+  def shingleHashesWide(c: Column, w: Int): Column =
+    CatalystBridge.column(
+      WordShingleHashes(CatalystBridge.expression(c), w, distinct = false, wide = true))
 }

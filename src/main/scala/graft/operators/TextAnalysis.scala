@@ -464,19 +464,19 @@ object TextAnalysis {
   // form is one projection inside whole-stage codegen, O(n log n) per
   // doc, and at 100 TB it scales with the scan alone.
   //
-  // Element-width note (r17, measured): on a long-token corpus the
-  // in-doc sort/fold over gram STRINGS is the cost — a hashed fold
-  // (array_sort over the one-pass word_shingle_hashes longs) runs the
-  // same documents 6.9× faster (19.6 s → 2.9 s, RegimeBench on the
-  // 50 k-doc longtok tree). The shipped form keeps strings because the
-  // output CONTRACT needs them: top_bigram is a display string and the
-  // tiebreak is lexicographic on the gram, which a hash fold can only
-  // approximate (hash order ≠ gram order) and only collision-free up to
-  // the 62-bit birthday bound — the exactness gate wins over the 6.9×
-  // on short-token fixtures where the gap is immaterial. A deployment
-  // hitting this wall swaps the fold element for (hash, gram) structs:
-  // long compares in the sort's fast path, gram compares only on the
-  // rare equal-hash fallback.
+  // Element-width note (r17 measured, r18 shipped): on a long-token
+  // corpus the in-doc sort/fold over gram STRINGS is the cost — the
+  // hashed fold (array_sort over the one-pass word_shingle_hashes
+  // longs) runs the same documents 6.9× faster (19.6 s → 2.9 s,
+  // RegimeBench on the 50 k-doc longtok tree), and unlike the
+  // top-ngrams hash swap it needs NO second corpus scan to recover the
+  // display gram. That form now ships as the gated twin
+  // [[repetitionStatsHashed]] (`t_repetition_stats_hashed`) — same
+  // output shape, tiebreak on the fingerprint instead of the gram
+  // string. THIS string form stays the exactness face: its tiebreak is
+  // lexicographic on the display gram and it is collision-free by
+  // construction, which is the contract short-token corpora get for
+  // free; the hashed twin is the long-token scale face.
   // ------------------------------------------------------------------
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokensSpark("text")
@@ -532,6 +532,115 @@ object TextAnalysis {
        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_bigram_cnt,
        |  CAST(coalesce(t.cnt, 0) AS BIGINT) * 2000000 // s.n_tokens AS top_bigram_frac_e6
        |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // The repetition fold at 8-byte element width — the ONE hash-swap
+  // lever RegimeBench measured as a WIN (r17: 19.62 s → 2.86 s, 6.9×,
+  // on the 50 k-doc longtok tree), because unlike topNgramsHashed it
+  // needs no second corpus scan to recover display strings: the per-doc
+  // argmax is found over the 62-bit bigram-hash array (one-pass codegen
+  // kernel, array_sort over longs, run-length fold — long compares
+  // where the string form moves ~120-byte grams), and the winning
+  // DISPLAY gram is recovered IN THE SAME ROW by locating the winning
+  // fingerprint's first position in the unsorted hash array and slicing
+  // two tokens — O(n) per doc, zero joins, zero extra scans. Still
+  // map-only, still fused into the parquet scan.
+  //
+  // Contract deltas vs the string form, both deliberate and both
+  // replicated exactly in the oracle so the gate stays hash-exact:
+  //   - tiebreak: equal max counts resolve to the LARGEST FINGERPRINT
+  //     (ascending hash sort + >= update), not the lexicographically
+  //     largest gram — hash order ≠ gram order, and re-deriving gram
+  //     order would re-introduce the string fold this lever removes;
+  //   - n_distinct: distinct TOKEN HASHES (62-bit), not token strings;
+  //   - collisions: two distinct grams sharing a 62-bit fingerprint
+  //     within ONE document would merge their runs (and the recovery
+  //     would display the first-positioned gram). Per-doc gram counts
+  //     are ~10³–10⁴, so the in-doc birthday bound is ~2⁻⁴² per doc —
+  //     negligible at any corpus size (the cross-doc population never
+  //     meets in a fold; contrast topNgramsHashed, whose per-SOURCE
+  //     population forced a runtime tripwire).
+  // Where count ties are absent the output row equals the string twin's
+  // (TextAnalysisSpec pins this on the fixture plus a hand-built tie).
+  // ------------------------------------------------------------------
+  def repetitionStatsHashed(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStatsHashedOf(Tables.documents(spark, sfDir))
+
+  private[graft] def repetitionStatsHashedOf(docs: DataFrame): DataFrame = {
+    val topFold =
+      s"""aggregate(array_sort(hs),
+         |  struct(-1L AS prev, 0L AS run, 0L AS best_cnt, -1L AS best_fp),
+         |  (acc, h) -> CASE WHEN h = acc.prev AND acc.run + 1L >= acc.best_cnt
+         |      THEN struct(h AS prev, acc.run + 1L AS run, acc.run + 1L AS best_cnt, h AS best_fp)
+         |    WHEN h = acc.prev
+         |      THEN struct(h AS prev, acc.run + 1L AS run, acc.best_cnt AS best_cnt, acc.best_fp AS best_fp)
+         |    WHEN 1L >= acc.best_cnt
+         |      THEN struct(h AS prev, 1L AS run, 1L AS best_cnt, h AS best_fp)
+         |    ELSE struct(h AS prev, 1L AS run, acc.best_cnt AS best_cnt, acc.best_fp AS best_fp) END,
+         |  acc -> struct(acc.best_fp AS fp, acc.best_cnt AS cnt))""".stripMargin
+    docs
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"),
+        graft.functions.TextHashOps.shingleHashesWide(col("text"), 2).as("hs"),
+        graft.functions.TextHashOps.tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("toks"), col("hs"),
+        expr("CAST(size(th) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(th)) AS BIGINT)").as("n_distinct"),
+        expr(topFold).as("top"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_tokens - n_distinct) * 1000000L div n_tokens").as("dup_token_frac_e6"),
+        when(col("top.cnt") === 0L, lit(""))
+          .otherwise(expr(
+            "concat_ws(' ', slice(toks, CAST(array_position(hs, top.fp) AS INT), 2))"))
+          .as("top_bigram"),
+        col("top.cnt").as("top_bigram_cnt"),
+        expr("top.cnt * 2000000L div n_tokens").as("top_bigram_frac_e6"))
+  }
+
+  /** Oracle: the identical hash-keyed recipe in DuckDB — per-gram 62-bit
+    * two-hash fingerprints, argmax by (cnt DESC, fp DESC) (the largest-
+    * fingerprint tiebreak of the ascending-sort fold), winner display
+    * gram at the fingerprint's FIRST position, n_distinct over 62-bit
+    * token hashes.
+    */
+  val repetitionStatsHashedSql: String = {
+    val toks = tokensDuck("text")
+    val grams =
+      "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1)," +
+        " i -> array_to_string(toks[i + 1:i + 2], ' ')) ELSE [] END"
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM ($docsSql)),
+       |stats AS (
+       |  SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(ths)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT doc_id, ${hashedArray64Duck("toks")} AS ths FROM base)),
+       |gh AS (
+       |  SELECT doc_id, toks, ${hashedArray64Duck(grams)} AS ghs
+       |  FROM (SELECT doc_id, toks, $grams AS grams
+       |        FROM (SELECT doc_id, toks FROM base))),
+       |g AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ghs) + 1),
+       |      i -> {'pos': i, 'h': ghs[i]})) AS u
+       |    FROM gh)),
+       |cnts AS (
+       |  SELECT doc_id, h, count(*) AS cnt, min(pos) AS first_pos
+       |  FROM g GROUP BY doc_id, h),
+       |top AS (
+       |  SELECT doc_id, h, cnt, first_pos FROM (
+       |    SELECT doc_id, h, cnt, first_pos,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, h DESC) AS rnk
+       |    FROM cnts)
+       |  WHERE rnk = 1),
+       |win AS (
+       |  SELECT t.doc_id, t.cnt,
+       |    array_to_string(b.toks[t.first_pos:t.first_pos + 1], ' ') AS gram
+       |  FROM top t JOIN base b ON t.doc_id = b.doc_id)
+       |SELECT s.doc_id, s.n_tokens,
+       |  (s.n_tokens - s.n_distinct) * 1000000 // s.n_tokens AS dup_token_frac_e6,
+       |  coalesce(w.gram, '') AS top_bigram,
+       |  CAST(coalesce(w.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       |  CAST(coalesce(w.cnt, 0) AS BIGINT) * 2000000 // s.n_tokens AS top_bigram_frac_e6
+       |FROM stats s LEFT JOIN win w ON s.doc_id = w.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -1042,6 +1151,7 @@ object TextAnalysis {
     "t_quality_cutpoints_binned" -> (qualityCutpointsBinned _),
     "t_token_rarity" -> (tokenRarity _),
     "t_repetition_stats" -> (repetitionStats _),
+    "t_repetition_stats_hashed" -> (repetitionStatsHashed _),
     "t_pii_scrub" -> (piiScrub _),
     "t_feature_hash" -> (featureHash _),
     "s_text_cosine_topk" -> (textCosineTopK _),
@@ -1063,6 +1173,7 @@ object TextAnalysis {
     "t_quality_cutpoints_binned" -> qualityCutpointsBinnedSql,
     "t_token_rarity" -> tokenRaritySql,
     "t_repetition_stats" -> repetitionStatsSql,
+    "t_repetition_stats_hashed" -> repetitionStatsHashedSql,
     "t_pii_scrub" -> piiScrubSql,
     "t_feature_hash" -> featureHashSql,
     "s_text_cosine_topk" -> textCosineTopKSql,

@@ -6,6 +6,67 @@ package graft
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("repetition stats hashed: equals the string twin wherever the argmax is untied, fingerprint tiebreak and merge semantics on hand-built docs") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val s = operators.TextAnalysis.repetitionStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_token_frac_e6"),
+          r.getAs[String]("top_bigram"), r.getAs[Long]("top_bigram_cnt"),
+          r.getAs[Long]("top_bigram_frac_e6"))).toMap
+    val h = operators.TextAnalysis.repetitionStatsHashed(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_token_frac_e6"),
+          r.getAs[String]("top_bigram"), r.getAs[Long]("top_bigram_cnt"),
+          r.getAs[Long]("top_bigram_frac_e6"))).toMap
+    assert(h.keySet === s.keySet)
+    // Counts and fractions agree EVERYWHERE (no 62-bit collisions on the
+    // fixture); the display gram may differ only on count-tied docs.
+    h.foreach { case (id, (nt, dup, gram, cnt, frac)) =>
+      val (snt, sdup, sgram, scnt, sfrac) = s(id)
+      assert(nt === snt, id); assert(dup === sdup, id)
+      assert(cnt === scnt, id); assert(frac === sfrac, id)
+      if (gram != sgram) {
+        // a genuine tie: both grams must reach the winning count — check
+        // by recounting the hashed twin's winner in the raw text
+        val text = Tables.documents(spark, sfDir)
+          .where(col("doc_id") === id).head().getAs[String]("text")
+        val toks = text.split(" ", -1)
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        assert(counts(gram) === cnt, s"doc $id: hashed winner not at max count")
+        assert(counts(sgram) === cnt, s"doc $id: string winner not at max count")
+      }
+    }
+    // Hand-built tie: "a b" and "c d" both occur twice. The string twin
+    // picks the lexicographically larger gram; the hashed twin picks the
+    // larger 62-bit fingerprint — assert exactly that.
+    val tieText = "a b a b x c d y c d"
+    val dir = writeFixture(documents = Seq(doc(0L, tieText)))
+    def top(df: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val r = df.head()
+      (r.getAs[String]("top_bigram"), r.getAs[Long]("top_bigram_cnt"))
+    }
+    val (sg, sc) = top(operators.TextAnalysis.repetitionStats(spark, dir))
+    val (hg, hc) = top(operators.TextAnalysis.repetitionStatsHashed(spark, dir))
+    assert(sc === 2L && hc === 2L)
+    assert(sg === "c d") // lexicographic tiebreak
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(g: String): Long =
+      functions.TextKernels.polyHash(UTF8String.fromString(g))
+    val expectHashed = if (fp("a b") > fp("c d")) "a b" else "c d"
+    assert(hg === expectHashed, s"fingerprint tiebreak (fp(a b)=${fp("a b")}, fp(c d)=${fp("c d")})")
+    // Collision-merge semantics, demonstrated on the fold itself: two
+    // EQUAL hash values in separate runs of the sorted array count as
+    // one run after sorting — planted directly as a duplicated token
+    // pair ("e f ... e f"), whose two occurrences are a genuine merge
+    // the display recovery resolves to the first position.
+    val mergeText = "e f q e f q e f"
+    val dirM = writeFixture(documents = Seq(doc(0L, mergeText)))
+    val (mg, mc) = top(operators.TextAnalysis.repetitionStatsHashed(spark, dirM))
+    assert(mg === "e f" && mc === 3L)
+  }
+
   test("quality deciles: balanced NTILE buckets with non-increasing score ranges") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = operators.TextAnalysis.qualityDeciles(spark, sfDir).collect()
