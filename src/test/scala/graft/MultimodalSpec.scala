@@ -239,9 +239,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("frame sampling emits every k-th frame for video rows only") {
     // doc 5: non-planted video (5 % 3 == 2, 5 % 21 == 5) → stub
-    // n_frames = 1 + 100 % 240 = 101; doc 23: planted animated GIF
-    // (23 % 21 == 2) → REAL container frame count 2 + 23 % 4 = 5, so
-    // every-8th sampling keeps frame 0 only.
+    // n_frames = 1 + 100 % 240 = 101; doc 23: planted Y4M
+    // (23 % 21 == 2, 23/21 odd) → REAL container frame count
+    // 2 + 23 % 3 = 4, so every-8th sampling keeps frame 0 only.
     val text = "x" * 100
     val dir = writeFixture(documents = Seq(doc(5, text), doc(23, "replaced")))
     val frames = Multimodal.frameSampleQuery(spark, dir).collect()
@@ -250,24 +250,96 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(5L).map(_.getAs[Long]("frame_idx")).sorted.toSeq ===
       (0L until 101L by 8L).toSeq)
     assert(byId(23L).map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L))
-    assert(byId(23L).head.getAs[Long]("n_frames") === 5L)
+    assert(byId(23L).head.getAs[Long]("n_frames") === 4L)
   }
 
   test("planted animated GIF payloads are really parsed: frames, geometry, sums") {
-    // doc 23 ≡ 2 mod 21 → GIF: w = 2+23%3 = 4, h = 2+23%2 = 3,
-    // frames = 2+23%4 = 5; codes/frame = 2·12+1 = 25 → D = ⌈225/8⌉ = 29;
-    // n_bytes = 782 + 5·(21+29) = 1032. Checksum: grayscale palette ⇒
-    // 3 × the index-ramp sum across all five frames.
+    // doc 44 ≡ 2 mod 21, 44/21 = 2 even → GIF: w = 2+44%3 = 4,
+    // h = 2+44%2 = 2, frames = 2+44%4 = 2; codes/frame = 2·8+1 = 17 →
+    // D = ⌈153/8⌉ = 20; n_bytes = 782 + 2·(21+20) = 864. Checksum:
+    // grayscale palette ⇒ 3 × the index-ramp sum across both frames.
+    val dir = writeFixture(documents = Seq(doc(44, "this text is replaced")))
+    val got = Multimodal.decodeQuery(spark, dir).collect().head
+    assert(got.getAs[String]("kind") === "video")
+    assert(got.getAs[Long]("width") === 4L)
+    assert(got.getAs[Long]("height") === 2L)
+    assert(got.getAs[Long]("n_frames") === 2L)
+    assert(got.getAs[Long]("n_bytes") === 864L)
+    val wantSum = (for { f <- 0 until 2; i <- 0 until 8 }
+      yield 3L * ((44L * 23 + f.toLong * 41 + i.toLong * 53) % 256)).sum
+    assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("planted Y4M payloads are really parsed: frames, geometry, plane sums") {
+    // doc 23 ≡ 2 mod 21, 23/21 = 1 odd → YUV4MPEG2: w = 2+23%7 = 4,
+    // h = 2+23%5 = 5, frames = 2+23%3 = 4; header "YUV4MPEG2 W4 H5
+    // F25:1 Ip A1:1 C444\n" = 35 bytes, frame = 6 + 3·20 = 66 →
+    // n_bytes = 35 + 4·66 = 299.
     val dir = writeFixture(documents = Seq(doc(23, "this text is replaced")))
     val got = Multimodal.decodeQuery(spark, dir).collect().head
     assert(got.getAs[String]("kind") === "video")
     assert(got.getAs[Long]("width") === 4L)
-    assert(got.getAs[Long]("height") === 3L)
-    assert(got.getAs[Long]("n_frames") === 5L)
-    assert(got.getAs[Long]("n_bytes") === 1032L)
-    val wantSum = (for { f <- 0 until 5; i <- 0 until 12 }
-      yield 3L * ((23L * 23 + f.toLong * 41 + i.toLong * 53) % 256)).sum
+    assert(got.getAs[Long]("height") === 5L)
+    assert(got.getAs[Long]("n_frames") === 4L)
+    assert(got.getAs[Long]("n_bytes") === 299L)
+    val wantSum = (for { f <- 0 until 4; i <- 0 until 60 }
+      yield (23L * 29 + f.toLong * 47 + i.toLong * 59) % 256).sum
     assert(got.getAs[Long]("checksum") === wantSum)
+  }
+
+  test("Y4mCodec: hand-walked stream; C420 plane math; malformed refuses") {
+    import Multimodal.Y4mCodec
+    // Hand-built 2×2 C444 stream, two frames with explicit plane bytes:
+    // frame 0 = 1..12, frame 1 = 101..112 (values chosen by hand, no
+    // generator involved) — the parser must count 2 frames and sum all
+    // 24 plane bytes.
+    val header = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C444\n".getBytes
+    val f0 = "FRAME\n".getBytes ++ Array.tabulate(12)(i => (i + 1).toByte)
+    val f1 = "FRAME\n".getBytes ++ Array.tabulate(12)(i => (i + 101).toByte)
+    val d = Y4mCodec.tryDecode(MediaFile(2, "video", header ++ f0 ++ f1)).get
+    assert((d.width, d.height, d.n_frames) === (2L, 2L, 2L))
+    assert(d.checksum === ((1 to 12).sum + (101 to 112).sum).toLong)
+    assert(d.n_bytes === (35 + 2 * 18).toLong)
+    // Frame-level parameters after the FRAME keyword are legal.
+    val fp = "FRAME Xsome-param\n".getBytes ++ Array.tabulate(12)(_.toByte)
+    assert(Y4mCodec.tryDecode(MediaFile(2, "video", header ++ fp)).get.n_frames === 1L)
+    // C420 (the spec default when C is absent): 4×2 → Y 8 + 2·(2·1) = 12
+    // bytes per frame.
+    val h420 = "YUV4MPEG2 W4 H2 F25:1\n".getBytes
+    val c420 = h420 ++ "FRAME\n".getBytes ++ Array.tabulate(12)(i => (i + 1).toByte)
+    val d420 = Y4mCodec.tryDecode(MediaFile(2, "video", c420)).get
+    assert((d420.width, d420.height, d420.checksum) === (4L, 2L, (1 to 12).sum.toLong))
+    // Refusals: truncated last frame, odd-geometry C420, prose with the
+    // magic but no frames, junk magic — each None, then dispatch stubs.
+    assert(Y4mCodec.tryDecode(MediaFile(2, "video",
+      (header ++ f0 ++ f1).dropRight(1))).isEmpty)
+    assert(Y4mCodec.tryDecode(MediaFile(2, "video",
+      "YUV4MPEG2 W3 H2 F25:1\n".getBytes ++ "FRAME\n".getBytes ++
+        Array.fill(9)(0.toByte))).isEmpty)
+    val prose = "YUV4MPEG2 W2 H2 is a video format\n".getBytes
+    assert(Y4mCodec.tryDecode(MediaFile(2, "video", prose)).isEmpty)
+    assert(Y4mCodec.tryDecode(MediaFile(2, "video", "not a stream".getBytes)).isEmpty)
+    assert(Multimodal.decode(MediaFile(2, "video", prose)) ===
+      FakeCodec.decode(MediaFile(2, "video", prose)))
+    // Generator roundtrip at a second id: 65 ≡ 2 mod 21, 65/21 = 3 odd.
+    // w = 2+65%7 = 4, h = 2+65%5 = 2, frames = 2+65%3 = 4.
+    val d65 = Y4mCodec.tryDecode(
+      MediaFile(65, "video", Multimodal.syntheticY4m(65))).get
+    assert((d65.width, d65.height, d65.n_frames) === (4L, 2L, 4L))
+    // Y4M plane samples feed feature extraction exactly like GIF RGB.
+    val s = spark
+    import s.implicits._
+    val y4mSamples = for (f <- 0 until 4; i <- 0 until 24)
+      yield ((65L * 29 + f.toLong * 47 + i.toLong * 59) % 256).toInt
+    val got = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaFile(65L, "video", Multimodal.syntheticY4m(65L))).toDS())
+      .collect().head.features.toSeq
+    val hist = new Array[Float](Multimodal.FeatureBins)
+    y4mSamples.foreach(v => hist(v / 32) += 1f)
+    val want = hist.toSeq ++ Seq[Float](y4mSamples.size.toFloat,
+      (y4mSamples.map(_.toLong).sum / y4mSamples.size).toFloat,
+      y4mSamples.min.toFloat, y4mSamples.max.toFloat)
+    assert(got === want)
   }
 
   test("GifCodec: multi-frame roundtrip directly; junk refuses") {
