@@ -180,6 +180,33 @@ object StreamSoak {
       StreamingParity.packStream(
         streamDf(packDir, packDf).as[StreamingParity.PackDoc]).toDF(),
       OutputMode.Update())
+    // Feature-ANN serve (r18): stream-static and stateless per trigger —
+    // the frozen corpus index is the state, owned by storage, so the
+    // engine state columns must read ~0 however many media replay; the
+    // line records per-trigger serve latency (decode + frozen-mean
+    // centering + bucket probe per batch) and the emitted rank rows.
+    registered += "feature_serve"
+    if (soakOnly.forall(_.contains("feature_serve"))) {
+      val mediaDf = graft.multimodal.Multimodal
+        .mediaFromDocuments(spark, sfDir).toDF()
+        .select(col("media_id").as("event_time"), col("media_id"),
+          col("kind"), col("payload"))
+      val mediaDir = s"$work/in/media"
+      writeShards(mediaDf, mediaDir)
+      val idx = graft.multimodal.Multimodal.featureServeIndexOf(
+        graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.mediaFromDocuments(spark, sfDir)).toDF())
+      var serveOutRows = 0L
+      measure("feature_serve",
+        StreamingParity.featureServeStream(
+            streamDf(mediaDir, mediaDf).as[StreamingParity.StreamMedia], idx) {
+            df => serveOutRows += df.count(); () }
+          .option("checkpointLocation", s"$work/ckpt/feature_serve")
+          .start(),
+        s""","out_rows":$serveOutRows""")
+      idx.corpus.unpersist()
+    }
+
     // Count-Min stream: state = the counter grid, ≤ depth·width rows
     // however many documents replay — the state-rows column IS the
     // sketch's bounded-memory claim, measured.

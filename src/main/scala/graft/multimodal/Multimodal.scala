@@ -1155,8 +1155,18 @@ object Multimodal {
     * consumed by both the bucketed LSH arm and the exact brute-force arm.
     */
   private def centeredFeatures(features: DataFrame): (DataFrame, Int) = {
+    val (cent, _, nPlanes) = centeredFeaturesWithStats(features)
+    (cent, nPlanes)
+  }
+
+  /** The centering stage with its frozen statistics exposed — (centered
+    * relation with norm > 0, per-dim floor means, resolved plane count).
+    * The serve path needs (mu, nPlanes) separately: day-2 arrivals are
+    * centered with the CORPUS means, never their own batch's.
+    */
+  private def centeredFeaturesWithStats(
+      features: DataFrame): (DataFrame, Seq[Long], Int) = {
     import graft.functions.Parity
-    import graft.functions.VectorOps.longDot
     val fv = features.select(col("media_id"),
       expr("transform(features, x -> CAST(x AS BIGINT))").as("f"))
     val srow = fv.agg(count(lit(1)).as("n"),
@@ -1168,12 +1178,18 @@ object Multimodal {
     // non-negative — true of today's histogram/moment features, but a
     // signed future dimension would silently break parity (r17 advisory).
     val mu = srow.getSeq[Long](1).map(s => Math.floorDiv(s, n))
+    (centerWith(fv, mu), mu, Parity.planesForCount(n))
+  }
+
+  /** Center a (media_id, f: array<bigint>) relation with the GIVEN
+    * per-dim means; zero-residual rows drop (no direction to rank). */
+  private def centerWith(fv: DataFrame, mu: Seq[Long]): DataFrame = {
+    import graft.functions.VectorOps.longDot
     val muLit = array(mu.map(lit): _*)
-    val cent = fv.select(col("media_id"),
+    fv.select(col("media_id"),
         zip_with(col("f"), muLit, (x, m) => x - m).as("c"))
       .withColumn("norm", longDot(col("c"), col("c")))
       .where(col("norm") > 0)
-    (cent, Parity.planesForCount(n))
   }
 
   def featureTopKOf(features: DataFrame, numQueries: Long, k: Long): DataFrame = {
@@ -1324,6 +1340,73 @@ object Multimodal {
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
         sum(when(col("a_neighbor").isNotNull, 1L).otherwise(0L)).as("hits"))
+  }
+
+  // ------------------------------------------------------------------
+  // Feature-ANN SERVING (r18): the continuous deployment shape of
+  // s_feature_topk. Media arrive continuously in any real pipeline; the
+  // batch index freezes its structure ONCE from the static corpus — the
+  // per-dim floor means, the resolved plane grid, and the centered
+  // bucketed corpus relation (the `s_incremental_ivf_codes` frozen-
+  // structure discipline) — and each arriving batch decodes, centers
+  // with the FROZEN means (never its own batch statistics: a small
+  // trigger's means are noise, and bucket assignment must match the
+  // grid the corpus was indexed under), buckets, multiprobes and ranks.
+  // Stream-static and stateless per trigger: the index is the state,
+  // owned by storage (the knnClassifyStream / bm25ServeStream
+  // contract).
+  // ------------------------------------------------------------------
+
+  /** The frozen serve-time index: centered+bucketed corpus (persisted —
+    * it is probed every trigger), the corpus floor means, the plane
+    * count. */
+  case class FeatureServeIndex(corpus: DataFrame, mu: Seq[Long], nPlanes: Int)
+
+  def featureServeIndexOf(features: DataFrame): FeatureServeIndex = {
+    val (cent, mu, nPlanes) = centeredFeaturesWithStats(features)
+    val corpus = cent.withColumn("bucket", graft.operators.Similarity.lshBucketCol(
+      concat(col("c"), array_repeat(lit(0L),
+        graft.functions.Parity.EmbeddingDim - FeatureDim)),
+      nPlanes))
+      // Built once, probed every trigger — persist is the point of an
+      // index (the registry-persist policy; callers own the lifetime).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    FeatureServeIndex(corpus, mu, nPlanes)
+  }
+
+  /** One serve batch: query features → frozen-mean centering → bucket →
+    * multiprobe (Hamming ≤ 1) → broadcast onto the corpus bucket
+    * equi-join → exact centered-cosine top-k. Identical candidate and
+    * ranking semantics to [[featureTopKOf]] with the roles split
+    * static/arriving; self-matches drop on media_id as there.
+    */
+  def featureServeBatch(idx: FeatureServeIndex, queryFeatures: DataFrame,
+      k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.longDot
+    val qcent = centerWith(
+      queryFeatures.select(col("media_id"),
+        expr("transform(features, x -> CAST(x AS BIGINT))").as("f")),
+      idx.mu)
+      .withColumn("bucket", graft.operators.Similarity.lshBucketCol(
+        concat(col("c"), array_repeat(lit(0L),
+          graft.functions.Parity.EmbeddingDim - FeatureDim)),
+        idx.nPlanes))
+    val probeOffsets = lit(0) +: (0 until idx.nPlanes).map(j => lit(1 << j))
+    val probes = qcent
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("pbucket", expr("int(bucket ^ probe)"))
+    broadcast(probes.as("q")).join(idx.corpus.as("c"),
+        col("q.pbucket") === col("c.bucket") &&
+          col("q.media_id") =!= col("c.media_id"))
+      .select(col("q.media_id").as("query_id"), col("c.media_id").as("neighbor_id"),
+        longDot(col("q.c"), col("c.c")).as("dot"),
+        col("q.norm").as("qn"), col("c.norm").as("cn"))
+      .withColumn("cos", expr(graft.functions.Parity.cosineSpark("dot", "qn", "cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "dot")
   }
 
   val featureExactTopKSql: String = {

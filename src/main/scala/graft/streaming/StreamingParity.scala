@@ -1501,6 +1501,41 @@ object StreamingParity {
           b.sparkSession, sfDir,
           b.select(col("doc_id").as("query_id"), col("text")))))
 
+  /** A media file arriving on the wire: payload + routing metadata. */
+  case class StreamMedia(event_time: Long, media_id: Long, kind: String,
+      payload: Array[Byte])
+
+  /** Feature-tier ANN serving — the continuous form of `s_feature_topk`
+    * (r17 verdict Next #5): arriving media decode to their 12-dim
+    * feature vectors IN the trigger (the mapPartitions decode is
+    * per-row, streaming-legal), are centered with the FROZEN corpus
+    * means and bucketed under the frozen plane grid (the
+    * `s_incremental_ivf_codes` day-2 discipline — a small trigger's own
+    * means are noise and would land queries on a different grid than
+    * the corpus was indexed under), then probe the static corpus bucket
+    * index per trigger. Same deployment shape as [[knnClassifyStream]]/
+    * [[bm25ServeStream]]: stream-static, stateless per batch — the
+    * index IS the state, owned by storage; the soak line proves
+    * state ≈ 0. `onBatch` receives each trigger's
+    * (query_id, neighbor_id, rnk, dot) relation.
+    */
+  def featureServeStream(media: Dataset[StreamMedia],
+      idx: graft.multimodal.Multimodal.FeatureServeIndex)(
+      onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.toDF().writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val s = b.sparkSession
+          import s.implicits._
+          val feats = graft.multimodal.Multimodal.extractFeatures(
+            b.select("media_id", "kind", "payload")
+              .as[graft.multimodal.Multimodal.MediaFile]).toDF()
+          onBatch(graft.multimodal.Multimodal.featureServeBatch(
+            idx, feats, graft.operators.Similarity.TopK))
+        }
+      }
+
   // ------------------------------------------------------------------
   // Per-batch statistics feedback — the reference's BroadcastWrapper loop
   // (C1, one-group-stateless/src/main/scala/cluster/BroadcastWrapper.scala:

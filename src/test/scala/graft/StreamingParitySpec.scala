@@ -499,6 +499,59 @@ class StreamingParitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming feature-ANN serve: frozen-stat centering, per-trigger ranks ≡ the batch serve plan") {
+    import graft.multimodal.Multimodal
+    import graft.streaming.StreamingParity.StreamMedia
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // Static corpus = even media (the incremental-dedup parity split);
+    // the index freezes the corpus means / plane grid / bucket relation.
+    val allMedia = Multimodal.mediaFromDocuments(s, sfDir)
+    val idx = Multimodal.featureServeIndexOf(
+      Multimodal.extractFeatures(allMedia.filter(_.media_id % 2 == 0L)).toDF())
+    // Arriving media: three odd ids across two triggers, one of them the
+    // planted Y4M (23) so the serve path exercises a REAL video decode.
+    val qIds = Set(1L, 23L, 45L)
+    val qMedia = allMedia.filter(m => qIds.contains(m.media_id)).collect()
+      .map(m => StreamMedia(m.media_id, m.media_id, m.kind, m.payload))
+      .sortBy(_.media_id)
+    val results = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+    val input = MemoryStream[StreamMedia]
+    val query = StreamingParity.featureServeStream(input.toDS(), idx) { out =>
+      val rows = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+      results.synchronized(results ++= rows)
+    }.start()
+    try {
+      input.addData(Seq(qMedia(0)))
+      query.processAllAvailable()
+      val afterFirst = results.synchronized(results.toList)
+      assert(afterFirst.nonEmpty && afterFirst.forall(_._1 == 1L))
+      input.addData(qMedia.drop(1).toSeq)
+      query.processAllAvailable()
+      val all = results.synchronized(results.toList)
+      // per-batch semantics: trigger 2 added only the new queries
+      assert(all.count(_._1 == 1L) === afterFirst.size)
+      // neighbors come from the static corpus side only
+      assert(all.forall(_._2 % 2 == 0L))
+      // streamed rows ≡ the batch serve plan over the same query features
+      val batch = Multimodal.featureServeBatch(idx,
+        Multimodal.extractFeatures(
+          allMedia.filter(m => qIds.contains(m.media_id))).toDF(),
+        graft.operators.Similarity.TopK).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+        .toList
+      assert(all.sorted === batch.sorted)
+      assert(batch.exists(_._1 == 23L), "the Y4M query must rank someone")
+    } finally {
+      query.stop()
+      idx.corpus.unpersist()
+      ()
+    }
+  }
+
   test("foreachBatch feedback publishes per-batch heavy hitters (C1 analogue)") {
     val s = spark
     import s.implicits._
