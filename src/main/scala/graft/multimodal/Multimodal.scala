@@ -1236,11 +1236,11 @@ object Multimodal {
     */
   private val featureCentCtes: String =
     s"""fvec AS MATERIALIZED ($featureVecSql),
-       |sums AS (
+       |fsums AS (
        |  SELECT i, CAST(sum(fv[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS s,
        |    count(*) AS n
        |  FROM fvec, range($FeatureDim) t(i) GROUP BY i),
-       |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM sums),
+       |mu AS (SELECT list(s // n ORDER BY i) AS mu FROM fsums),
        |cent AS MATERIALIZED (
        |  SELECT media_id, c,
        |    CAST(list_sum(list_transform(range(1, ${FeatureDim + 1}),
@@ -1438,7 +1438,123 @@ object Multimodal {
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Trained k-means IVF over the decode features (r18) — the scale path
+  // the saturation measurement demands. The bucket histogram (BASELINE
+  // r18) shows the 12-dim feature space spans only ~25 sign-cones at
+  // 50 k media: fixed random hyperplanes cannot mint entropy the space
+  // doesn't have, so the sign-LSH arm's candidate volume is
+  // bucket-bound, not 1/2^planes. Trained centroids ADAPT to the cone
+  // structure — Lloyd moves them where the mass is — giving cells whose
+  // occupancy the probe dial actually controls. Implementation is pure
+  // reuse: features zero-pad into the 64-dim space (padding contributes
+  // nothing to dots or distances), then Similarity's exact-integer
+  // Lloyd chain, assignment kernel and probe/search plan run verbatim
+  // (kmeansChainOver / ivfKmeansSearchOver), and the oracle replays the
+  // identical chain through kmeansTrainCtesOver over a padded corpus
+  // CTE. Unlike the sign grid, THIS index's recall gate has teeth: with
+  // NProbe of KmeansK cells the arm genuinely prunes, so
+  // s_feature_ivf_recall records a real hit count, not a saturated 1.0.
+  // ------------------------------------------------------------------
+
+  /** Centered features zero-padded to the shared 64-dim vector shape:
+    * (vec_id, v, norm) — the relation every Similarity kernel speaks.
+    */
+  private def featureCorpus64(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"multimodal.featCorpus64:$sfDir") {
+      val (cent, _, _) = centeredFeaturesWithStats(cachedFeatures(spark, sfDir))
+      cent.select(col("media_id").as("vec_id"),
+        concat(col("c"), array_repeat(lit(0L),
+          graft.functions.Parity.EmbeddingDim - FeatureDim)).as("v"),
+        col("norm"))
+    }
+
+  private def featureIvfCents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"multimodal.featIvfCents:$sfDir") {
+      graft.operators.Similarity.kmeansChainOver(
+        featureCorpus64(spark, sfDir), graft.operators.Similarity.KmeansK,
+        graft.operators.Similarity.KmeansIters)._1
+    }
+
+  private def featureIvfAsg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"multimodal.featIvfAsg:$sfDir") {
+      graft.operators.Similarity.kmeansChainOver(
+        featureCorpus64(spark, sfDir), graft.operators.Similarity.KmeansK,
+        graft.operators.Similarity.KmeansIters)._2.last
+    }
+
+  def featureIvfTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    val corpus = featureCorpus64(spark, sfDir)
+    Similarity.ivfKmeansSearchOver(
+      corpus.join(featureIvfAsg(spark, sfDir).select("vec_id", "cluster"), "vec_id"),
+      corpus.where(col("vec_id") < Similarity.NumQueries),
+      featureIvfCents(spark, sfDir), Similarity.NProbe, Similarity.TopK)
+  }
+
+  /** Per-query recall of the trained-IVF arm against the exact centered
+    * brute force — the pre-trust baseline whose value is NOT saturated
+    * (the probe genuinely prunes).
+    */
+  def featureIvfRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = featureExactTopKOf(cachedFeatures(spark, sfDir),
+        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = featureIvfTopKQuery(spark, sfDir)
+      .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
+    exact.join(approx,
+        col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a_neighbor").isNotNull, 1L).otherwise(0L)).as("hits"))
+  }
+
+  val featureIvfTopKSql: String = {
+    import graft.functions.Parity._
+    import graft.operators.Similarity
+    val zeros = (FeatureDim until EmbeddingDim)
+      .map(_ => "CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH $featureCentCtes,
+       |corpus AS MATERIALIZED (
+       |  SELECT media_id AS vec_id, list_concat(c, $zeros) AS v, norm
+       |  FROM cent WHERE norm > 0),
+       |${Similarity.kmeansTrainCtesOver("corpus", Similarity.KmeansK)},
+       |asg AS (SELECT vec_id, cluster FROM (${Similarity.kmeansAssignSql("corpus", "c1")})),
+       |labeled AS (
+       |  SELECT c.vec_id, c.v, c.norm, a.cluster
+       |  FROM corpus c JOIN asg a USING (vec_id)),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qn, ce.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.norm - 2 * ${dotDuck("q.v", "ce.cv")} + ce.cnorm, ce.cid) AS crnk
+       |    FROM (SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}) q
+       |    CROSS JOIN c1 ce)
+       |  WHERE crnk <= ${Similarity.NProbe})
+       |SELECT query_id, neighbor_id, rnk, dot FROM (
+       |  SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotDuck("p.qv", "c.v")} AS dot,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosineDuck(dotDuck("p.qv", "c.v"), "p.qn", "c.norm")} DESC,
+       |        c.vec_id) AS rnk
+       |  FROM probes p
+       |  JOIN labeled c ON p.cell = c.cluster AND p.query_id <> c.vec_id)
+       |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+  }
+
+  val featureIvfRecallSql: String =
+    s"""WITH exact AS ($featureExactTopKSql),
+       |approx AS ($featureIvfTopKSql)
+       |SELECT e.query_id, count(*) AS k,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_feature_ivf_topk" -> (featureIvfTopKQuery _),
+    "s_feature_ivf_recall" -> (featureIvfRecallQuery _),
     "m_decode_media" -> (decodeQuery _),
     "m_frame_sample" -> (frameSampleQuery _),
     "m_resize_plan" -> (resizeQuery _),
@@ -1448,6 +1564,8 @@ object Multimodal {
     "s_feature_recall" -> (featureRecallQuery _))
 
   val oracles: Map[String, String] = Map(
+    "s_feature_ivf_topk" -> featureIvfTopKSql,
+    "s_feature_ivf_recall" -> featureIvfRecallSql,
     "m_decode_media" -> decodeQuerySql,
     "m_frame_sample" -> frameSampleQuerySql,
     "m_resize_plan" -> resizeQuerySql,

@@ -410,7 +410,7 @@ object Similarity {
   /** (final centroids, per-iteration assignments) of the Lloyd chain over
     * an arbitrary corpus, seeded by its vec_id < `seedBound` members.
     */
-  private def kmeansChainOver(
+  private[graft] def kmeansChainOver(
       q: DataFrame, seedBound: Long, iters: Int): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1, s"kmeans needs at least one assignment pass, got $iters")
     val seeds = q.where(col("vec_id") < seedBound)
@@ -493,7 +493,7 @@ object Similarity {
   def kmeansInertia(spark: SparkSession, sfDir: String): DataFrame =
     kmeansInertiaAt(spark, sfDir, KmeansIters)
 
-  private def kmeansAssignSql(corpus: String, cents: String): String =
+  private[graft] def kmeansAssignSql(corpus: String, cents: String): String =
     s"""SELECT vec_id, cid AS cluster, dist2 FROM (
        |  SELECT vec_id, cid, dist2,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
@@ -510,7 +510,7 @@ object Similarity {
   /** seeds→a1→sums→c1 over a NAMED training-corpus CTE (r15: factored so
     * the incremental oracle can train on the stored half only).
     */
-  private def kmeansTrainCtesOver(trainCorpus: String, seedBound: Long): String = {
+  private[graft] def kmeansTrainCtesOver(trainCorpus: String, seedBound: Long): String = {
     val dimSums = (0 until EmbeddingDim)
       .map(i => s"CAST(sum(q.v[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
     val fdivArr = (0 until EmbeddingDim)
@@ -558,12 +558,23 @@ object Similarity {
   def ivfKmeansTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfKmeansTopKNprobe(spark, sfDir, NProbe)
 
-  def ivfKmeansTopKNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
-    val labeled = quantized(spark, sfDir)
-      .join(kmeansTrain(spark, sfDir).select("vec_id", "cluster"), "vec_id")
-    val qs = quantized(spark, sfDir).where(col("vec_id") < NumQueries)
+  def ivfKmeansTopKNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame =
+    ivfKmeansSearchOver(
+      quantized(spark, sfDir)
+        .join(kmeansTrain(spark, sfDir).select("vec_id", "cluster"), "vec_id"),
+      quantized(spark, sfDir).where(col("vec_id") < NumQueries),
+      kmeansCentroids(spark, sfDir), nprobe, TopK)
+
+  /** The trained-cell probe + search over ANY labeled corpus
+    * (vec_id, v, norm, cluster), query set (vec_id, v, norm) and
+    * centroid relation (cid, cv, cnorm) — factored (r18) so the
+    * feature-tier IVF rides the identical plan with zero new search
+    * code.
+    */
+  private[graft] def ivfKmeansSearchOver(labeled: DataFrame, qs: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Long): DataFrame = {
     val probed = broadcast(qs.as("q"))
-      .join(broadcast(kmeansCentroids(spark, sfDir).as("ce")))
+      .join(broadcast(cents.as("ce")))
       .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
         col("q.norm").as("qn"), col("ce.cid").as("cell"),
         (col("q.norm") - lit(2L) * longDot(col("q.v"), col("ce.cv")) + col("ce.cnorm"))
@@ -580,7 +591,7 @@ object Similarity {
       .withColumn("cos", expr(cosineSpark("dot", "qn", "cn")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rnk") <= TopK)
+      .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "dot")
   }
 

@@ -358,6 +358,35 @@ class MultimodalSpec extends SparkSpec {
     assert(GifCodec.tryDecode(junk).isEmpty)
   }
 
+  test("feature IVF: probe prunes to nprobe cells, recall algebra consistent with both public arms") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val ivf = Multimodal.featureIvfTopKQuery(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rnk")))
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n, rnk) => q != n && rnk >= 1 && rnk <= 5 })
+    // ≤ k rows per query, ranks contiguous from 1
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.size), q)
+    }
+    // recall relation = |exact ∩ ivf| per query, recomputed independently
+    // from the two public arms
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, sfDir)).toDF()
+    val exact = Multimodal.featureExactTopKOf(feats, 20L, 5L).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val ivfSet = ivf.map(t => (t._1, t._2)).toSet
+    val recall = Multimodal.featureIvfRecallQuery(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("hits")))).toMap
+    assert(recall.keySet === exact.map(_._1).toSet)
+    exact.groupBy(_._1).foreach { case (q, ns) =>
+      val hits = ns.count(ivfSet).toLong
+      assert(recall(q) === ((ns.size.toLong, hits)), q)
+    }
+  }
+
   test("feature ANN: a planted near-identical image pair are each other's top neighbor") {
     val s = spark
     import s.implicits._
