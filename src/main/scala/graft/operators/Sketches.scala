@@ -317,8 +317,25 @@ object Sketches {
     s"CAST((CASE $arms ELSE $BloomMaxBits END) AS BIGINT)"
   }
 
+  // The key is reduced mod P BEFORE the multiply: the Carter–Wegman
+  // family is defined over Z_P, so keys ≥ P always needed this
+  // reduction for the math to be the advertised hash — and without it
+  // a·key overflows the 64-bit long at keys ≳ 2^63/P ≈ 4.3·10⁹ (hit at
+  // the sf10 tree, where custkeys reach 9.9·10⁹; ANSI mode raised
+  // ARITHMETIC_OVERFLOW — r18). After reduction a·(key mod P) ≤
+  // (P−1)² ≈ 4.6·10¹⁸ < 2^63. Two keys congruent mod P share all K bit
+  // positions — a false-positive source the filter contract already
+  // absorbs (no false negatives: a member's own bits are still set).
   private def bloomBitCols(key: String, m: Long): IndexedSeq[Column] =
-    bloomCoeffs.map { case (a, b) => expr(s"(($a * $key + $b) % $P) % $m") }
+    bloomCoeffs.map { case (a, b) =>
+      expr(s"(($a * (($key) % $P) + $b) % $P) % $m")
+    }
+
+  /** Test-only window onto the bit expressions (SketchesSpec pins the
+    * overflow-wall behavior on a literal key without a full report run).
+    */
+  private[graft] def bloomBitColsForTest(key: String, m: Long): IndexedSeq[Column] =
+    bloomBitCols(key, m)
 
   /** Gated: the runtime-filter report. Dimension = BUILDING-segment
     * customers; fact = orders grouped per custkey. One row: how many
@@ -370,7 +387,8 @@ object Sketches {
   private def bloomSqlText(): String = {
     def bitSelects(rel: String, extra: String): String =
       bloomCoeffs.zipWithIndex.map { case ((a, b), j) =>
-        s"SELECT $extra$j AS j, (($a * key + $b) % $P) % (SELECT m FROM mm) AS bit FROM $rel"
+        // key reduced mod P before the multiply — see bloomBitCols.
+        s"SELECT $extra$j AS j, (($a * (key % $P) + $b) % $P) % (SELECT m FROM mm) AS bit FROM $rel"
       }.mkString("\n  UNION ALL ")
     s"""WITH dim AS (
        |  SELECT CAST(c_custkey AS BIGINT) AS key FROM customer

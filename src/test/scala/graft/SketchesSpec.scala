@@ -121,7 +121,7 @@ class SketchesSpec extends SparkSpec {
     assert(m >= Sketches.BloomBitsPerKey * dimKeys.size,
       s"size policy must give ≥ bitsPerKey·n (m=$m, n=${dimKeys.size})")
     def bitsOf(k: Long): Seq[Long] =
-      Sketches.bloomCoeffs.map { case (a, b) => ((a * k + b) % P) % m }
+      Sketches.bloomCoeffs.map { case (a, b) => ((a * (k % P) + b) % P) % m }
     val bitSet = dimKeys.flatMap(bitsOf)
     val byKey = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").cast("long").as("k")).agg(count(lit(1)).as("n"))
@@ -145,6 +145,33 @@ class SketchesSpec extends SparkSpec {
     // the filter contract: membership is never missed
     assert(r.getAs[Long]("keys_true") <= r.getAs[Long]("keys_pass_bloom"))
     assert(isTrue.forall { case (k, _) => bitsOf(k).forall(bitSet) })
+  }
+
+  test("Bloom hash survives keys past the 64-bit multiply wall (key mod P first)") {
+    // sf10-regime keys reach 9.9e9; with a < P = 2^31-1, a*key overflows
+    // a long around 4.3e9 — the r18 campaign hit ANSI ARITHMETIC_OVERFLOW.
+    // The fix reduces the key mod P before the multiply (the Carter-Wegman
+    // family is defined over Z_P). Pin: the bit expression evaluates on a
+    // 9.9e9 key under ANSI mode, and a key pair congruent mod P shares all
+    // K bit positions (the documented false-positive source), while the
+    // no-false-negative side is covered by the report test above.
+    val big = 9900014999L
+    val m = 1L << 12
+    // BIGINT-cast the literals: the production key is a BIGINT column, but
+    // a bare int-range literal would type the whole expression INT and
+    // overflow on a*key before the mod-P fix even applies.
+    val df = spark.range(1).select(
+      array(Sketches.bloomBitColsForTest(
+        s"CAST($big AS BIGINT)", m): _*).as("big_bits"),
+      array(Sketches.bloomBitColsForTest(
+        s"CAST(${big % P} AS BIGINT)", m): _*).as("cong_bits"))
+    val row = df.collect()(0)
+    val bigBits = row.getSeq[Long](0)
+    val congBits = row.getSeq[Long](1)
+    assert(bigBits.size === Sketches.BloomK)
+    assert(bigBits.forall(b => b >= 0 && b < m))
+    assert(bigBits === congBits,
+      "keys congruent mod P must share all K positions by construction")
   }
 
   // ---- Edit-distance refinement ----------------------------------------

@@ -1704,4 +1704,43 @@ class StreamingParitySpec extends SparkSpec {
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("pack stream absorbs an at-least-once replay of the most recent doc") {
+    import graft.streaming.StreamingParity.{PackDoc, PackedDoc}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val input = MemoryStream[PackDoc]
+    val query = StreamingParity.packStream(input.toDS())
+      .writeStream.format("memory").queryName("pack_replay")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(PackDoc(5, 5, "web", "a b c")))
+      query.processAllAvailable()
+      // doc 5 delivered AGAIN (at-least-once source): equal doc_id is the
+      // same doc — it was already packed, so the replay must emit nothing
+      // and must NOT raise (r17 advisory: the raise-on-equal contradicted
+      // the documented nondecreasing contract).
+      input.addData(Seq(PackDoc(5, 5, "web", "a b c")))
+      query.processAllAvailable()
+      // and the stream keeps packing: doc 6 starts at the total doc 5
+      // left (3 tokens), proving the replay advanced no state.
+      input.addData(Seq(PackDoc(6, 6, "web", "d e")))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT * FROM pack_replay")
+        .as[PackedDoc].collect().toSeq
+      assert(rows.size === 2)
+      assert(rows.toSet === Set(
+        PackedDoc(5, "web", 0, 3, 0, 0, 0),
+        PackedDoc(6, "web", 0, 2, 3, 0, 3)))
+    } finally query.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
