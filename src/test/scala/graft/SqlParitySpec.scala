@@ -78,7 +78,8 @@ class SqlParitySpec extends SparkSpec {
       "d_jaccard_prefix_pairs", "d_adaptive_jaccard_pairs",
       "d_embedding_neardup_lsh",
       "s_ivf_topk", "s_ivf_recall", "s_text_lsh_topk", "s_feature_topk",
-      "s_feature_recall",
+      "s_feature_recall", "s_feature_ivf_topk", "s_feature_ivf_recall",
+      "t_repetition_stats_hashed",
       "p_pack_sequences", "p_stratified_sample",
       "a_profile", "a_profile_approx", "a_timeseries_similarity",
       "d_incremental_neardup", "p_split_leakage")
