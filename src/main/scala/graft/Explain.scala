@@ -45,7 +45,11 @@ object Explain {
       df.queryExecution.toRdd.count() // untimed warmup (JIT + registry chains)
       val times = (1 to 3).map { i =>
         val t0 = System.nanoTime()
-        val n = df.queryExecution.toRdd.count()
+        // Rebuild the frame per run exactly like Bench: re-timing one
+        // memoized QueryExecution would skip every stage whose shuffle
+        // output is already on disk and under-report all but the final
+        // stage.
+        val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[explain] $name run $i: $dt%.3f s, $n rows")
         dt

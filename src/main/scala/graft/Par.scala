@@ -63,10 +63,33 @@ object Par {
     * untouched otherwise (the cluster-scale branch).
     */
   def widen(spark: SparkSession, df: DataFrame, path: String, keys: Column*): DataFrame = {
+    // Session-conf kill switch (`spark.graft.par.widen=off`): lets an
+    // operator pin the bare-scan plans, and lets a dev session A/B the
+    // two forms interleaved under the same JVM/load window.
+    if (spark.conf.getOption("spark.graft.par.widen").contains("off")) return df
     val target = spark.sparkContext.defaultParallelism
     if (scanTasks(spark, path) < target) df.repartition(target, keys: _*)
     else df
   }
+
+  /** Persist-time right-sizing for derived relations that go into the
+    * CacheRegistry: a keyed repartition WITHOUT an explicit partition
+    * count. `repartition(col)` exchanges carry the REPARTITION_BY_COL
+    * origin, which AQE's partition coalescing is allowed to resize by
+    * the ACTUAL bytes produced — a pair relation of a few thousand rows
+    * caches as 1 partition, the same code at 100 TB caches as
+    * advisory-sized hundreds. Without this, a relation whose build ends
+    * in a narrow projection (e.g. over a broadcast join) inherits
+    * whatever partition count its lineage had, and every one of its
+    * consumers then pays per-partition task launches on a tiny cache
+    * (measured r18: the widened sigCols pushed the cached LSH pair
+    * relations to 32 near-empty partitions and the triangle audits — a
+    * dozen stages over those caches — regressed 1.4–1.9×). Keying by
+    * the consumers' join column additionally lets a same-key join read
+    * the cache with zero exchange (guide §2.4).
+    */
+  def rightsize(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(keys: _*)
 
   /** [[widen]] for a standard `$sfDir/<table>.parquet` fixture table. */
   def widenTable(spark: SparkSession, df: DataFrame, sfDir: String,

@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+// Temporary r18 diagnostic — deleted before commit. Interleaved A/B of
+// the Par.widen flag inside ONE JVM: two sibling sessions (separate
+// CacheRegistry namespaces via identityHashCode), alternating timed
+// runs so bursty external load hits both arms equally.
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val queries = if (args.nonEmpty) args(0).split(",").toSeq
+      else Seq("g_dup_triangles", "g_dup_triangles_simhash")
+    val rounds = if (args.length > 1) args(1).toInt else 4
+    val root = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    root.sparkContext.setLogLevel("ERROR")
+    val on = root.newSession()
+    val off = root.newSession()
+    off.conf.set("spark.graft.par.widen", "off")
+    Seq(on, off).foreach(GraftExtensions.register)
+    val sf = "/root/testdata/sf0.1"
+    val mins = scala.collection.mutable.Map[(String, String), Double]()
+    // untimed warmup: build both arms' registry chains
+    for (q <- queries; s <- Seq(on, off))
+      SparkEntry.queries(q)(s, sf).queryExecution.toRdd.count()
+    for (r <- 1 to rounds; q <- queries; (s, tag) <- Seq((on, "widen"), (off, "narrow"))) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(s, sf).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $q $tag round$r $dt%.2f s")
+      val key = (q, tag)
+      mins(key) = math.min(mins.getOrElse(key, Double.MaxValue), dt)
+    }
+    for (q <- queries)
+      println(f"PROBE-MIN $q widen=${mins((q, "widen"))}%.2f narrow=${mins((q, "narrow"))}%.2f")
+    root.stop()
+  }
+}

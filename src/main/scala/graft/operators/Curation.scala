@@ -164,7 +164,7 @@ object Curation {
   // guard keeps sub-w docs out of `sequence`'s backwards-step error.
   // ------------------------------------------------------------------
   def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2)," +
@@ -360,7 +360,12 @@ object Curation {
     */
   private def chunkFpRel(spark: SparkSession, sfDir: String): DataFrame =
     CacheRegistry.cached(spark, s"curation.chunkFpDocs:$sfDir") {
-      chunkDocs(spark, sfDir).select("doc_id", "chunk_id", "source", "chunk_fp")
+      // Rightsized on the consumers' key (Par.rightsize): the widened
+      // chunk explode would otherwise persist 32 near-empty partitions
+      // at fixture scale and every consumer pays the task launches.
+      graft.Par.rightsize(
+        chunkDocs(spark, sfDir).select("doc_id", "chunk_id", "source", "chunk_fp"),
+        col("chunk_fp"))
     }
 
   def forgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
@@ -547,7 +552,7 @@ object Curation {
   val ChunkStride = 48L
 
   def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), col("source"),
         expr(graft.functions.Parity.tokensSpark("text")).as("toks"))
       .withColumn("n_tokens", expr("size(toks)").cast("long"))
@@ -647,7 +652,7 @@ object Curation {
     */
   private def mixPerSource(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.cached(spark, s"curation.mixPerSource:$sfDir") {
-      Tables.documents(spark, sfDir)
+      Tables.documentsWide(spark, sfDir)
         .select(col("source"),
           expr(s"size(${graft.functions.Parity.tokensSpark("text")})").cast("long")
             .as("n_tokens"))
@@ -1331,7 +1336,7 @@ object Curation {
   val BpeIters = 5
 
   private def bpeChain(spark: SparkSession, sfDir: String): Seq[(DataFrame, DataFrame)] = {
-    val vocab = Tables.documents(spark, sfDir)
+    val vocab = Tables.documentsWide(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wf"))
     var syms = vocab.select(col("word"), col("wf"),
@@ -1430,7 +1435,7 @@ object Curation {
     val sized = bpeChain(spark, sfDir).last._2
       .select(col("word"),
         expr("CAST(size(split(syms, ' ')) AS BIGINT)").as("n_sub"))
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(broadcast(sized), "word")
       .groupBy("doc_id")
@@ -1472,7 +1477,7 @@ object Curation {
   // ------------------------------------------------------------------
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val dict = bpeChain(spark, sfDir).last._2.select(col("word"), col("syms"))
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .join(broadcast(dict), "word")
       .groupBy("doc_id")

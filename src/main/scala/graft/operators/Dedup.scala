@@ -94,7 +94,7 @@ object Dedup {
     * `CacheRegistry.release(spark, "dedup.sortedShingles:<sfDir>")`.
     */
   private[operators] def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"),
         explode(TextHashOps.shingleHashes(col("text"), ShingleW)).as("sh"))
 
@@ -166,8 +166,14 @@ object Dedup {
     val rare = graft.CacheRegistry.cached(spark, s"dedup.containRare:$sfDir") {
       val sh = shingleRel(spark, sfDir)
       val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      sh.join(df.where(col("df") >= 2 && col("df") <= ContainDfCap), "sh")
-        .select("doc_id", "sh")
+      // Rightsized on the self-join key: both sides of the candidate
+      // join below are THIS cache, so persisting it hash-partitioned by
+      // sh makes the join exchange-free, and the AQE-coalescible keyed
+      // repartition sizes the partition count to the data (guide §2.4).
+      graft.Par.rightsize(
+        sh.join(df.where(col("df") >= 2 && col("df") <= ContainDfCap), "sh")
+          .select("doc_id", "sh"),
+        col("sh"))
     }
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     rare.as("a").join(rare.as("b"), col("a.sh") === col("b.sh"))
@@ -251,7 +257,15 @@ object Dedup {
   // and drop out (nothing to measure).
   // ------------------------------------------------------------------
   def dupShingleStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRel(spark, sfDir)
+    // Narrow scan, not the widened shingleRel (r18): this query embeds
+    // the shingle subtree twice (df aggregate + join-back) and does only
+    // two cheap hash aggregates with it — the interleaved A/B probe read
+    // widen=1.06 s vs narrow=0.62 s, the one shingle consumer where the
+    // duplicated widen exchange costs more than the single-task explode
+    // it parallelizes (every heavier consumer keeps the widened form).
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextHashOps.shingleHashes(col("text"), ShingleW)).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy("doc_id")
@@ -347,13 +361,13 @@ object Dedup {
     * where sh = 31-bit hash of the w-token window starting at pos.
     */
   private def spanRel(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"),
         posexplode(TextHashOps.shingleHashes(col("text"), ScrubW, distinct = false)))
       .toDF("doc_id", "pos", "sh")
 
   def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsWide(spark, sfDir)
     // df over per-doc-distinct span arrays: the kernel dedups within the
     // row, so one explode + one count — no DISTINCT exchange.
     val dup = docs
@@ -716,7 +730,7 @@ object Dedup {
       // keeps the non-cheap kernel single-evaluated because the alias is
       // referenced 32 times. Empty array = the <w-token docs the grouped
       // form dropped.
-      val base = Tables.documents(spark, sfDir)
+      val base = Tables.documentsWide(spark, sfDir)
         .select(col("doc_id"),
           TextHashOps.minhashSigs(col("text"), ShingleW).as("sig"))
         .where(size(col("sig")) > 0)
@@ -735,8 +749,12 @@ object Dedup {
     // Registry-persisted like simhashPairs: the pair OUTPUT is tiny and
     // has three gated consumers (the pair query, the Jaccard-estimate
     // eval, and the minhash clustering) — the banded self-join runs once
-    // per session instead of three times.
-    minhashLshPairsPlan(spark, sfDir)
+    // per session instead of three times. Rightsized (Par): the plan
+    // ends in a narrow projection over broadcast joins, so without an
+    // explicit AQE-coalescible exchange the cache inherits the band
+    // relation's partition count and the many-stage consumers (the
+    // triangle audits) pay ~32 near-empty task launches per stage.
+    graft.Par.rightsize(minhashLshPairsPlan(spark, sfDir), col("id_a"))
   }
 
   private def minhashLshPairsPlan(spark: SparkSession, sfDir: String): DataFrame = {
@@ -947,7 +965,7 @@ object Dedup {
     // gate AND (twice, via the band self-join) by simhashPairs; registry-
     // persisted so the kernel pass runs once per session.
     CacheRegistry.cached(spark, s"dedup.simhash:$sfDir") {
-      Tables.documents(spark, sfDir)
+      Tables.documentsWide(spark, sfDir)
         .select(col("doc_id"), TextHashOps.simHash(col("text")).as("simhash"))
     }
 
@@ -981,10 +999,13 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr(hammingSpark("a.simhash", "b.simhash")).as("hamming"))
       .where(col("hamming") <= MaxHamming)
-    // Registry-persisted (see the wrapper): the pair OUTPUT is tiny
-    // (near-dups are rare by construction) and has two gated consumers —
-    // the pair query itself and the connected-components clustering — so
-    // the banded self-join runs once per session.
+      // Registry-persisted (see the wrapper): the pair OUTPUT is tiny
+      // (near-dups are rare by construction) and has two gated consumers —
+      // the pair query itself and the connected-components clustering — so
+      // the banded self-join runs once per session. Rightsized like
+      // minhashLshPairs: the AQE-coalescible keyed exchange keeps the
+      // cached partition count proportional to the data.
+      .transform(df => graft.Par.rightsize(df, col("id_a")))
   }
 
   val simhashPairsSql: String = {

@@ -97,7 +97,7 @@ object Retrieval {
     */
   private def tfRel(spark: SparkSession, sfDir: String): DataFrame =
     CacheRegistry.cached(spark, s"retrieval.tf:$sfDir") {
-      Tables.documents(spark, sfDir)
+      Tables.documentsWide(spark, sfDir)
         .select(col("doc_id"),
           explode(graft.functions.TextHashOps.shingleHashes(
             col("text"), 1, distinct = false)).as("h"))

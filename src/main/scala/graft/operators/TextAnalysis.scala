@@ -419,7 +419,7 @@ object TextAnalysis {
       " ELSE '' END)"
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), expr(plantSparkExpr).as("aug"))
       .select(col("doc_id"),
         expr(s"CAST(regexp_count(aug, '$EmailPat') AS BIGINT)").as("n_emails"),
@@ -494,7 +494,7 @@ object TextAnalysis {
          |      THEN struct(g AS prev, 1L AS run, 1L AS best_cnt, g AS best_gram)
          |    ELSE struct(g AS prev, 1L AS run, acc.best_cnt AS best_cnt, acc.best_gram AS best_gram) END,
          |  acc -> struct(acc.best_gram AS gram, acc.best_cnt AS cnt))""".stripMargin
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"),
         expr(s"size($toks)").cast("long").as("n_tokens"),
         expr(s"size(array_distinct($toks))").cast("long").as("n_distinct"),
@@ -565,7 +565,7 @@ object TextAnalysis {
   // (TextAnalysisSpec pins this on the fixture plus a hand-built tie).
   // ------------------------------------------------------------------
   def repetitionStatsHashed(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionStatsHashedOf(Tables.documents(spark, sfDir))
+    repetitionStatsHashedOf(Tables.documentsWide(spark, sfDir))
 
   private[graft] def repetitionStatsHashedOf(docs: DataFrame): DataFrame = {
     val topFold =
