@@ -1218,8 +1218,11 @@ object Multimodal {
   }
 
   def featureTopKQuery(spark: SparkSession, sfDir: String): DataFrame =
-    featureTopKOf(cachedFeatures(spark, sfDir),
-      graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    // Registry-persisted (r18): own gate + featureRecallQuery's approx arm.
+    graft.CacheRegistry.cached(spark, s"multimodal.featureTopK:$sfDir") {
+      featureTopKOf(cachedFeatures(spark, sfDir),
+        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    }
 
   /** Oracle: the same centering/bucket/probe/rank pipeline over
     * [[featureVecSql]] — per-dim floor means via a range() cross join,
@@ -1326,13 +1329,20 @@ object Multimodal {
     * truth — integer hit counts, the Analytics.recallVsBrute shape on
     * the feature tier.
     */
+  /** Registry-persisted exact centered brute-force ground truth (r18):
+    * consumed by BOTH recall gates (sign-grid and trained-IVF) — one
+    * |Q|·|corpus| scoring pass per session instead of two.
+    */
+  private def featureExactTopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"multimodal.featureExactTopK:$sfDir") {
+      featureExactTopKOf(cachedFeatures(spark, sfDir),
+        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    }
+
   def featureRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val fv = cachedFeatures(spark, sfDir)
-    val exact = featureExactTopKOf(fv,
-        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    val exact = featureExactTopK(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = featureTopKOf(fv,
-        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    val approx = featureTopKQuery(spark, sfDir)
       .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
     exact.join(approx,
         col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
@@ -1485,11 +1495,14 @@ object Multimodal {
 
   def featureIvfTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Similarity
-    val corpus = featureCorpus64(spark, sfDir)
-    Similarity.ivfKmeansSearchOver(
-      corpus.join(featureIvfAsg(spark, sfDir).select("vec_id", "cluster"), "vec_id"),
-      corpus.where(col("vec_id") < Similarity.NumQueries),
-      featureIvfCents(spark, sfDir), Similarity.NProbe, Similarity.TopK)
+    // Registry-persisted (r18): own gate + featureIvfRecallQuery's arm.
+    graft.CacheRegistry.cached(spark, s"multimodal.featureIvfTopK:$sfDir") {
+      val corpus = featureCorpus64(spark, sfDir)
+      Similarity.ivfKmeansSearchOver(
+        corpus.join(featureIvfAsg(spark, sfDir).select("vec_id", "cluster"), "vec_id"),
+        corpus.where(col("vec_id") < Similarity.NumQueries),
+        featureIvfCents(spark, sfDir), Similarity.NProbe, Similarity.TopK)
+    }
   }
 
   /** Per-query recall of the trained-IVF arm against the exact centered
@@ -1497,8 +1510,7 @@ object Multimodal {
     * (the probe genuinely prunes).
     */
   def featureIvfRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = featureExactTopKOf(cachedFeatures(spark, sfDir),
-        graft.operators.Similarity.NumQueries, graft.operators.Similarity.TopK)
+    val exact = featureExactTopK(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
     val approx = featureIvfTopKQuery(spark, sfDir)
       .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))

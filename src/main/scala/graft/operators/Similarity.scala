@@ -67,7 +67,11 @@ object Similarity {
   // ------------------------------------------------------------------
   // Brute-force cosine top-k per query.
   // ------------------------------------------------------------------
-  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    // Registry-persisted (r18): k·|queries| rows with 2+ gated consumers
+    // (its own gate + the recall/agreement evals recompute this arm) —
+    // the persist policy's small-expensive-aggregate case.
+    graft.CacheRegistry.cached(spark, s"similarity.cosineTopK:$sfDir") {
     val corpus = quantized(spark, sfDir)
     val queries = corpus.where(col("vec_id") < NumQueries)
     val scored = broadcast(queries.as("q")).join(corpus.as("c"),
@@ -113,7 +117,11 @@ object Similarity {
   // ------------------------------------------------------------------
   // LSH-bucketed ANN top-k: candidates share the query's bucket.
   // ------------------------------------------------------------------
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    // Registry-persisted (r18): k·|queries| rows with 2+ gated consumers
+    // (its own gate + the recall/agreement evals recompute this arm) —
+    // the persist policy's small-expensive-aggregate case.
+    graft.CacheRegistry.cached(spark, s"similarity.lshTopK:$sfDir") {
     val corpus = quantized(spark, sfDir)
       .withColumn("bucket", lshBucketCol(col("v")))
     val queries = corpus.where(col("vec_id") < NumQueries)
@@ -152,7 +160,11 @@ object Similarity {
   // standard recall/latency dial for sign-LSH; candidates stay
   // ~9/256 of the corpus per query.
   // ------------------------------------------------------------------
-  def lshMultiprobeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshMultiprobeTopK(spark: SparkSession, sfDir: String): DataFrame =
+    // Registry-persisted (r18): k·|queries| rows with 2+ gated consumers
+    // (its own gate + the recall/agreement evals recompute this arm) —
+    // the persist policy's small-expensive-aggregate case.
+    graft.CacheRegistry.cached(spark, s"similarity.lshMultiprobeTopK:$sfDir") {
     val corpus = quantized(spark, sfDir)
       .withColumn("bucket", lshBucketCol(col("v")))
     val probeOffsets = lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))
@@ -268,7 +280,11 @@ object Similarity {
   val NProbe = 3
 
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
-    ivfTopKNprobe(spark, sfDir, NProbe)
+    // Registry-persisted at the default nprobe (r18): consumed by its own
+    // gate and recomputed by s_ivf_recall's eval join.
+    graft.CacheRegistry.cached(spark, s"similarity.ivfTopK:$sfDir") {
+      ivfTopKNprobe(spark, sfDir, NProbe)
+    }
 
   def ivfTopKNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val corpus = Tables.embeddings(spark, sfDir)
@@ -734,8 +750,13 @@ object Similarity {
     pqAdcRankedOver(spark, sfDir, pqCodebooks(spark, sfDir), pqCodes(spark, sfDir))
 
   def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
-    pqAdcRanked(spark, sfDir).where(col("rnk") <= TopK)
-      .select("query_id", "neighbor_id", "rnk", "adist")
+    // Registry-persisted (r18): the ADC scoring join underneath is the
+    // expensive part and FOUR paths consumed it per session (this gate,
+    // the rerank shortlist, pqRecall's two arms, the drift eval).
+    graft.CacheRegistry.cached(spark, s"similarity.pqAdcTopK:$sfDir") {
+      pqAdcRanked(spark, sfDir).where(col("rnk") <= TopK)
+        .select("query_id", "neighbor_id", "rnk", "adist")
+    }
 
   /** The production composition: ADC shortlists PqShortK candidates per
     * query from codes alone (no vectors touched), then ONLY those
@@ -765,8 +786,11 @@ object Similarity {
   }
 
   def pqRerankTopK(spark: SparkSession, sfDir: String): DataFrame =
-    exactRerank(spark, sfDir,
-      pqAdcRanked(spark, sfDir).where(col("rnk") <= PqShortK))
+    // Registry-persisted (r18): own gate + pqRecall recompute it.
+    graft.CacheRegistry.cached(spark, s"similarity.pqRerankTopK:$sfDir") {
+      exactRerank(spark, sfDir,
+        pqAdcRanked(spark, sfDir).where(col("rnk") <= PqShortK))
+    }
 
   /** Classic IVF-PQ — both halves composed: the trained k-means cells
     * prune candidates (only the query's NProbe nearest cells are
@@ -818,7 +842,11 @@ object Similarity {
   /** Exact integer-L2 top-k neighbors of the NumQueries query vectors —
     * the ground truth every PQ recall metric anchors to.
     */
-  private def exactTopKNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+  private def exactTopKNeighbors(spark: SparkSession, sfDir: String): DataFrame =
+    // Registry-persisted (r18): the brute-force ground truth is consumed
+    // by pqRecall AND incrementalRecallDrift — one |Q|·|corpus| scoring
+    // pass per session instead of two.
+    graft.CacheRegistry.cached(spark, s"similarity.exactTopK:$sfDir") {
     val corpus = quantized(spark, sfDir)
     broadcast(corpus.where(col("vec_id") < NumQueries).as("q"))
       .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
