@@ -72,21 +72,23 @@ object Par {
     else df
   }
 
-  /** Persist-time right-sizing for derived relations that go into the
-    * CacheRegistry: a keyed repartition WITHOUT an explicit partition
-    * count. `repartition(col)` exchanges carry the REPARTITION_BY_COL
-    * origin, which AQE's partition coalescing is allowed to resize by
-    * the ACTUAL bytes produced — a pair relation of a few thousand rows
-    * caches as 1 partition, the same code at 100 TB caches as
-    * advisory-sized hundreds. Without this, a relation whose build ends
-    * in a narrow projection (e.g. over a broadcast join) inherits
-    * whatever partition count its lineage had, and every one of its
-    * consumers then pays per-partition task launches on a tiny cache
-    * (measured r18: the widened sigCols pushed the cached LSH pair
-    * relations to 32 near-empty partitions and the triangle audits — a
-    * dozen stages over those caches — regressed 1.4–1.9×). Keying by
-    * the consumers' join column additionally lets a same-key join read
-    * the cache with zero exchange (guide §2.4).
+  /** Persist-time partitioning normalization for derived relations that
+    * go into the CacheRegistry: a keyed repartition without an explicit
+    * partition count (resolves to `spark.sql.shuffle.partitions`, which
+    * every entry point sets to the session's core count — so the count
+    * scales with the session, not with whatever the build lineage
+    * happened to produce). The value is DETERMINISM + KEY: a relation
+    * whose build ends in a narrow projection over broadcast joins
+    * inherits an arbitrary lineage partitioning, while persisting it
+    * hash-partitioned on the consumers' join column lets a same-key
+    * join/aggregate read the cache with zero exchange on that side
+    * (guide §2.4 — the containment self-join builds from the sh-keyed
+    * cache this way). Measured honestly (r18): AQE does NOT resize
+    * exchanges inside cached plans
+    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    * defaults false precisely to keep cache partitioning usable), so
+    * this is a fixed keyed exchange in the build — warmup-time cost,
+    * consumer-side benefit.
     */
   def rightsize(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(keys: _*)

@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-// Temporary r18 diagnostic — deleted before commit. Interleaved A/B of
-// the Par.widen flag inside ONE JVM: two sibling sessions (separate
-// CacheRegistry namespaces via identityHashCode), alternating timed
-// runs so bursty external load hits both arms equally.
+/** Dev tool (r18): interleaved A/B of the Par.widen flag inside ONE JVM —
+  * two sibling sessions (separate CacheRegistry namespaces via
+  * identityHashCode; the `off` session sets `spark.graft.par.widen=off`),
+  * alternating timed runs so bursty external host load hits both arms
+  * equally. This is the harness that produced the keep/revert verdicts in
+  * OPTIMIZATION_r18.md: on a machine whose steal time swings 0–10 %+,
+  * sequential A-then-B comparisons of sub-second effects are meaningless,
+  * while per-round interleaving plus min-over-rounds isolates the plan
+  * difference. Usage: runMain graft.Probe <q1,q2,...> [rounds=4].
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val queries = if (args.nonEmpty) args(0).split(",").toSeq
