@@ -73,25 +73,39 @@ object Par {
   }
 
   /** Persist-time partitioning normalization for derived relations that
-    * go into the CacheRegistry: a keyed repartition without an explicit
-    * partition count (resolves to `spark.sql.shuffle.partitions`, which
-    * every entry point sets to the session's core count — so the count
-    * scales with the session, not with whatever the build lineage
-    * happened to produce). The value is DETERMINISM + KEY: a relation
-    * whose build ends in a narrow projection over broadcast joins
-    * inherits an arbitrary lineage partitioning, while persisting it
-    * hash-partitioned on the consumers' join column lets a same-key
-    * join/aggregate read the cache with zero exchange on that side
-    * (guide §2.4 — the containment self-join builds from the sh-keyed
-    * cache this way). Measured honestly (r18): AQE does NOT resize
-    * exchanges inside cached plans
-    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
-    * defaults false precisely to keep cache partitioning usable), so
-    * this is a fixed keyed exchange in the build — warmup-time cost,
-    * consumer-side benefit.
+    * go into the CacheRegistry: a keyed REBALANCE whose partition count
+    * AQE sizes to the DATA, not to the build lineage or to
+    * `spark.sql.shuffle.partitions`. The value is KEY + PROPORTIONALITY:
+    * a relation whose build ends in a narrow projection over broadcast
+    * joins inherits an arbitrary lineage partitioning, while persisting
+    * it keyed keeps same-key consumer joins cheap (guide §2.4) and the
+    * AQE sizing keeps a tiny relation in ONE cached partition instead of
+    * `shuffle.partitions` near-empty ones.
+    *
+    * Why rebalance and not `repartition(keys)` (the r18 first cut, a
+    * measured regression): a by-col repartition is user-specified, so
+    * AQE preserves its partition count even inside cached plans — a
+    * 256-row pair relation persisted as 32 near-empty partitions, and
+    * every one of the triangle audit's ~10 sub-jobs paid 64+ empty task
+    * launches per evaluation (g_dup_triangles_simhash 0.95 s at r17 →
+    * 2.4 s; stage-listener evidence in OPTIMIZATION_r18.md). REBALANCE
+    * is the hint built for exactly this (AQE-sized keyed output); it
+    * needs `canChangeCachedPlanOutputPartitioning=true` to act inside a
+    * cached plan, which [[rightsize]] sets on the session — documented
+    * side effect, measured matrix: repartition/any-conf -> 32,
+    * rebalance+true -> 1 for an 80 KB relation. At cluster scale AQE
+    * targets `advisoryPartitionSizeInBytes`, so a large relation keeps
+    * many partitions — the count follows the data at every scale.
     */
   def rightsize(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(keys: _*)
+    // Same dev kill switch as widen (`spark.graft.par.rightsize=off`):
+    // interleaved A/B of the persist-time exchange under one JVM.
+    if (df.sparkSession.conf.getOption("spark.graft.par.rightsize").contains("off")) df
+    else {
+      df.sparkSession.conf
+        .set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      df.hint("rebalance", keys: _*)
+    }
 
   /** [[widen]] for a standard `$sfDir/<table>.parquet` fixture table. */
   def widenTable(spark: SparkSession, df: DataFrame, sfDir: String,

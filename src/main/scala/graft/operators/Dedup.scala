@@ -749,11 +749,12 @@ object Dedup {
     // Registry-persisted like simhashPairs: the pair OUTPUT is tiny and
     // has three gated consumers (the pair query, the Jaccard-estimate
     // eval, and the minhash clustering) — the banded self-join runs once
-    // per session instead of three times. Rightsized (Par): the plan
-    // ends in a narrow projection over broadcast joins, so without an
-    // explicit AQE-coalescible exchange the cache inherits the band
-    // relation's partition count and the many-stage consumers (the
-    // triangle audits) pay ~32 near-empty task launches per stage.
+    // per session instead of three times. Rightsized (Par): an AQE-sized
+    // keyed REBALANCE, so this 256-row relation persists in ONE
+    // partition instead of inheriting the band relation's 32 — the
+    // many-stage consumers (the triangle audits) would otherwise pay
+    // ~32 near-empty task launches per subtree evaluation (see
+    // Par.rightsize for the measured regression this fixed).
     graft.Par.rightsize(minhashLshPairsPlan(spark, sfDir), col("id_a"))
   }
 
