@@ -755,7 +755,22 @@ object Dedup {
     // many-stage consumers (the triangle audits) would otherwise pay
     // ~32 near-empty task launches per subtree evaluation (see
     // Par.rightsize for the measured regression this fixed).
+    //
+    // localCheckpoint (lazy, under the registry persist): the pair
+    // relation's LOGICAL lineage is the whole banded self-join over the
+    // 40-column signature build, and the triangle audit embeds the pair
+    // frame ~10× (deg unions, du/dv/o2/close broadcasts, the bound agg)
+    // — every per-run planning pass re-analyzed and re-canonicalized
+    // that tree per embedding, which measured as ~1.1 s of DRIVER time
+    // per g_dup_triangles run (interleaved console A/B: 1.30 s with the
+    // full lineage vs 0.25 s truncated, identical result and stages —
+    // guide §3.3 "materialising an intermediate truncates the plan").
+    // The checkpoint keeps the physical output partitioning, the persist
+    // on top keeps accurate post-build stats + columnar reads, and the
+    // relation is still computed from parquet once per session (the
+    // checkpoint is session-local RDD blocks, exactly like the persist).
     graft.Par.rightsize(minhashLshPairsPlan(spark, sfDir), col("id_a"))
+      .localCheckpoint(false)
   }
 
   private def minhashLshPairsPlan(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1005,8 +1020,11 @@ object Dedup {
       // the pair query itself and the connected-components clustering — so
       // the banded self-join runs once per session. Rightsized like
       // minhashLshPairs: the AQE-coalescible keyed exchange keeps the
-      // cached partition count proportional to the data.
-      .transform(df => graft.Par.rightsize(df, col("id_a")))
+      // cached partition count proportional to the data. localCheckpoint:
+      // lineage-truncated for the same reason as minhashLshPairs (the
+      // triangle audit re-plans the embedded band-join lineage ~10× per
+      // run; console A/B 1.05 s full lineage vs 0.55 s truncated).
+      .transform(df => graft.Par.rightsize(df, col("id_a")).localCheckpoint(false))
   }
 
   val simhashPairsSql: String = {
