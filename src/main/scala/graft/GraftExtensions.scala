@@ -67,9 +67,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSigs(args.head, intArg(args(1), "w"))))
 
   /** Registers the graft functions into an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, inf, b) =>
       org.apache.spark.sql.graftbridge.CatalystBridge
         .registerFunction(spark, id, inf, b)
     }
+    // Session-level engine default (r18 advisory: set once at session
+    // setup instead of as a Par.rightsize side effect, so cached-plan
+    // behavior never depends on whether a rightsized build has already
+    // run in the session). Required for the registry's keyed REBALANCE
+    // persists: AQE may only resize a cached plan's output partitioning
+    // when this is on — without it a 256-row pair relation persists as
+    // `shuffle.partitions` near-empty partitions and every multi-embedded
+    // consumer pays ~10 × 32 empty task launches per run (the measured
+    // r18 g_dup_triangles regression; see Par.rightsize).
+    try spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    catch { case _: Throwable => () }
+  }
 }

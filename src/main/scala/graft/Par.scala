@@ -91,9 +91,12 @@ object Par {
     * 2.4 s; stage-listener evidence in OPTIMIZATION_r18.md). REBALANCE
     * is the hint built for exactly this (AQE-sized keyed output); it
     * needs `canChangeCachedPlanOutputPartitioning=true` to act inside a
-    * cached plan, which [[rightsize]] sets on the session — documented
-    * side effect, measured matrix: repartition/any-conf -> 32,
-    * rebalance+true -> 1 for an 80 KB relation. At cluster scale AQE
+    * cached plan — set once per session by [[GraftExtensions.register]]
+    * (r18 advisory: the first cut set it HERE as a side effect, making
+    * every cached plan's partitioning order-dependent on whether a
+    * rightsize call had happened yet). Measured matrix:
+    * repartition/any-conf -> 32, rebalance+true -> 1 for an 80 KB
+    * relation. At cluster scale AQE
     * targets `advisoryPartitionSizeInBytes`, so a large relation keeps
     * many partitions — the count follows the data at every scale.
     */
@@ -101,11 +104,7 @@ object Par {
     // Same dev kill switch as widen (`spark.graft.par.rightsize=off`):
     // interleaved A/B of the persist-time exchange under one JVM.
     if (df.sparkSession.conf.getOption("spark.graft.par.rightsize").contains("off")) df
-    else {
-      df.sparkSession.conf
-        .set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      df.hint("rebalance", keys: _*)
-    }
+    else df.hint("rebalance", keys: _*)
 
   /** [[widen]] for a standard `$sfDir/<table>.parquet` fixture table. */
   def widenTable(spark: SparkSession, df: DataFrame, sfDir: String,

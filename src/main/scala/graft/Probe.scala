@@ -29,7 +29,14 @@ object Probe {
     root.sparkContext.setLogLevel("ERROR")
     val on = root.newSession()
     val off = root.newSession()
-    off.conf.set(flag, "off")
+    // flag forms: "conf.key" — the off arm sets it to the literal "off"
+    // (the graft kill switches); "conf.key=value" — the ON arm sets
+    // key=value and the off arm keeps the session default (A/B of an
+    // arbitrary session conf, e.g. join-strategy preferences).
+    if (flag.contains("=")) {
+      val Array(key, v) = flag.split("=", 2)
+      on.conf.set(key.trim, v.trim)
+    } else off.conf.set(flag, "off")
     Seq(on, off).foreach(GraftExtensions.register)
     val sf = "/root/testdata/sf0.1"
     val mins = scala.collection.mutable.Map[(String, String), Double]()

@@ -14,6 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema-inference memo (r19, guide §7.3 driver-side planning / §6 file
+  // listing): every gated query rebuilds its frame per Bench/Verify run,
+  // and a schema-less `spark.read.parquet` resolves the relation EAGERLY —
+  // file listing + a parquet footer read on the driver — per call. Across
+  // 190 queries × (warmup + 3 timed runs) × 1-4 tables each, that is
+  // thousands of redundant footer reads of the same immutable fixture
+  // files. The memo caches the INFERRED SCHEMA ONLY (a StructType — pure
+  // metadata, keyed by file path): every call still returns a fresh
+  // relation with fresh expression ids, every execution still scans the
+  // parquet from disk, and the schema is byte-identical to what inference
+  // would return (it IS inference's output, computed once). Nothing about
+  // results, plans, or data flow changes — only the driver stops re-deriving
+  // the same StructType. `spark.graft.tables.schemaCache=off` pins the
+  // old per-call inference for A/B measurement.
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(MICROS) in the live fixtures
     // (arrives as TimestampType); earlier fixture generations used
@@ -23,7 +40,14 @@ object Tables {
     // in case the fixture generation or calling session changes.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    if (spark.conf.getOption("spark.graft.tables.schemaCache").contains("off"))
+      spark.read.parquet(path)
+    else {
+      val schema = schemaMemo.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
   }
 
   // Widened fact loaders (r18, guide §2.5): the fixture tables are ONE

@@ -744,7 +744,7 @@ object Dedup {
     sigCols(spark, sfDir)
       .select(col("doc_id"), expr(minhashSigFromCols).as("sig"))
 
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cached(
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cachedCheckpointed(
     spark, s"dedup.minhashLshPairs:$sfDir") {
     // Registry-persisted like simhashPairs: the pair OUTPUT is tiny and
     // has three gated consumers (the pair query, the Jaccard-estimate
@@ -769,8 +769,10 @@ object Dedup {
     // on top keeps accurate post-build stats + columnar reads, and the
     // relation is still computed from parquet once per session (the
     // checkpoint is session-local RDD blocks, exactly like the persist).
+    // The checkpoint itself is applied (and its RDD blocks lifecycle-
+    // tracked) by cachedCheckpointed — see its scaladoc for the
+    // AQE-eager-stage and no-recompute caveats (r18 advisory).
     graft.Par.rightsize(minhashLshPairsPlan(spark, sfDir), col("id_a"))
-      .localCheckpoint(false)
   }
 
   private def minhashLshPairsPlan(spark: SparkSession, sfDir: String): DataFrame = {
@@ -992,7 +994,7 @@ object Dedup {
        |        FROM ($docsSql))
        |  GROUP BY doc_id)""".stripMargin
 
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cached(
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = CacheRegistry.cachedCheckpointed(
     spark, s"dedup.simhashPairs:$sfDir") {
     val sh = simhash(spark, sfDir)
     val bandCols = (0 until SimHashBands).map(i =>
@@ -1020,11 +1022,13 @@ object Dedup {
       // the pair query itself and the connected-components clustering — so
       // the banded self-join runs once per session. Rightsized like
       // minhashLshPairs: the AQE-coalescible keyed exchange keeps the
-      // cached partition count proportional to the data. localCheckpoint:
-      // lineage-truncated for the same reason as minhashLshPairs (the
-      // triangle audit re-plans the embedded band-join lineage ~10× per
-      // run; console A/B 1.05 s full lineage vs 0.55 s truncated).
-      .transform(df => graft.Par.rightsize(df, col("id_a")).localCheckpoint(false))
+      // cached partition count proportional to the data. The
+      // cachedCheckpointed wrapper truncates the lineage for the same
+      // reason as minhashLshPairs (the triangle audit re-plans the
+      // embedded band-join lineage ~10× per run; console A/B 1.05 s full
+      // lineage vs 0.55 s truncated) and lifecycle-tracks the checkpoint
+      // RDD blocks (r18 advisory).
+      .transform(df => graft.Par.rightsize(df, col("id_a")))
   }
 
   val simhashPairsSql: String = {
