@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Par, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +24,18 @@ object Analytics {
     * quantity/price/discounted sums and row count.
     */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    // r19: widen so the decimal partial aggregation runs across the
+    // session's cores instead of fused into the single-row-group scan
+    // task; the group keys are low-cardinality, so the added exchange is
+    // NOT reused downstream — and it still wins, because the per-row
+    // decimal work dominates the 6-column exchange bytes (guide §2.5;
+    // the r18 revert of this site predates the codegen-cache fix).
+    // Interleaved Probe A/B: 0.48 s widened vs 0.74 s narrow warm min.
+    Par.widenTable(spark,
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_orderkey"),
+      sfDir, "lineitem", col("l_orderkey"))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("decimal(18,2)").as("qty"),
         col("l_extendedprice").cast("decimal(18,2)").as("price"),
@@ -504,6 +515,9 @@ object Analytics {
   // one result.
   // ------------------------------------------------------------------
   def pivotRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    // r19: widen measured and DECLINED (Probe: 0.56 widened vs 0.52
+    // narrow — the pivot's 3-way conditional agg is one decimal product
+    // per row, unlike pricingSummary's four).
     Tables.lineitem(spark, sfDir)
       .select(year(col("l_shipdate")).cast("long").as("ship_year"),
         col("l_returnflag"),
@@ -1081,6 +1095,9 @@ object Analytics {
   // makes that explicit rather than trusting the double).
   // ------------------------------------------------------------------
   def brandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    // r19: widen measured and DECLINED (Probe: 0.51 widened vs 0.53
+    // narrow — inside noise; one decimal product + one probe per row is
+    // too light for the exchange).
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
         (col("l_extendedprice").cast("decimal(18,2)") *
@@ -1119,6 +1136,10 @@ object Analytics {
   def orderPriorityLate(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    // r19: keyed widen measured here (Probe, 6 interleaved rounds) and
+    // DECLINED — 0.66 s widened vs 0.63 s narrow: the semi-join probe is
+    // too cheap per row for the exchange-reuse trick to pay (unlike
+    // nationTradeVolume / shipDelayPriority, where it ships).
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
     o.join(l,
         col("o_orderkey") === col("l_orderkey") &&
@@ -1318,6 +1339,10 @@ object Analytics {
     * here is unchanged.
     */
   def dailyActiveApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    // r19: the user_id-keyed widen (exchange shared with the dedup
+    // aggregate) was re-measured post-codegen-cache-fix and still loses
+    // 1.9× (isolated bench A/B 1.77 s vs 0.95) — the per-partition
+    // rsd-0.01 HLL partials dominate; the r18 revert holds.
     val raw = Tables.events(spark, sfDir)
     raw.select(
         graft.Shapes.ltw(graft.Shapes.eventTimeMs(raw), 86400000L).as("day"),
@@ -1512,7 +1537,13 @@ object Analytics {
   val LargeOrderQty = 250L
 
   def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val qty = Tables.lineitem(spark, sfDir)
+    // r19: widen on the group key — the repartition IS the aggregate's
+    // required partitioning (one exchange either way, but the decimal
+    // partial agg runs wide instead of fused into the single-task scan;
+    // guide §2.4/§2.5). Interleaved Probe A/B: 0.46 s vs 0.64 s narrow.
+    val qty = Par.widenTable(spark,
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+        sfDir, "lineitem", col("l_orderkey"))
       .select(col("l_orderkey"),
         col("l_quantity").cast("decimal(18,2)").as("q"))
       .groupBy("l_orderkey")
@@ -1556,6 +1587,10 @@ object Analytics {
   // form, so the equivalence of the two formulations is itself gated.
   // ------------------------------------------------------------------
   def soleBlameSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // r19: keyed widen (exchange shared by the join + aggregate + window)
+    // measured and DECLINED — 0.65 s both arms in the interleaved Probe;
+    // the chain is already one fact exchange end-to-end, so widening only
+    // moves where the scan work happens, not how much of it there is.
     val l = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).where(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1597,6 +1632,8 @@ object Analytics {
   // 8-byte-key shuffle + a broadcast-sized part aggregate; output 1 row.
   // ------------------------------------------------------------------
   def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    // r19: the shared-exchange widen (l_partkey serving agg + join) was
+    // measured and DECLINED — Probe read 0.51 s in both arms.
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"),
         col("l_quantity").cast("decimal(18,2)").cast("long").as("q"),
@@ -1712,6 +1749,13 @@ object Analytics {
     val s0 = Tables.supplier(spark, sfDir)
       .where(col("s_suppkey") < lit(PartSuppStride))
       .agg(count(lit(1)).as("s0"))
+    // r19: widening the generator's part scan on p_partkey (one aliased
+    // exchange serving the DISTINCT + every consumer's per-part agg) was
+    // measured and DECLINED — interleaved Probe: a_min_cost_supplier
+    // 0.75 s widened vs 0.43 narrow, a_supplier_variety 0.45 vs 0.35,
+    // a_important_parts wash; only the bare a_partsupp row won (0.12 vs
+    // 0.22). The 4-rows-per-part explode is too cheap per byte to buy
+    // back the exchange of the full generated relation.
     Tables.part(spark, sfDir).select("p_partkey")
       .crossJoin(broadcast(s0))
       .select(col("p_partkey"), col("s0"),
@@ -1894,7 +1938,13 @@ object Analytics {
   // decimals (the a_market_share rule).
   // ------------------------------------------------------------------
   def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // r19: widen on l_partkey so the year cast + decimal product + the
+    // part broadcast probe run wide (guide §2.5). Interleaved Probe A/B:
+    // 0.51 s widened vs 0.82 s narrow warm min.
+    val li = Par.widenTable(spark,
+        Tables.lineitem(spark, sfDir)
+          .select("l_shipdate", "l_partkey", "l_extendedprice", "l_discount"),
+        sfDir, "lineitem", col("l_partkey"))
       .select(year(col("l_shipdate").cast("timestamp")).as("ship_year"),
         col("l_partkey"),
         (col("l_extendedprice").cast("decimal(18,2)") *
@@ -1990,7 +2040,28 @@ object Analytics {
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
       .join(cn, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "cust_nation")
-    Tables.lineitem(spark, sfDir)
+    // r19: widen the fact scan ON THE JOIN KEY (not the (orderkey,
+    // linenumber) composite of the generic wide loader) — the inserted
+    // repartition IS the SMJ's required hashpartitioning(l_orderkey), so
+    // EnsureRequirements adds no second exchange: the single-row-group
+    // scan's fused work (timestamp cast + year + decimal cents + the two
+    // broadcast probes) parallelizes across the session's cores for the
+    // price of the exchange the join already needed (guide §2.4 "two
+    // operations keyed the same way share one exchange", §2.5 input
+    // layout). At cluster scale the layout test makes widen the identity
+    // and the plan is unchanged. Interleaved A/B (Probe, widen on/off,
+    // r19 post-codegen-cache-fix): this keyed form won in BOTH probe
+    // sessions — 1.07 vs 1.23 and 0.91 vs 1.04 s warm min; the generic
+    // (orderkey, linenumber) wide loader — which CANNOT share the join
+    // exchange — read 1.27 vs 1.70 in the same harness.
+    // Plan: the SMJ's lineitem side carries ONE Exchange (the widen,
+    // directly over the scan) and Sort sits on the broadcast-probe
+    // output with no second exchange.
+    Par.widenTable(spark,
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_shipdate"), col("l_extendedprice")),
+        sfDir, "lineitem", col("l_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate").cast("timestamp")).as("ship_year"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -2074,7 +2145,16 @@ object Analytics {
   // per-part relation re-joined on its own partitioning.
   // ------------------------------------------------------------------
   def dominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.lineitem(spark, sfDir)
+    // r19: widen on l_partkey — the ONE exchange the whole query needs:
+    // the (partkey, suppkey) aggregate, the per-part rollup AND the
+    // pair⋈part join all cluster on (a superset of) the widen key, so
+    // the narrow plan's three exchanges collapse to the widen itself and
+    // the scan parallelizes (guide §2.4/§2.5). Interleaved Probe A/B:
+    // 0.43 s widened vs 0.82 s narrow warm min.
+    val base = Par.widenTable(spark,
+        Tables.lineitem(spark, sfDir)
+          .select("l_partkey", "l_suppkey", "l_quantity"),
+        sfDir, "lineitem", col("l_partkey"))
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("long").as("qty"))
     val perPair = base.groupBy("l_partkey", "l_suppkey")
@@ -2173,6 +2253,11 @@ object Analytics {
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
         year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+    // r19: keyed widen measured and DECLINED — 0.83 s widened vs 0.57 s
+    // narrow (interleaved Probe): the exchange here carries six columns
+    // (qty + price + discount feed the profit kernel), so the added
+    // shuffle bytes cost more than the parallelized projection saves —
+    // exactly the r18 "per-row CPU per byte" criterion.
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("decimal(18,2)").as("qty"),
@@ -2283,8 +2368,13 @@ object Analytics {
   def shipDelayPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_shipdate")
+    // r19: widen on the join key — the repartition IS the join's required
+    // partitioning, parallelizing the single-row-group scan side for the
+    // exchange the join already pays (guide §2.4; see nationTradeVolume).
+    // Interleaved Probe A/B: 0.39 s widened vs 0.51 s narrow.
+    Par.widenTable(spark,
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate"),
+        sfDir, "lineitem", col("l_orderkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(
         greatest(lit(-4L), least(lit(4L),

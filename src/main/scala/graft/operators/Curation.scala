@@ -25,6 +25,9 @@ object Curation {
   private val docsSql = "SELECT doc_id, text FROM documents"
 
   def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    // r19: widen re-measured post-codegen-cache-fix and still DECLINED
+    // (isolated bench A/B 0.83 s widened vs 0.59 narrow; interleaved
+    // Probe agreed) — the r18 revert holds for this site.
     val docs = Tables.documents(spark, sfDir)
     val withFp = docs.select(col("doc_id"), col("source"), col("text"),
       TextHashOps.polyHash(col("text")).as("fp"))
@@ -889,6 +892,10 @@ object Curation {
   // ------------------------------------------------------------------
   def sourceOverlapMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Parity._
+    // r19: widen re-measured post-codegen-cache-fix and still DECLINED
+    // (isolated bench A/B 1.00 s widened vs 0.59 narrow — the base
+    // relation embeds twice in the x⋈y self-join, so the widen exchange
+    // is paid per embedding); the r18 revert holds.
     val base = Tables.documents(spark, sfDir)
       .select(col("source"), TextHashOps.polyHash(col("text")).as("fp"))
       .select(col("source"), expr(s"fp div $Pack").as("h"))

@@ -213,6 +213,11 @@ object RefQueries {
     * per-window by RefQueriesSpec, which is the honest contract; at real
     * scale the column is an estimate with rsd-bounded error.
     */
+  // Widening the scan was re-measured r19 (post-codegen-cache-fix,
+  // isolated bench A/B) and still loses 1.85× (1.69 s vs 0.91): a wide
+  // partial aggregate materializes one rsd-0.01 HLL register block per
+  // (partition, window) and the merge serializes them all — the r18
+  // revert of this site holds at every measured condition.
   def q3SkewStatsApprox(spark: SparkSession, sfDir: String): DataFrame =
     zxLtw(spark, sfDir)
       .groupBy("ltw")

@@ -658,7 +658,7 @@ object TextAnalysis {
   val NgramW = 3
 
   def topNgrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    val grams = Tables.documentsWide(spark, sfDir)
       .select(col("source"), expr(tokensSpark("text")).as("toks"))
       .select(col("source"), explode(expr(
         s"CASE WHEN size(toks) >= $NgramW THEN transform(sequence(0, size(toks) - $NgramW)," +
@@ -740,7 +740,11 @@ object TextAnalysis {
   def topNgramsHashed(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextHashOps
     def gramRows(withText: Boolean): DataFrame = {
-      val g = Tables.documents(spark, sfDir)
+      // r19: widened like the string form (both arms of the negative-
+      // result comparison parallelize their tokenize+explode the same
+      // way; the two-scan structure and the broadcast recovery — the
+      // pinned shape — are unchanged).
+      val g = Tables.documentsWide(spark, sfDir)
         .select(col("source"), expr(tokensSpark("text")).as("toks"))
         .select(col("source"), explode(expr(
           s"CASE WHEN size(toks) >= $NgramW THEN transform(sequence(0, size(toks) - $NgramW)," +
